@@ -11,7 +11,7 @@ object SparkEntry {
 
   /** Every registered capability, in registration order. */
   def allQueries: Seq[QueryDef] =
-    CoreBattery.all
+    CoreBattery.all ++ RelationalBattery.all ++ PipelineBattery.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Conform, Dedup, DdbUnwrap, JsonExpand, Validate}
+import graft.sources.Tables
+
+/** The reference ETL's operator set exercised over the driver testdata:
+  * embedded-JSON expansion, contract conformance, validation tagging, DDB
+  * type-tag unwrap, idempotent dedup, event-time/string/date scalar surface.
+  * Each entry is the library operator applied to the `events`/`customer`/
+  * `orders` tables so the DuckDB oracle can replay the semantics in ANSI SQL.
+  */
+object PipelineBattery {
+  import QueryDef._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // F15/F16: embedded JSON-string expansion (events.props plays the bronze
+    // `payload` column), then aggregate over the extracted field.
+    sql("q_json_expand",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val expanded = JsonExpand.withSchema(
+        Tables.events(s, d), "props",
+        StructType(Seq(StructField("k", LongType))))
+      expanded.groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+
+    // F15 via inference: same expansion but through the sampled-inference path
+    // (the reference's glue:51-53 branch). Oracle identical to the explicit-
+    // schema path — inference must land on the same shape.
+    sql("q_json_expand_inferred",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin) { (s, d) =>
+      import s.implicits._
+      JsonExpand.withInference(Tables.events(s, d), "props", sampleN = 200)
+        .select($"event_id", $"k")
+        .orderBy($"event_id")
+        .limit(100)
+    },
+
+    // F7: cast-or-null conformance — present cols cast (incl. narrowing
+    // long→int), absent contract cols materialized as typed nulls.
+    sql("q_conform",
+      """SELECT event_id, CAST(user_id AS INT) AS user_id,
+        |  CAST(value AS DOUBLE) AS value, event_type,
+        |  CAST(NULL AS INT) AS clouds_pct, CAST(NULL AS VARCHAR) AS country
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val contract = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", IntegerType),
+        StructField("value", DoubleType),
+        StructField("event_type", StringType),
+        StructField("clouds_pct", IntegerType),
+        StructField("country", StringType)))
+      Conform.toContract(Tables.events(s, d), contract)
+        .orderBy($"event_id")
+        .limit(100)
+    },
+
+    // F19/P10: validation tagging — error array built from range rules,
+    // rows flow through tagged, never dropped.
+    sql("q_validate",
+      """SELECT event_id,
+        |  list_filter([
+        |    CASE WHEN value IS NULL OR value < 0 OR value > 180 THEN 'value_out_of_range_or_null' END,
+        |    CASE WHEN user_id IS NULL OR user_id < 0 OR user_id > 120 THEN 'user_id_out_of_range_or_null' END,
+        |    CASE WHEN event_type IS NULL THEN 'event_type_null' END
+        |  ], x -> x IS NOT NULL) AS validation_errors,
+        |  CAST(len(list_filter([
+        |    CASE WHEN value IS NULL OR value < 0 OR value > 180 THEN 'value_out_of_range_or_null' END,
+        |    CASE WHEN user_id IS NULL OR user_id < 0 OR user_id > 120 THEN 'user_id_out_of_range_or_null' END,
+        |    CASE WHEN event_type IS NULL THEN 'event_type_null' END
+        |  ], x -> x IS NOT NULL)) AS INT) AS n_errors
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val rules = Seq(
+        Validate.rangeRule(ev("value"), "value_out_of_range_or_null", 0, 180),
+        Validate.rangeRule(ev("user_id"), "user_id_out_of_range_or_null", 0, 120),
+        Validate.Rule("event_type_null", ev("event_type").isNull))
+      Validate.tag(ev, rules)
+        .select($"event_id", $"validation_errors", $"n_errors")
+        .orderBy($"event_id")
+        .limit(500)
+    },
+
+    // F18: DDB type-tag unwrap, validated as a round-trip: tag each event row
+    // into a DDB NewImage envelope, unwrap with the engine UDF, extract the
+    // original fields back out. Oracle = the identity projection.
+    sql("q_ddb_unwrap",
+      """SELECT event_id AS event_id_rt, event_type AS event_type_rt,
+        |  value AS value_rt
+        |FROM events ORDER BY event_id_rt LIMIT 200""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tagged = Tables.events(s, d).select(
+        $"event_id",
+        to_json(struct(
+          struct($"event_id".cast("string").as("N")).alias("event_id"),
+          struct($"event_type".as("S")).alias("event_type"),
+          struct($"value".cast("string").as("N")).alias("value"),
+          struct(struct($"event_type".as("S")).alias("nested")).alias("M_test")
+        )).as("new_image"))
+      tagged
+        .withColumn("plain", DdbUnwrap.ddb_unwrap($"new_image"))
+        .select(
+          get_json_object($"plain", "$.event_id").cast("long").as("event_id_rt"),
+          get_json_object($"plain", "$.event_type").as("event_type_rt"),
+          get_json_object($"plain", "$.value").cast("double").as("value_rt"))
+        .orderBy($"event_id_rt")
+        .limit(200)
+    },
+
+    // T7: idempotent dedup — deterministic keep-first per natural key.
+    sql("q_dedup_keep_first",
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Dedup.keepFirst(
+          Tables.events(s, d).select($"user_id", $"event_type", $"event_id", $"ts"),
+          Seq("user_id", "event_type"),
+          Seq($"ts", $"event_id"))
+        .orderBy($"user_id", $"event_type")
+    },
+
+    // F1-F3/F22: string scalar surface — split, element_at, concat, substring,
+    // coalesce fallback chain.
+    sql("q_string_funcs",
+      """SELECT c_custkey,
+        |  string_split(c_name, '#')[2] AS cust_num,
+        |  'CUST#' || c_name AS synth_key,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  coalesce(c_mktsegment, 'unknown') AS segment
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d).select(
+          $"c_custkey",
+          element_at(split($"c_name", "#"), 2).as("cust_num"),
+          concat(lit("CUST#"), $"c_name").as("synth_key"),
+          substring($"c_name", 1, 8).as("prefix"),
+          coalesce($"c_mktsegment", lit("unknown")).as("segment"))
+        .orderBy($"c_custkey")
+        .limit(100)
+    },
+
+    // F8-F13: timestamp scalar surface — format, truncation, extraction,
+    // interval arithmetic, epoch.
+    sql("q_date_funcs",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS dt,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 90 DAY AS due_date,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d).select(
+          $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("dt"),
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          ($"o_orderdate" + expr("INTERVAL 90 DAYS")).as("due_date"),
+          unix_timestamp($"o_orderdate").as("epoch_s"))
+        .orderBy($"o_orderkey")
+        .limit(100)
+    },
+
+    // T2/P6: CDC insert-only filter over a synthesized change stream —
+    // eventName derived deterministically from the row, then filtered the way
+    // the forwarder does (`fwd:36-37`).
+    sql("q_cdc_insert_filter",
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 10 < 7 THEN 'INSERT'
+        |         WHEN event_id % 10 < 9 THEN 'MODIFY'
+        |         ELSE 'REMOVE' END AS eventName
+        |  FROM events) t
+        |WHERE eventName = 'INSERT' ORDER BY event_id LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("eventName",
+          when($"event_id" % 10 < 7, "INSERT")
+            .when($"event_id" % 10 < 9, "MODIFY")
+            .otherwise("REMOVE"))
+        .filter($"eventName" === "INSERT")
+        .select($"event_id", $"user_id", $"event_type")
+        .orderBy($"event_id")
+        .limit(500)
+    },
+  )
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Join / window / set-op / multi-dim aggregation surface over the star
+  * schema. The reference itself has no joins (SURVEY.md §2.3) — this is the
+  * extension surface its gold table would need the moment a second entity
+  * appears, built scale-first:
+  *
+  *  - dimension joins are explicit `broadcast()` (region/nation/supplier/
+  *    customer are tiny relative to fact tables at any SF; at 100 TB the fact
+  *    side streams through without a shuffle),
+  *  - fact-fact joins (lineitem ⋈ orders) are left to Catalyst/AQE, which
+  *    picks sort-merge with both sides hash-partitioned on the join key —
+  *    the right call at scale,
+  *  - window top-k uses `row_number` + filter, which Spark executes with a
+  *    per-partition sort after hash-partitioning by the window key; no
+  *    global sort.
+  */
+object RelationalBattery {
+  import QueryDef._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Broadcast hash join: fact ⋈ small dim, no shuffle on the fact side.
+    sql("q_join_broadcast",
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // Multiway: fact-fact sort-merge (lineitem ⋈ orders) + broadcast dim chain
+    // (supplier → nation → region), with a pushed-down date range filter.
+    sql("q_join_multiway",
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(
+          Tables.orders(s, d)
+            .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                    $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // Left-semi join (EXISTS).
+    sql("q_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey LIMIT 50""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter($"o_orderstatus" === "P"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+        .limit(50)
+    },
+
+    // Left-anti join (NOT EXISTS).
+    sql("q_anti_join",
+      """SELECT count(*) AS n_customers_without_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_customers_without_orders"))
+    },
+
+    // Window top-k per group: row_number over (partition, order) + filter.
+    sql("q_window_topk",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // Running (cumulative) aggregate with explicit ROWS frame.
+    sql("q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          round(sum($"o_totalprice").over(w), 2).as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // lag(): inter-order gap per customer in days.
+    sql("q_window_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS INT) AS days_since_prev
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).as("days_since_prev"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // rank / dense_rank with ties.
+    sql("q_window_rank",
+      """SELECT p_brand, p_partkey,
+        |  rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+        |FROM part
+        |ORDER BY p_brand, rnk, p_partkey LIMIT 200""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc)
+      Tables.part(s, d)
+        .select($"p_brand", $"p_partkey",
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy($"p_brand", $"rnk", $"p_partkey")
+        .limit(200)
+    },
+
+    // UNION ALL + re-aggregate.
+    sql("q_union_all",
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT event_type FROM events WHERE value > 150
+        |  UNION ALL
+        |  SELECT event_type FROM events WHERE user_id < 10
+        |) u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      ev.filter($"value" > 150).select($"event_type")
+        .unionAll(ev.filter($"user_id" < 10).select($"event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+
+    // INTERSECT (distinct semantics both engines).
+    sql("q_intersect",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      ev.filter($"event_type" === "purchase").select($"user_id")
+        .intersect(ev.filter($"event_type" === "error").select($"user_id"))
+        .orderBy($"user_id")
+    },
+
+    // EXCEPT (distinct semantics both engines).
+    sql("q_except",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 198
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      ev.filter($"event_type" === "purchase").select($"user_id")
+        .except(ev.filter($"event_type" === "error" && $"value" > 198).select($"user_id"))
+        .orderBy($"user_id")
+    },
+
+    // Distinct aggregates (expand + two-phase agg under the hood).
+    sql("q_distinct_agg",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct($"l_partkey").as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ROLLUP — subtotal rows; NULLS FIRST pinned on both sides (Spark's ASC
+    // default is nulls-first, DuckDB's is nulls-last).
+    sql("q_rollup",
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    },
+
+    // CUBE — all grouping-set combinations.
+    sql("q_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+  )
+}
