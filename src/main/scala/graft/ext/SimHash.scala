@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection: 64-bit locality-sensitive fingerprint
+  * (bitwise majority vote of per-token hashes), then Hamming-distance
+  * candidate pairs via band join on 16-bit chunks.
+  *
+  * The fingerprint is a Scala UDF (per-row map, no state) — the bit-majority
+  * loop over 64 counters is clearer and faster as JVM code than as 64
+  * generated CASE expressions. Candidate generation never compares all pairs:
+  * two docs within Hamming distance ≤ 3 of each other must agree exactly on
+  * at least one of the 4 16-bit bands (pigeonhole), so the band equi-join
+  * finds all of them with a plain shuffle join.
+  */
+object SimHash {
+
+  /** FNV-1a 64-bit hash — deterministic, seedable via prefix. */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private[ext] def simhash64(tokens: Seq[String]): Long = {
+    if (tokens == null || tokens.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  private val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  /** simhash64 over a token-array column. */
+  def simhash(tokensCol: Column): Column = simhashUdf(tokensCol)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Candidate near-dup pairs with Hamming distance ≤ maxDist (≤ 15 with the
+    * 4×16-bit banding guarantee; larger maxDist loses recall). */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val withSim = df.select(
+      col(idCol).as("doc"),
+      simhash(TextAnalysis.tokens(col(textCol))).as("sim"))
+    val banded = withSim.select(
+      col("doc"), col("sim"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.toDF("doc_a", "sim_a", "band_idx", "band_val")
+    val b = banded.toDF("doc_b", "sim_b", "band_idx", "band_val")
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy("doc_a", "doc_b")
+      .agg(min("hamming").as("hamming"))
+  }
+}

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{MinHash, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline extension surface: text analysis, dedup family
+  * (exact / MinHash / SimHash / n-gram Jaccard), embedding similarity search,
+  * multimodal plumbing — over the `documents` and `embeddings` tables.
+  *
+  * Queries whose semantics are ANSI-expressible carry a DuckDB oracle; the
+  * hash/LSH families (engine-specific hash functions) are registered
+  * rows-only with deterministic output ordering.
+  */
+object ExtensionBattery {
+  import QueryDef._
+
+  private val toksSql =
+    "CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+  private def hitsSql(lang: String): String = {
+    val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_intersect($toksSql, [$words]))"
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace + BPE-ish regex tokenizers.
+    sql("q_token_count",
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+          $"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          TextAnalysis.bpeishTokenCount($"text").as("n_bpeish"))
+        .orderBy($"doc_id")
+    },
+
+    // Language ID: stopword-hit argmax with fixed precedence.
+    sql("q_lang_id", {
+      val (en, es, de, fr, zh) = (hitsSql("en"), hitsSql("es"), hitsSql("de"), hitsSql("fr"), hitsSql("zh"))
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ($en + $es + $de + $fr + $zh) = 0 THEN 'und'
+         |       WHEN $en >= greatest($es, $de, $fr, $zh) THEN 'en'
+         |       WHEN $es >= greatest($de, $fr, $zh) THEN 'es'
+         |       WHEN $de >= greatest($fr, $zh) THEN 'de'
+         |       WHEN $fr >= $zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+          $"doc_id", $"lang",
+          TextAnalysis.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    },
+
+    // Quality scoring: length band + alpha ratio + non-empty, composite in [0,1].
+    sql("q_quality_score",
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_tokens,
+         |  round(
+         |    (CASE WHEN len($toksSql) BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END) * 0.4
+         |    + (CASE WHEN length(text) > 0
+         |            THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text)
+         |            ELSE 0.0 END) * 0.4
+         |    + (CASE WHEN len($toksSql) > 0 THEN 1.0 ELSE 0.0 END) * 0.2, 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+          $"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // Fingerprinting (exact-dedup key): md5 over normalized text.
+    sql("q_fingerprint",
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+          $"doc_id",
+          TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    },
+
+    // Exact dedup: group by fingerprint, keep min doc_id (hash groupBy —
+    // ONE shuffle on the fingerprint, the minimum exact dedup costs).
+    sql("q_dedup_exact",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(TextAnalysis.fingerprint($"text").as("fp"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy($"fp")
+    },
+
+    // Exact n-gram (word-set) Jaccard over a bounded id range — the
+    // verification metric the LSH families approximate.
+    sql("q_jaccard_pairs",
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct($toksSql) AS toks
+         |  FROM documents WHERE doc_id < 40)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |        / len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / len(list_distinct(a.toks || b.toks)) >= 0.3
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val t = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", array_distinct(TextAnalysis.tokens($"text")).as("toks"))
+      val a = t.toDF("doc_a", "toks_a")
+      val b = t.toDF("doc_b", "toks_b")
+      val jac = size(array_intersect($"toks_a", $"toks_b")).cast("double") /
+        size(array_union($"toks_a", $"toks_b"))
+      a.join(b, $"doc_a" < $"doc_b")
+        .filter(jac >= 0.3)
+        .select($"doc_a", $"doc_b", round(jac, 4).as("jaccard"))
+        .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+        .limit(200)
+    },
+
+    // MinHash+LSH near-dup candidates (word-level shingles): engine-hash
+    // based → rows-only, deterministic ordering.
+    rowsOnly("q_minhash_neardup") { (s, d) =>
+      import s.implicits._
+      MinHash.candidatePairs(Tables.documents(s, d), "doc_id", "text",
+          k = 64, bands = 16, shingleN = 1)
+        .filter($"est_jaccard" >= 0.3)
+        .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
+        .limit(200)
+    },
+
+    // SimHash near-dup candidates via 16-bit band join, ranked by Hamming.
+    rowsOnly("q_simhash_neardup") { (s, d) =>
+      import s.implicits._
+      SimHash.candidatePairs(Tables.documents(s, d), "doc_id", "text",
+          maxDist = 16)
+        .orderBy($"hamming".asc, $"doc_a", $"doc_b")
+        .limit(200)
+    },
+
+    // Brute-force cosine top-k (exact ANN baseline); double math both sides.
+    sql("q_cosine_topk",
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+        |  FROM q, c WHERE q.vec_id <> c.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      Similarity.bruteForceTopK(emb.filter($"id" < 10), emb, k = 5)
+        .select($"query_id", $"neighbor_id", $"cos", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // Embedding near-dup via random-hyperplane LSH buckets (scale path):
+    // candidates from band join only, never all-pairs. Rows-only.
+    rowsOnly("q_cosine_neardup_lsh") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      Similarity.lshNearDupPairs(emb, minCos = -1.0, bits = 16, bands = 4)
+        .orderBy($"cos".desc, $"id_a", $"id_b")
+        .limit(200)
+    },
+
+    // Multimodal: binary media column + typed metadata (oracled), the codec
+    // stub only affects q_media_features below.
+    sql("q_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CASE WHEN length(text) % 3 = 0 THEN 'image/png'
+        |       WHEN length(text) % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Multimodal.withMediaColumn(Tables.documents(s, d))
+        .select($"doc_id", length($"media").as("n_bytes"), $"mime")
+        .orderBy($"doc_id")
+    },
+
+    // Multimodal feature extraction through the partition-wise (mapPartitions)
+    // decode stub — plumbing is real, codec is fake → rows-only.
+    rowsOnly("q_media_features") { (s, d) =>
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.withMediaColumn(Tables.documents(s, d)))
+        .toDF()
+        .select($"doc_id", $"mime", $"n_bytes", $"width", $"height", $"features")
+        .orderBy($"doc_id")
+    },
+  )
+}
