@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * shingle → k-permutation minhash signature → banded bucket join.
   *
   * Scale design:
-  *  - the signature is computed per-row with higher-order array functions
-  *    (`transform` + `array_min`) — NO explode, NO shuffle, one codegen'd
-  *    projection regardless of k;
-  *  - k hash permutations are simulated as `xxhash64(i, shingle)` (seeded by
-  *    the permutation index), so no coefficient tables ship to executors;
+  *  - shingling is a per-row projection (split + n-gram window), evaluated
+  *    once per row;
+  *  - the k-wide signature is ONE JVM pass per row (UDF): base-hash each
+  *    shingle once, then k cheap mixes, tracking mins in a local array.
+  *    The earlier pure-`transform(sequence(0,k-1), ...)` formulation
+  *    re-evaluated the whole shingle expression per permutation in
+  *    interpreted mode (higher-order functions don't whole-stage-codegen) —
+  *    O(k·|shingles|·cost(shingling)) per row instead of
+  *    O(|shingles|·(1 + k)); same verdict as SimHash: tight JVM loop wins;
   *  - candidate generation explodes only b band hashes per doc (not k, not
   *    the shingles) and self-joins on (band, hash) — the standard LSH join.
   *    At 100 TB the join key space is uniform 64-bit hashes, so the shuffle
@@ -31,28 +35,61 @@ object MinHash {
         .otherwise(array().cast("array<string>"))))
   }
 
-  /** k-wide minhash signature (array<long>); null-safe: empty shingle set →
-    * signature of Long.MaxValue sentinels. */
-  def signature(shinglesCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      coalesce(
-        array_min(transform(shinglesCol, s => xxhash64(i, s))),
-        lit(Long.MaxValue)))
+  /** FNV-1a 64-bit base hash of one shingle. */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
 
-  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  /** splitmix64 finalizer — the per-permutation mix. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One-pass k-wide minhash: mins(i) = min over shingles of
+    * mix64(base(s) + i). Empty shingle set → Long.MaxValue sentinels. */
+  private[ext] def minhashSig(shingles: Seq[String], k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (shingles != null) shingles.foreach { s =>
+      val base = fnv1a64(s)
+      var i = 0
+      while (i < k) {
+        val h = mix64(base + i)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    mins
+  }
+
+  /** k-wide minhash signature (array<long>) over a shingle-array column. */
+  def signature(shinglesCol: Column, k: Int = 64): Column =
+    udf((sh: Seq[String]) => minhashSig(sh, k)).apply(shinglesCol)
+
+  /** Estimated Jaccard = fraction of agreeing signature positions.
+    * Cheap zip_with over two bound array columns. */
   def estJaccard(sigA: Column, sigB: Column, k: Int = 64): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / lit(k.toDouble)
 
   /** Banded LSH bucket keys: b hashes, each over r consecutive signature
-    * positions (k = b*r). */
+    * positions (k = b*r); operates on the materialized signature column. */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), j =>
       xxhash64(j, slice(sig, j * rows + 1, lit(rows))))
 
   /** End-to-end candidate pairs: docs sharing ≥1 LSH band, with their
     * estimated Jaccard. `df` must have an `idCol` and a text column.
-    * Returns (id_a, id_b, est_jaccard), id_a < id_b, distinct. */
+    * Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct. */
   def candidatePairs(
       df: DataFrame,
       idCol: String,
@@ -66,7 +103,6 @@ object MinHash {
         col(idCol).as("doc"),
         signature(shingles(col(textCol), shingleN), k).as("sig"))
       .withColumn("bands", bandHashes(col("sig"), bands, rows))
-    // cache would help twice-read here; the plan below reuses the exchange.
     val exploded = withSig.select(
       col("doc"), col("sig"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))

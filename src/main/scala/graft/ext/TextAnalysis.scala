@@ -42,18 +42,25 @@ object TextAnalysis {
 
   /** Language-ID heuristic: argmax of stopword hits with fixed precedence
     * en > es > de > fr > zh; no hits at all → 'und'. Deterministic by
-    * construction (same CASE order on the oracle side). */
+    * construction (same CASE order on the oracle side).
+    *
+    * Implemented as ONE `aggregate` scan over an array of (lang, hits)
+    * structs. A naive nested-CASE fold duplicates the accumulator twice per
+    * level (`when(h > acc, h).otherwise(acc)`) — an exponentially sized
+    * expression tree that breaks whole-stage codegen and falls back to
+    * per-row interpretation. Inside the lambda, `acc`/`x` are lambda
+    * variables (references), so the tree stays linear and codegen'd. The
+    * strictly-greater scan makes the first language reaching the max win,
+    * which is exactly the oracle's cascading `>=` CASE precedence. */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val hits = Seq("en", "es", "de", "fr", "zh").map(l => l -> stopwordHits(toks, l))
-    val total = hits.map(_._2).reduce(_ + _)
-    val best = hits.tail.foldLeft(when(lit(true), hits.head._2)) {
-      case (acc, (_, h)) => when(h > acc, h).otherwise(acc)
-    }
-    when(total === 0, "und").otherwise(
-      hits.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
-        when(h === best, l).otherwise(acc)
-      })
+    val entries = Seq("en", "es", "de", "fr", "zh").map(l =>
+      struct(lit(l).as("lang"), stopwordHits(toks, l).as("h")))
+    val best = aggregate(
+      array(entries: _*),
+      struct(lit("und").as("lang"), lit(0).as("h")),
+      (acc, x) => when(x.getField("h") > acc.getField("h"), x).otherwise(acc))
+    best.getField("lang")
   }
 
   /** Quality-score components + composite in [0,1]:

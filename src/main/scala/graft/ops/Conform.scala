@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.StructType
   * span and gives Catalyst one node to push column pruning through — at
   * 100 TB the difference is 13 generated projections vs 1.
   *
-  * Spark's `cast` is null-preserving and (under ANSI off) null-on-mismatch,
-  * which matches the reference's `float()/int()`-with-None semantics.
+  * Uses `try_cast`, which is null-on-mismatch under Spark 4's default ANSI
+  * mode — matching the reference's `float()/int()`-with-None semantics
+  * (a plain `cast` would throw on the first malformed value).
   */
 object Conform {
 
@@ -23,7 +24,7 @@ object Conform {
     val present = df.columns.toSet
     df.select(contract.fields.toSeq.map { f =>
       val base = if (present.contains(f.name)) col(f.name) else lit(null)
-      base.cast(f.dataType).as(f.name)
+      base.try_cast(f.dataType).as(f.name)
     }: _*)
   }
 
@@ -35,7 +36,7 @@ object Conform {
     val present = df.columns.toSet
     val conformed = contract.fields.toSeq.map { f =>
       val base = if (present.contains(f.name)) col(f.name) else lit(null)
-      base.cast(f.dataType).as(f.name)
+      base.try_cast(f.dataType).as(f.name)
     }
     df.select(conformed ++ extras: _*)
   }

@@ -15,7 +15,9 @@ import graft.model.Weather
   */
 object EventTime {
 
-  def parseIso(c: Column): Column = to_timestamp(c, Weather.IsoFormat)
+  /** null on malformed input (try_to_timestamp), matching the reference's
+    * lenient parse rather than ANSI's throw-on-mismatch. */
+  def parseIso(c: Column): Column = try_to_timestamp(c, lit(Weather.IsoFormat))
 
   def dtOf(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
   def hourOf(ts: Column): Column = date_format(ts, "HH")

@@ -1,0 +1,189 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-data extension operators (graft.ext). */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercased whitespace split; blank → empty array") {
+    val df = Seq("Hello  World", "", "   ", "One").toDF("text")
+    val toks = df.select(TextAnalysis.tokens($"text").as("t")).as[Seq[String]].collect()
+    assert(toks(0) == Seq("hello", "world"))
+    assert(toks(1).isEmpty && toks(2).isEmpty)
+    assert(toks(3) == Seq("one"))
+  }
+
+  test("bpeish count: alnum runs + punctuation marks") {
+    val df = Seq("don't stop, ok?").toDF("text")
+    // don + ' + t + stop + , + ok + ? = 7
+    assert(df.select(TextAnalysis.bpeishTokenCount($"text")).as[Int].head() == 7)
+  }
+
+  test("langId: stopword argmax with precedence, und on no hits") {
+    val df = Seq(
+      "the cat and the dog in a house",   // en
+      "el perro y la casa de un gato",    // es
+      "zzz qqq xxx",                      // no stopwords → und
+      ""                                   // empty → und
+    ).toDF("text")
+    val langs = df.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(langs == Seq("en", "es", "und", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val df = Seq("Hello   World", "hello world", "hello worlds").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("qualityScore in [0,1]; long clean text beats junk") {
+    val good = ("the quick brown fox jumps over a lazy dog and " * 5).trim
+    val df = Seq(good, "!!!###$$$", "").toDF("text")
+    val qs = df.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    assert(qs(0) > qs(1) && qs(1) >= qs(2))
+  }
+}
+
+class MinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct word n-grams; short docs fall back to whole-doc shingle") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val sh = df.select(MinHash.shingles($"text", 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0).toSet == Set("a b c", "b c d"))
+    assert(sh(1) == Seq("a b"))
+  }
+
+  test("identical docs → estimated jaccard 1.0; disjoint docs → 0.0") {
+    val df = Seq("x y z w v u t s", "x y z w v u t s", "p q r m n o k j")
+      .toDF("text")
+    val sigs = df.select(MinHash.signature(MinHash.shingles($"text", 2), 64).as("sig"))
+    val rows = sigs.collect().map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1))
+    assert(rows(0) != rows(2))
+    val est = sigs.limit(1).crossJoin(sigs.limit(1).withColumnRenamed("sig", "sig2"))
+      .select(MinHash.estJaccard($"sig", $"sig2", 64)).as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("candidatePairs finds near-dups, est_jaccard close to true jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "completely different content about machine learning and neural networks")
+    ).toDF("doc_id", "text")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text", k = 64, bands = 16, shingleN = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.5)
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.2)
+  }
+}
+
+class SimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64: deterministic, identical token sets agree, empty → 0") {
+    val a = SimHash.simhash64(Seq("hello", "world", "foo"))
+    val b = SimHash.simhash64(Seq("hello", "world", "foo"))
+    assert(a == b)
+    assert(SimHash.simhash64(Nil) == 0L)
+    assert(SimHash.simhash64(null) == 0L)
+  }
+
+  test("near-identical docs have small hamming distance, unrelated docs large") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today".split(" ").toSeq
+    val near = base.updated(3, "cat")
+    val far = "completely unrelated text about databases and distributed query engines".split(" ").toSeq
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val (hNear, hFar) = (
+      ham(SimHash.simhash64(base), SimHash.simhash64(near)),
+      ham(SimHash.simhash64(base), SimHash.simhash64(far)))
+    assert(hNear < hFar)
+  }
+
+  test("candidatePairs: identical docs at hamming 0; banding finds dist<=maxDist pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val pairs = SimHash.candidatePairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm/cosine built-ins compute exact values") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+                 (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+                 (Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val cos = df.select(round(Similarity.cosine(
+      Similarity.asDouble($"a"), Similarity.asDouble($"b")), 6).as("c"))
+      .as[Double].collect()
+    assert(cos(0) == 0.0 && cos(1) == 1.0 && cos(2) == 1.0)
+    val n = df.select(Similarity.norm(Similarity.asDouble($"a"))).as[Double].collect()
+    assert(n(2) == 5.0)
+  }
+
+  test("bruteForceTopK: duplicate vector ranks first, ranks are 1..k, self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // dup of 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(vecs.filter($"id" === 0L), vecs, k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    assert(top(0).getLong(1) == 1L && top(0).getDouble(2) == 1.0)
+    assert(top.forall(_.getLong(1) != 0L))
+  }
+
+  test("lshNearDupPairs surfaces the exact-duplicate pair with cos 1.0") {
+    val vecs = (0L to 20L).map { i =>
+      val v = Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat - 6f)
+      (i, v)
+    }.toDF("id", "vec")
+    val withDup = vecs.unionAll(vecs.filter($"id" === 5L).select(lit(100L).as("id"), $"vec"))
+    val pairs = Similarity.lshNearDupPairs(withDup, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, c) => a == 5L && b == 100L && c == 1.0 })
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media column: binary payload + deterministic mime from length") {
+    val docs = Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text")
+    val m = Multimodal.withMediaColumn(docs).orderBy("doc_id").collect()
+    assert(new String(m(0).getAs[Array[Byte]]("media"), "UTF-8") == "abc")
+    assert(m(0).getString(2) == "image/png")  // len 3 % 3 == 0
+    assert(m(1).getString(2) == "audio/wav")  // len 4 % 3 == 1
+  }
+
+  test("extractFeatures: partition-wise decode yields histogram summing to 1") {
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val f = Multimodal.extractFeatures(Multimodal.withMediaColumn(docs)).head()
+    assert(f.n_bytes == 11)
+    assert(f.width >= 64 && f.height >= 64)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-5)
+  }
+
+  test("decode is total on empty/null payloads") {
+    val (w, h, feats) = Multimodal.FakeCodec.decode(Array.emptyByteArray)
+    assert(w == 64 && h == 64 && feats.forall(_ == 0f))
+    val (w2, _, _) = Multimodal.FakeCodec.decode(null)
+    assert(w2 == 64)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class CdcForwarderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEnvelope(dir: String): Unit = {
+    val lines = Seq(
+      """{"eventID":"1","eventName":"INSERT","dynamodb":{"NewImage":{"city":{"S":"Austin"},"temp_c":{"N":"35.7"}},"SequenceNumber":"100"}}""",
+      """{"eventID":"2","eventName":"MODIFY","dynamodb":{"NewImage":{"city":{"S":"Boston"},"temp_c":{"N":"21.0"}},"SequenceNumber":"101"}}""",
+      """{"eventID":"3","eventName":"INSERT","dynamodb":{"NewImage":{"city":{"S":"Chicago"},"temp_c":{"N":"18.2"}},"SequenceNumber":"102"}}""",
+      """{"eventID":"4","eventName":"INSERT","dynamodb":{"SequenceNumber":"103"}}""",
+      """{"eventID":"5","eventName":"INSERT","dynamodb":{"NewImage":{"temp_c":{"N":"9.9"}},"SequenceNumber":"104"}}"""
+    )
+    Files.write(java.nio.file.Paths.get(dir, "batch1.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("unwrapInserts: INSERT-only, NewImage guard, unwrap, key fallback (batch form)") {
+    val dir = Files.createTempDirectory("graft-cdc").toString
+    writeEnvelope(dir)
+    val events = spark.read.schema(CdcForwarder.envelopeSchema).json(dir)
+    val out = CdcForwarder.unwrapInserts(events).orderBy("partition_key").collect()
+    // MODIFY (2) filtered, missing NewImage (4) guarded out; 5 falls back to "unknown"
+    assert(out.map(_.getString(0)).toSeq == Seq("Austin", "Chicago", "unknown"))
+    assert(out(0).getString(1) == """{"city":"Austin","temp_c":35.7}""")
+  }
+
+  test("end-to-end stream: envelope NDJSON → filtered, unwrapped, partitioned bronze") {
+    val src = Files.createTempDirectory("graft-cdc-src").toString
+    val bronze = Files.createTempDirectory("graft-cdc-bronze").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    writeEnvelope(src)
+
+    val q = CdcForwarder.forward(spark, src, bronze, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val landed = spark.read.json(bronze)
+    assert(landed.count() == 3)
+    // hive partition columns materialized by the partitioned write
+    assert(landed.columns.contains("dt") && landed.columns.contains("hour"))
+    val cities = landed.select(get_json_object($"json", "$.city")).as[String]
+      .collect().toSet
+    assert(cities == Set("Austin", "Chicago", null))
+    // gzip NDJSON files, per the Firehose bronze contract
+    assert(landed.inputFiles.forall(_.endsWith(".json.gz")))
+  }
+}
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  test("windowedCounts groups into tumbling event-time windows (batch replay)") {
+    val df = Seq(
+      ("austin", ts("2025-08-29T14:05:00Z")),
+      ("austin", ts("2025-08-29T14:55:00Z")),
+      ("austin", ts("2025-08-29T15:05:00Z")),
+      ("boston", ts("2025-08-29T14:10:00Z"))
+    ).toDF("city", "ts")
+    val out = StreamingOps.windowedCounts(df, "ts", "city")
+      .select($"window.start".cast("string"), $"city", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("2025-08-29 14:00:00", "austin", 2L),
+      ("2025-08-29 15:00:00", "austin", 1L),
+      ("2025-08-29 14:00:00", "boston", 1L)))
+  }
+
+  test("streaming windowed counts emit finalized windows after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp)]
+    val counts = StreamingOps.windowedCounts(
+      mem.toDF().toDF("city", "ts"), "ts", "city",
+      windowLength = "1 hour", watermark = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    mem.addData(("austin", ts("2025-08-29T14:05:00Z")), ("austin", ts("2025-08-29T14:35:00Z")))
+    q.processAllAvailable()
+    // advance event time far enough to close the 14:00 window
+    mem.addData(("austin", ts("2025-08-29T17:00:00Z")))
+    q.processAllAvailable()
+    val rows = spark.table("wc").select($"window.start".cast("string"), $"city", $"n")
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(rows.contains(("2025-08-29 14:00:00", "austin", 2L)))
+  }
+
+  test("dedupWithinWatermark drops retry-duplicates in a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Timestamp)]
+    val deduped = StreamingOps.dedupWithinWatermark(
+      mem.toDF().toDF("city", "payload", "ts"), "ts", Seq("city", "ts"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    val t = ts("2025-08-29T14:05:00Z")
+    mem.addData(("austin", "a", t), ("austin", "a", t), ("boston", "b", t))
+    q.processAllAvailable()
+    mem.addData(("austin", "a", t)) // at-least-once retry, same batch key
+    q.processAllAvailable()
+    val n = spark.table("dd").count()
+    q.stop()
+    assert(n == 2)
+  }
+}
