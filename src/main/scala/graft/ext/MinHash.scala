@@ -76,10 +76,19 @@ object MinHash {
     udf((sh: Seq[String]) => minhashSig(sh, k)).apply(shinglesCol)
 
   /** Estimated Jaccard = fraction of agreeing signature positions.
-    * Cheap zip_with over two bound array columns. */
+    * JVM loop: at LSH-join fan-out (millions of candidate pairs) the
+    * zip_with/filter form evaluates interpreted per element and dominates
+    * the whole job. */
   def estJaccard(sigA: Column, sigB: Column, k: Int = 64): Column =
-    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
-      .cast("double") / lit(k.toDouble)
+    udf((a: Seq[Long], b: Seq[Long]) => {
+      var agree = 0
+      var i = 0
+      while (i < k) {
+        if (a(i) == b(i)) agree += 1
+        i += 1
+      }
+      agree.toDouble / k
+    }).apply(sigA, sigB)
 
   /** Banded LSH bucket keys: b hashes, each over r consecutive signature
     * positions (k = b*r); operates on the materialized signature column. */
@@ -102,17 +111,24 @@ object MinHash {
     val withSig = df.select(
         col(idCol).as("doc"),
         signature(shingles(col(textCol), shingleN), k).as("sig"))
-      .withColumn("bands", bandHashes(col("sig"), bands, rows))
-    val exploded = withSig.select(
-      col("doc"), col("sig"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val a = exploded.toDF("doc_a", "sig_a", "band_idx", "band_hash")
-    val b = exploded.toDF("doc_b", "sig_b", "band_idx", "band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
+    // The candidate join carries ONLY ids: on a near-dup-dense corpus the
+    // band join is quadratic-ish, and shuffling a k-long signature per
+    // candidate row multiplies that shuffle by ~50×. Ids are deduped at
+    // 16 bytes/row; signatures are rejoined once per distinct pair.
+    val exploded = withSig
+      .select(col("doc"),
+        posexplode(bandHashes(col("sig"), bands, rows))
+          .as(Seq("band_idx", "band_hash")))
+    val cand = exploded.toDF("doc_a", "band_idx", "band_hash")
+      .join(exploded.toDF("doc_b", "band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(withSig.toDF("doc_a", "sig_a"), "doc_a")
+      .join(withSig.toDF("doc_b", "sig_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
-      .groupBy("doc_a", "doc_b")
-      .agg(max("est_jaccard").as("est_jaccard"))
   }
 }

@@ -53,30 +53,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
-    * a cheap integer hash folded to [-1, 1). No RNG state, identical on every
-    * executor, reproducible across runs. */
-  private def planeComponent(i: Int, j: Column): Column = {
-    val h = pmod(xxhash64(lit(i), j), lit(1000000L)).cast("double")
-    h / lit(500000.0) - lit(1.0)
+  /** splitmix64 finalizer — deterministic hash for hyperplane components. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  /** b-bit random-hyperplane signature of a vector column. */
-  def rhpSignature(vec: Column, bits: Int): Column = {
-    val v = asDouble(vec)
-    transform(sequence(lit(0), lit(bits - 1)), i =>
-      when(
-        aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, j) => x * planeComponentExpr(i, j)),
-          lit(0.0), (acc, x) => acc + x) >= 0, 1).otherwise(0))
-  }
+  /** Deterministic pseudo-random hyperplane component for (plane i, dim j),
+    * folded to [-1, 1). No RNG state, identical on every executor. */
+  private def planeComponent(i: Int, j: Int): Double =
+    java.lang.Math.floorMod(mix64(i.toLong * 0x100000001b3L + j), 1000000L)
+      .toDouble / 500000.0 - 1.0
 
-  // helper usable inside transform lambdas (Column i, Column j)
-  private def planeComponentExpr(i: Column, j: Column): Column = {
-    val h = pmod(xxhash64(i, j), lit(1000000L)).cast("double")
-    h / lit(500000.0) - lit(1.0)
-  }
+  /** b-bit random-hyperplane signature: bit i = sign(vec · plane_i).
+    * One JVM pass per row (bits × dim multiply-adds); the pure-expression
+    * formulation evaluated a hash per (bit, component) interpreted —
+    * higher-order functions sit outside whole-stage codegen. */
+  def rhpSignature(vec: Column, bits: Int): Column =
+    udf((v: Seq[Double]) => {
+      val out = new Array[Int](bits)
+      var i = 0
+      while (i < bits) {
+        var dot = 0.0
+        var j = 0
+        while (j < v.length) { dot += v(j) * planeComponent(i, j); j += 1 }
+        out(i) = if (dot >= 0) 1 else 0
+        i += 1
+      }
+      out
+    }).apply(asDouble(vec))
 
   /** LSH candidate pairs: vectors sharing at least one of `bands` signature
     * bands (each `bits/bands` bits), verified with exact cosine ≥ minCos.
@@ -84,27 +91,35 @@ object Similarity {
   def lshNearDupPairs(
       vectors: DataFrame, // (id, vec)
       minCos: Double,
-      bits: Int = 16,
-      bands: Int = 4,
+      bits: Int = 64,
+      bands: Int = 8,
       roundTo: Int = 6): DataFrame = {
     require(bits % bands == 0)
     val rows = bits / bands
-    val sigs = vectors.select(
-        col("id"), asDouble(col("vec")).as("v"),
-        rhpSignature(col("vec"), bits).as("sig"))
-      .withColumn("bandh",
-        transform(sequence(lit(0), lit(bands - 1)), j =>
-          xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows)))))
-    val exploded = sigs.select(col("id"), col("v"),
-      posexplode(col("bandh")).as(Seq("band_idx", "band_hash")))
-    val a = exploded.toDF("id_a", "v_a", "band_idx", "band_hash")
-    val b = exploded.toDF("id_b", "v_b", "band_idx", "band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
+    // Defaults give 2^(bits/bands) = 256 buckets per band — enough entropy
+    // that a band bucket holds only genuinely similar vectors. (The old
+    // 16-bit/4-band default had 16 buckets/band: with N vectors that is
+    // ~N²/16 spurious candidates per band.)
+    val base = vectors.select(col("id"), asDouble(col("vec")).as("v"))
+    val sigs = base.select(col("id"), rhpSignature(col("v"), bits).as("sig"))
+    // candidate join on ids only (see MinHash.candidatePairs): dedupe pairs
+    // at 16 bytes/row, rejoin vectors once per distinct pair for the exact
+    // cosine verify.
+    val exploded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
+        xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows)))))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = exploded.toDF("id_a", "band_idx", "band_hash")
+      .join(exploded.toDF("id_b", "band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(base.toDF("id_a", "v_a"), "id_a")
+      .join(base.toDF("id_b", "v_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), roundTo).as("cos"))
-      .groupBy("id_a", "id_b")
-      .agg(max("cos").as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

@@ -134,7 +134,7 @@ object ExtensionBattery {
     rowsOnly("q_minhash_neardup") { (s, d) =>
       import s.implicits._
       MinHash.candidatePairs(Tables.documents(s, d), "doc_id", "text",
-          k = 64, bands = 16, shingleN = 1)
+          k = 64, bands = 16, shingleN = 3)
         .filter($"est_jaccard" >= 0.3)
         .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
         .limit(200)
