@@ -30,8 +30,12 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
+  /** Cosine similarity — backed by the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (one fused loop inside
+    * whole-stage codegen; the `dot/norm` HOF composition above walks the
+    * arrays five times interpreted and is kept for reference/testing). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.CosineSimilarity.cosine_similarity(a, b)
 
   /** Brute-force exact top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, cos, rank), rank 1..k per query.
