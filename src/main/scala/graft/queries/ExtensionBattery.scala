@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{MinHash, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.ext.{IvfIndex, MinHash, Multimodal, SimHash, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension surface: text analysis, dedup family
@@ -164,6 +164,16 @@ object ExtensionBattery {
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
       Similarity.bruteForceTopK(emb.filter($"id" < 10), emb, k = 5)
         .select($"query_id", $"neighbor_id", $"cos", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // IVF approximate top-k (scale path #2): train coarse centroids, assign
+    // inverted lists, probe only the nprobe nearest lists per query.
+    // Approximate by construction → rows-only, deterministic ordering.
+    rowsOnly("q_cosine_topk_ivf") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      IvfIndex.topK(s, emb, emb.filter($"id" < 10), k = 5, nClusters = 16, nprobe = 4)
         .orderBy($"query_id", $"rank")
     },
 

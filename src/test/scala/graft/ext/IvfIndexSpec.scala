@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = (0L until 60L).map { i =>
+    // three well-separated blobs in 8-d
+    val blob = (i % 3).toInt
+    val v = Array.tabulate(8)(j =>
+      (if (j / 3 == blob) 10.0 else 0.0) + math.sin(i * 13 + j) * 0.5)
+    (i, v)
+  }.toDF("id", "vec")
+
+  test("train produces k centroids with the input dimensionality") {
+    val c = IvfIndex.train(vecs, k = 3)
+    assert(c.count() == 3)
+    assert(c.select(size($"centroid")).as[Int].collect().forall(_ == 8))
+  }
+
+  test("inverted lists cover every vector exactly once") {
+    val centroids = IvfIndex.train(vecs, k = 3)
+    val lists = IvfIndex.build(vecs, centroids)
+    assert(lists.count() == 60)
+    assert(lists.select("id").distinct().count() == 60)
+  }
+
+  test("clustered blobs land in the same inverted list") {
+    val centroids = IvfIndex.train(vecs, k = 3)
+    val lists = IvfIndex.build(vecs, centroids)
+    // all members of a blob share one cluster_id
+    val spread = lists.withColumn("blob", $"id" % 3)
+      .groupBy("blob").agg(countDistinct("cluster_id").as("nc"))
+      .select("nc").as[Long].collect()
+    assert(spread.forall(_ == 1L))
+  }
+
+  test("nprobe = nClusters degrades exactly to brute force") {
+    val queries = vecs.filter($"id" < 5)
+    val brute = Similarity.bruteForceTopK(queries, vecs, k = 3)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    val centroids = IvfIndex.train(vecs, k = 3)
+    val ivf = IvfIndex.search(queries, IvfIndex.build(vecs, centroids),
+        centroids, k = 3, nprobe = 3)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("nprobe = 1 still finds in-blob neighbors (the common case)") {
+    val queries = vecs.filter($"id" === 0L) // blob 0
+    val centroids = IvfIndex.train(vecs, k = 3)
+    val ivf = IvfIndex.search(queries, IvfIndex.build(vecs, centroids),
+      centroids, k = 3, nprobe = 1)
+    val neighbors = ivf.select("neighbor_id").as[Long].collect()
+    assert(neighbors.length == 3)
+    assert(neighbors.forall(_ % 3 == 0)) // same blob
+  }
+}
