@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.model.Weather
+import graft.ops.{Conform, DdbUnwrap, Dedup}
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY.md §5): totality of the conform path on
+  * arbitrary junk payloads, dedup idempotence, hash determinism. Generators
+  * are sampled directly (the scalatest–scalacheck bridge artifact isn't in
+  * the offline resolver), which keeps the same coverage shape: N random
+  * cases per property, seeded by scalacheck's default RNG.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forSamples[A](gen: Gen[A], n: Int)(f: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(n).foreach(f)
+
+  private val junkString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.numStr,
+    Gen.const(null: String), Gen.const(""), Gen.const("  "),
+    Gen.const("not-a-number"), Gen.const("1e309"), Gen.const("-42.5"))
+
+  test("conform is total: arbitrary junk strings cast-or-null, never throw") {
+    forSamples(Gen.listOfN(12, junkString), n = 8) { values =>
+      val df = values.map(Tuple1(_)).toDF("temp_c")
+      val out = Conform.toContract(df, Weather.contract)
+      assert(out.count() == values.size) // no row lost, no exception
+      assert(out.schema == Weather.contract)
+    }
+  }
+
+  test("dedup idempotence: f(f(x)) == f(x) on arbitrary keyed rows") {
+    val rowsGen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
+    forSamples(rowsGen, n = 5) { rows =>
+      val df = rows.toDF("k", "v")
+      val once = Dedup.keepFirst(df, Seq("k"), Seq($"v".asc, $"k".asc))
+      val twice = Dedup.keepFirst(once, Seq("k"), Seq($"v".asc, $"k".asc))
+      assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+      assert(Dedup.duplicates(once, Seq("k")).isEmpty)
+    }
+  }
+
+  test("minhash signature is deterministic and self-similarity is exact") {
+    val shGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    forSamples(shGen, n = 50) { sh =>
+      val a = MinHash.minhashSig(sh, 32)
+      assert(a.toSeq == MinHash.minhashSig(sh, 32).toSeq)
+      assert(a.forall(_ != Long.MaxValue)) // non-empty input fills every slot
+    }
+    assert(MinHash.minhashSig(Nil, 8).forall(_ == Long.MaxValue))
+  }
+
+  test("simhash of a permuted token bag is identical (order-free)") {
+    forSamples(Gen.nonEmptyListOf(Gen.alphaNumStr), n = 50) { toks =>
+      assert(SimHash.simhash64(toks) == SimHash.simhash64(scala.util.Random.shuffle(toks)))
+    }
+  }
+
+  test("ddb unwrap is total on arbitrary scalar tag maps and keeps every key") {
+    val scalarGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s"""{"S":"$s"}"""),
+      Gen.choose(-1000000, 1000000).map(n => s"""{"N":"$n"}"""),
+      Gen.oneOf(true, false).map(b => s"""{"BOOL":$b}"""))
+    forSamples(Gen.listOfN(4, scalarGen), n = 50) { tags =>
+      val fields = tags.zipWithIndex
+        .map { case (tagged, i) => s""""k$i":$tagged""" }.mkString(",")
+      val out = DdbUnwrap.unwrapJson(s"{$fields}")
+      assert(out != null && out.startsWith("{"))
+      tags.indices.foreach(i => assert(out.contains(s""""k$i":""")))
+    }
+  }
+}
