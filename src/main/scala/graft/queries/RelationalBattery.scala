@@ -93,6 +93,37 @@ object RelationalBattery {
         .agg(count(lit(1)).as("n_customers_without_orders"))
     },
 
+    // AS-OF join (custom tier-(c) operator, graft.plans.AsOfJoin): for each
+    // click, the user's most recent purchase at or before it. DuckDB's
+    // native ASOF LEFT JOIN is the oracle. Right side deduped on
+    // (user, ts) so the as-of winner is unique on both engines.
+    sql("q_asof_join",
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT p_user, p_ts, p_event FROM (
+        |    SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event,
+        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT c.user_id, c.event_id, c.ts, p.p_event, p.p_ts
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.p_user AND c.ts >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      val purchases = graft.ops.Dedup.keepFirst(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_event")),
+        Seq("p_user", "p_ts"), Seq($"p_event"))
+      graft.plans.AsOf.join(clicks, purchases,
+          leftOn = "ts", rightOn = "p_ts",
+          leftBy = Seq("user_id"), rightBy = Seq("p_user"))
+        .select($"user_id", $"event_id", $"ts", $"p_event", $"p_ts")
+        .orderBy($"event_id")
+    },
+
     // Window top-k per group: row_number over (partition, order) + filter.
     sql("q_window_topk",
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
