@@ -167,6 +167,44 @@ object ExtensionBattery {
         .orderBy($"query_id", $"rank")
     },
 
+    // Typed Aggregator (custom UDAF tier): per-label embedding centroid in
+    // one two-phase hash aggregate — the shuffle carries one (dim+1)-double
+    // buffer per (partition, label), never the vectors. Oracled on three
+    // dimensions + count (full-vector compare would hash float low bits).
+    sql("q_centroid_by_label",
+      """SELECT label,
+        |  round(avg(embedding[1]), 4) AS d1,
+        |  round(avg(embedding[2]), 4) AS d2,
+        |  round(avg(embedding[3]), 4) AS d3,
+        |  count(*) AS n
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val cent = graft.functions.CentroidAggregator.centroid(64)
+      Tables.embeddings(s, d)
+        .groupBy($"label")
+        .agg(cent($"embedding".cast("array<double>")).as("c"), count(lit(1)).as("n"))
+        .select($"label",
+          round(element_at($"c", 1), 4).as("d1"),
+          round(element_at($"c", 2), 4).as("d2"),
+          round(element_at($"c", 3), 4).as("d3"),
+          $"n")
+        .orderBy($"label")
+    },
+
+    // Salted two-phase aggregation (skew mitigation): must equal the plain
+    // group-by — the oracle IS the unsalted query.
+    sql("q_salted_agg",
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.ops.SkewAgg.saltedAgg(
+          Tables.lineitem(s, d).select($"l_returnflag", $"l_quantity"),
+          keys = Seq("l_returnflag"), salts = 8,
+          partials = Seq("s" -> sum($"l_quantity"), "c" -> count(lit(1))),
+          finals = Seq(round(sum($"s"), 2).as("sum_qty"), sum($"c").as("n")))
+        .orderBy($"l_returnflag")
+    },
+
     // IVF approximate top-k (scale path #2): train coarse centroids, assign
     // inverted lists, probe only the nprobe nearest lists per query.
     // Approximate by construction → rows-only, deterministic ordering.
