@@ -117,6 +117,31 @@ object CoreBattery {
         .orderBy("dt", "hour")
     },
 
+    // Gap-based sessionization (30-min gap) — the batch form of the
+    // streaming flatMapGroupsWithState operator; ANSI-expressible, so fully
+    // oracle-checked. One shuffle on the key.
+    sql("q_sessionize",
+      """WITH t AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.streaming.StreamingOps.sessionizeBatch(
+          Tables.events(s, d), "ts", "user_id", gapSeconds = 1800)
+        .orderBy($"user_id", $"session_start")
+    },
+
     // P10/F20: range predicates (validation bounds) + grouped rollup of survivors.
     sql("q_filter_range",
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS rev

@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming analytics the reference's pipeline implies but leaves to
   * Redshift: watermarked event-time windows and streaming dedup — the
@@ -37,4 +41,83 @@ object StreamingOps {
       watermark: String = "2 hours"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  // ---- sessionization ------------------------------------------------------
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Gap-based sessionization, BATCH form: consecutive events of a key
+    * belong to one session while the gap stays ≤ `gapSeconds`. Pure window
+    * functions (lag → gap flag → running sum = session id), so it is
+    * ANSI-expressible and oracle-comparable. One hash-shuffle on the key —
+    * the minimum sessionization costs. */
+  def sessionizeBatch(df: DataFrame, tsCol: String, keyCol: String,
+      gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    // gap in MICROseconds: cast-to-long would truncate sub-second parts and
+    // disagree with a fractional-seconds oracle at exact-gap boundaries
+    val newSession = when(
+      unix_micros(col(tsCol)) -
+        lag(unix_micros(col(tsCol)), 1).over(byKey) > gapSeconds * 1000000L, 1)
+      .otherwise(0)
+    df.withColumn("_new", newSession)
+      .withColumn("session_id",
+        sum(col("_new")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_id")
+  }
+
+  /** Gap-based sessionization, STREAMING form: `flatMapGroupsWithState`
+    * with event-time timeout — the custom-state tier of Structured
+    * Streaming. A session closes (and is emitted) when the watermark passes
+    * its last event + gap; state per key is three longs, so executor state
+    * stays O(active keys) regardless of history length. */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Session]
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .as(Encoders.product[SessionEvent])
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def ms(t: Timestamp) = t.getTime
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => ms(e.ts))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if ms(e.ts) - s.last <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(s.start, math.max(s.last, ms(e.ts)), s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(ms(e.ts), ms(e.ts), 1))
+                case None =>
+                  cur = Some(SessionState(ms(e.ts), ms(e.ts), 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }
