@@ -156,6 +156,21 @@ object CoreBattery {
         .orderBy($"l_returnflag")
     },
 
+    // Approximate aggregates — the 100 TB substitute for exact distincts:
+    // HLL++ count-distinct and quantile sketch, one pass, fixed memory.
+    // Sketch values are engine-specific → rows-only; the spec pins accuracy
+    // against exact answers.
+    rowsOnly("q_approx_stats") { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
     // F14: CASE WHEN conditional aggregation — redshift/init.sql:41-43 shape.
     sql("q_case_when_agg",
       """SELECT o_orderpriority,

@@ -124,6 +124,27 @@ object RelationalBattery {
         .orderBy($"event_id")
     },
 
+    // Binned range join (point-in-interval): equi-join on bucket + residual
+    // filter instead of the BroadcastNestedLoopJoin a theta join would plan.
+    // The oracle IS the plain theta join — result sets must be identical.
+    sql("q_range_join",
+      """SELECT n_nationkey, count(*) AS n_parts,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM part, nation
+        |WHERE n_nationkey * 2 <= p_size AND p_size < n_nationkey * 2 + 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val points = Tables.part(s, d).select($"p_partkey", $"p_size".cast("long").as("p_size"))
+      val intervals = Tables.nation(s, d).select(
+        $"n_nationkey",
+        ($"n_nationkey" * 2).cast("long").as("lo"),
+        ($"n_nationkey" * 2 + 5).cast("long").as("hi"))
+      graft.ops.RangeJoin.pointInInterval(points, "p_size", intervals, "lo", "hi", binWidth = 8)
+        .groupBy($"n_nationkey")
+        .agg(count(lit(1)).as("n_parts"), sum($"p_size").as("sum_size"))
+        .orderBy($"n_nationkey")
+    },
+
     // Window top-k per group: row_number over (partition, order) + filter.
     sql("q_window_topk",
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
