@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{IvfIndex, MinHash, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.ext.{IvfIndex, MinHash, Multimodal, SimHash, Similarity, TextAnalysis, TextClean}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension surface: text analysis, dedup family
@@ -74,6 +74,31 @@ object ExtensionBattery {
           $"doc_id",
           TextAnalysis.tokenCount($"text").as("n_tokens"),
           TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // Text cleaning + PII redaction: synthesize dirty text (HTML tag, email,
+    // phone) deterministically per doc, then clean — both engines build and
+    // clean the same string with the same RE2-safe regexes.
+    sql("q_text_clean",
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          text || ' <b>contact</b> user' || doc_id ||
+        |            '@example.com or +1 (555) 123-' || (1000 + doc_id % 9000),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '[+(]?[0-9][0-9()\s.-]{7,}[0-9]', '[PHONE]', 'g'),
+        |    '\s+', ' ', 'g')) AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dirty = concat(
+        $"text", lit(" <b>contact</b> user"), $"doc_id",
+        lit("@example.com or +1 (555) 123-"), (lit(1000) + $"doc_id" % 9000))
+      Tables.documents(s, d)
+        .select($"doc_id", TextClean.clean(dirty).as("cleaned"))
         .orderBy($"doc_id")
     },
 
