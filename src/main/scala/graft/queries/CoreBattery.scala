@@ -156,6 +156,40 @@ object CoreBattery {
         .orderBy($"l_returnflag")
     },
 
+    // Declarative DQ report: the whole init.sql battery as ONE scan.
+    sql("q_dq_report",
+      """SELECT rule, metric, passed FROM (
+        |  SELECT 'row_count' AS rule, CAST(count(*) AS DOUBLE) AS metric,
+        |    count(*) >= 1 AS passed FROM events
+        |  UNION ALL
+        |  SELECT 'fully_null_rows',
+        |    CAST(sum(CASE WHEN event_type IS NULL AND value IS NULL AND props IS NULL
+        |             THEN 1 ELSE 0 END) AS DOUBLE),
+        |    sum(CASE WHEN event_type IS NULL AND value IS NULL AND props IS NULL
+        |        THEN 1 ELSE 0 END) = 0 FROM events
+        |  UNION ALL
+        |  SELECT 'null_fraction_value',
+        |    round(CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |          / count(*), 6),
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) <= 0.5 FROM events
+        |  UNION ALL
+        |  SELECT 'out_of_range_value',
+        |    CAST(sum(CASE WHEN value IS NOT NULL AND NOT (value BETWEEN 0 AND 1000)
+        |             THEN 1 ELSE 0 END) AS DOUBLE),
+        |    sum(CASE WHEN value IS NOT NULL AND NOT (value BETWEEN 0 AND 1000)
+        |        THEN 1 ELSE 0 END) = 0 FROM events
+        |) ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.ops.DqCheck
+      val ev = Tables.events(s, d)
+      DqCheck.report(ev, Seq(
+          DqCheck.rowCount(),
+          DqCheck.noFullyNullRows(Seq("event_type", "value", "props")),
+          DqCheck.maxNullFraction("value", 0.5),
+          DqCheck.valuesInRange("value", 0, 1000)))
+        .orderBy("rule")
+    },
+
     // Approximate aggregates — the 100 TB substitute for exact distincts:
     // HLL++ count-distinct and quantile sketch, one pass, fixed memory.
     // Sketch values are engine-specific → rows-only; the spec pins accuracy

@@ -67,6 +67,34 @@ object RelationalBattery {
         .orderBy($"r_name", $"n_name")
     },
 
+    // TPC-H Q3 shape: selective filters on both join sides pushed to the
+    // scans, fact-fact join, grouped revenue, top-10 by revenue — planned as
+    // TakeOrderedAndProject (per-partition heaps, no global sort shuffle).
+    sql("q_shipping_priority",
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" < lit("1995-03-15").cast("timestamp")),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, d)
+          .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
     // Left-semi join (EXISTS).
     sql("q_semi_join",
       """SELECT c_custkey, c_name FROM customer
