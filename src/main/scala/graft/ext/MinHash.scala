@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
+  /** Repartition only when the plan yields fewer partitions than half the
+    * cluster's slots — parallelizes tiny inputs without taxing big ones. */
+  private[ext] def fanOutIfNarrow(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < slots) df.repartition(slots) else df
+  }
+
   /** Word n-gram shingles (distinct) of the lowercased text. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
@@ -108,7 +115,13 @@ object MinHash {
       shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val withSig = df.select(
+    // Signature computation is the expensive per-row stage; when the input
+    // arrives in fewer partitions than the cluster has slots (single small
+    // file → one parquet row group → ONE task), fan it out first. Inputs
+    // that are already well-partitioned (the 100 TB case) pass through
+    // without the extra shuffle.
+    val input = fanOutIfNarrow(df)
+    val withSig = input.select(
         col(idCol).as("doc"),
         signature(shingles(col(textCol), shingleN), k).as("sig"))
     // The candidate join carries ONLY ids: on a near-dup-dense corpus the

@@ -104,7 +104,8 @@ object Similarity {
     // that a band bucket holds only genuinely similar vectors. (The old
     // 16-bit/4-band default had 16 buckets/band: with N vectors that is
     // ~N²/16 spurious candidates per band.)
-    val base = vectors.select(col("id"), asDouble(col("vec")).as("v"))
+    val base = MinHash.fanOutIfNarrow(
+      vectors.select(col("id"), asDouble(col("vec")).as("v")))
     val sigs = base.select(col("id"), rhpSignature(col("v"), bits).as("sig"))
     // candidate join on ids only (see MinHash.candidatePairs): dedupe pairs
     // at 16 bytes/row, rejoin vectors once per distinct pair for the exact
