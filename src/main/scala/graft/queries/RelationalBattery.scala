@@ -241,6 +241,69 @@ object RelationalBattery {
         .limit(200)
     },
 
+    // Explicit GROUPING SETS + grouping() marker columns.
+    sql("q_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |  count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // lead / first_value / last_value with an explicit running frame.
+    sql("q_window_frames",
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_so_far
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          lead($"o_orderkey", 1).over(w).as("next_order"),
+          first($"o_orderkey").over(w).as("first_order"),
+          last($"o_orderkey").over(running).as("latest_so_far"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // PIVOT: event counts per user across fixed event types (wide form);
+    // oracle = conditional aggregation with matching column names.
+    sql("q_pivot",
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events WHERE user_id < 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"user_id" < 50)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "purchase", "error"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L, Seq("click", "purchase", "error"))
+        .orderBy($"user_id")
+    },
+
     // UNION ALL + re-aggregate.
     sql("q_union_all",
       """SELECT event_type, count(*) AS n FROM (
