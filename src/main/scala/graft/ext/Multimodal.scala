@@ -68,4 +68,56 @@ object Multimodal {
         }
       }
   }
+
+  final case class ResizedMedia(
+      doc_id: Long, mime: String, width: Int, height: Int, media: Array[Byte])
+
+  /** Resize plumbing: recompress each payload to a target box. The STUB
+    * "resampler" deterministically truncates/pads bytes proportionally to
+    * the pixel-count ratio — a real codec swap touches only the marked
+    * lines; schema, batching, and partition-wise shape are real. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    media.select("doc_id", "media", "mime").as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, _) = FakeCodec.decode(r.media)
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // STUB resample: byte count scales with pixel ratio
+          val n = if (r.media == null) 0
+            else math.max(1, (r.media.length * (nw.toLong * nh) / (w.toLong * h)).toInt)
+          val out = new Array[Byte](n)
+          if (r.media != null) System.arraycopy(r.media, 0, out, 0, math.min(n, r.media.length))
+          ResizedMedia(r.doc_id, r.mime, nw, nh, out)
+        }
+      }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size chunk
+    * of the payload plays a decoded frame (STUB chunker; a real demuxer
+    * swaps in here). One input row fans out to ≤ maxFrames rows — the
+    * Spark-side shape (flatMap inside mapPartitions, bounded output) is what
+    * a real video pipeline needs. */
+  def sampleFrames(
+      media: DataFrame,
+      frameBytes: Int = 64,
+      stride: Int = 4,
+      maxFrames: Int = 8): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.select("doc_id", "media", "mime").as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.filter(_.mime == "video/mp4").flatMap { r =>
+          val bytes = if (r.media == null) Array.emptyByteArray else r.media
+          val nChunks = bytes.length / frameBytes
+          (0 until nChunks by stride).take(maxFrames).zipWithIndex.map {
+            case (chunk, idx) =>
+              Frame(r.doc_id, idx,
+                java.util.Arrays.copyOfRange(bytes, chunk * frameBytes, (chunk + 1) * frameBytes))
+          }
+        }
+      }
+  }
 }

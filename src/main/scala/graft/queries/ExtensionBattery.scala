@@ -274,5 +274,15 @@ object ExtensionBattery {
         .select($"doc_id", $"mime", $"n_bytes", $"width", $"height", $"features")
         .orderBy($"doc_id")
     },
+
+    // Frame sampling over the video subset: bounded per-doc fan-out through
+    // the stub demuxer — rows-only.
+    rowsOnly("q_media_frames") { (s, d) =>
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.withMediaColumn(Tables.documents(s, d)))
+        .toDF()
+        .select($"doc_id", $"frame_idx", length($"frame").as("frame_bytes"))
+        .orderBy($"doc_id", $"frame_idx")
+    },
   )
 }

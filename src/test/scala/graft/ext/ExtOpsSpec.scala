@@ -186,4 +186,27 @@ class MultimodalSpec extends SparkSpec {
     val (w2, _, _) = Multimodal.FakeCodec.decode(null)
     assert(w2 == 64)
   }
+
+  test("resize caps dimensions at the box and preserves aspect ratio") {
+    val docs = Seq((1L, "x" * 400)).toDF("doc_id", "text") // big fake image
+    val r = Multimodal.resize(Multimodal.withMediaColumn(docs), 32, 32).head()
+    assert(r.width <= 32 && r.height <= 32)
+    assert(r.media.nonEmpty && r.media.length <= 400)
+    // no-op when already inside the box
+    val small = Multimodal.resize(Multimodal.withMediaColumn(docs), 4096, 4096).head()
+    val (w0, h0, _) = Multimodal.FakeCodec.decode("x".repeat(400).getBytes("UTF-8"))
+    assert(small.width == w0 && small.height == h0)
+  }
+
+  test("frame sampling: video-only fan-out, bounded frames, fixed chunk size") {
+    // len % 3 == 2 → video/mp4 per withMediaColumn's mime rule
+    val docs = Seq((1L, "v" * 512), (2L, "img" * 100)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withMediaColumn(docs), frameBytes = 64, stride = 2, maxFrames = 3)
+      .collect()
+    assert(frames.forall(_.doc_id == 1L)) // doc 2 is not video (len 300 % 3 == 0)
+    assert(frames.length == 3)            // bounded by maxFrames
+    assert(frames.forall(_.frame.length == 64))
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+  }
 }
