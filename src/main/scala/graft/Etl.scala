@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Weather
+import graft.ops.{Conform, Dedup, EventTime, JsonExpand, Metrics, Validate}
+import graft.sinks.LakeWriter
+import graft.sources.BronzeReader
+
+/** The flagship E1 batch job (`glue/bronze_to_silver_openweather.py`) as a
+  * runnable entry point — with the reference's documented-but-missing
+  * behaviors actually implemented:
+  *
+  *  - `--dt-filter` / `--hour-filter` partition-pruned incremental reads
+  *    (`README.md:188-190` advertises them; the script reads the whole
+  *    prefix) — default is the last completed UTC hour;
+  *  - idempotent load (`README.md:219` claims it; the script blind-appends):
+  *    natural-key dedup + dynamic partition overwrite;
+  *  - observe() metrics instead of the ≥4 gate-count rescans
+  *    (`glue:52,63,104,143`).
+  *
+  * Usage: graft.Etl --bronze <dir> --gold <dir> [--dt-filter yyyy-MM-dd]
+  *        [--hour-filter HH] [--full] [--append]
+  */
+object Etl {
+
+  final case class Config(
+      bronze: String,
+      gold: String,
+      dtFilter: Option[String] = None,
+      hourFilter: Option[String] = None,
+      full: Boolean = false,      // read the whole prefix (reference parity)
+      idempotent: Boolean = true)
+
+  /** One ETL run; returns the loaded frame's metrics as (rows, nullCity). */
+  def run(spark: SparkSession, cfg: Config): Map[String, Any] = {
+    val (dtF, hourF) =
+      if (cfg.full) (None, None)
+      else if (cfg.dtFilter.nonEmpty || cfg.hourFilter.nonEmpty) (cfg.dtFilter, cfg.hourFilter)
+      else {
+        // default: last completed UTC hour (README.md:186-190)
+        val prev = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).minusHours(1)
+        (Some(prev.toLocalDate.toString), Some(f"${prev.getHour}%02d"))
+      }
+
+    val raw = BronzeReader.readPartitioned(spark, cfg.bronze, Weather.contract, dtF, hourF)
+      // partition cols come back from the directory layout; drop so the
+      // event-time derivation below re-derives them from the record itself
+      .drop("dt", "hour")
+
+    // conditional embedded-JSON expansion (glue:42-61)
+    val expanded = JsonExpand.findJsonColumn(raw)
+      .map(c => JsonExpand.withInference(raw, c))
+      .getOrElse(raw)
+
+    val conformed = Conform.toContract(expanded, Weather.contract)
+    val validated = Validate.tag(conformed, Validate.weatherRules(conformed))
+    val silver = EventTime.derive(validated)
+    val gold = Dedup.keepFirst(silver, Seq("city", "fetched_at_utc"), Seq(col("ts")))
+
+    val (observed, obs) = Metrics.observed(gold, "etl", Seq(
+      count(lit(1)).as("rows"),
+      sum(when(col("city").isNull, 1).otherwise(0)).as("null_city"),
+      sum(when(size(col("validation_errors")) > 0, 1).otherwise(0)).as("tagged_rows")))
+
+    if (cfg.idempotent) LakeWriter.writeGoldIdempotent(observed, cfg.gold)
+    else LakeWriter.writeGold(observed, cfg.gold)
+    obs.get
+  }
+
+  def main(args: Array[String]): Unit = {
+    def arg(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val cfg = Config(
+      bronze = arg("--bronze").getOrElse(sys.error("--bronze required")),
+      gold = arg("--gold").getOrElse(sys.error("--gold required")),
+      dtFilter = arg("--dt-filter"),
+      hourFilter = arg("--hour-filter"),
+      full = args.contains("--full"),
+      idempotent = !args.contains("--append"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = run(spark, cfg)
+    println(metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
