@@ -178,6 +178,97 @@ object PipelineBattery {
         .limit(100)
     },
 
+    // Math scalar surface: rounding, powers, logs, signs, extrema.
+    sql("q_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS d_abs,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS q_ceil,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+        |  round(sqrt(l_quantity), 4) AS q_sqrt,
+        |  round(ln(l_extendedprice), 4) AS price_ln,
+        |  round(power(l_tax + 1, 2), 6) AS tax_sq,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS d_sign,
+        |  greatest(l_quantity, 25.0) AS q_hi, least(l_quantity, 25.0) AS q_lo
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d).select(
+          $"l_orderkey", $"l_linenumber",
+          abs($"l_discount" - 0.05).as("d_abs"),
+          ceil($"l_quantity").as("q_ceil"),
+          floor($"l_extendedprice" / 1000).as("price_k"),
+          round(sqrt($"l_quantity"), 4).as("q_sqrt"),
+          round(log($"l_extendedprice"), 4).as("price_ln"),
+          round(pow($"l_tax" + 1, 2), 6).as("tax_sq"),
+          signum($"l_discount" - 0.05).as("d_sign"),
+          greatest($"l_quantity", lit(25.0)).as("q_hi"),
+          least($"l_quantity", lit(25.0)).as("q_lo"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .limit(500)
+    },
+
+    // String scalar surface beyond q_string_funcs: regex extraction,
+    // padding, translate, reverse, repeat, position.
+    sql("q_string_funcs2",
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+        |  reverse(c_mktsegment) AS rev,
+        |  repeat('*', CAST(c_custkey % 4 AS INT)) AS stars,
+        |  CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+        |  upper(c_mktsegment) AS seg_up, lower(c_mktsegment) AS seg_lo
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d).select(
+          $"c_custkey",
+          regexp_extract($"c_name", "([0-9]+)", 1).as("digits"),
+          lpad($"c_custkey".cast("string"), 10, "0").as("padded"),
+          translate($"c_mktsegment", "AEIOU", "aeiou").as("lowered_vowels"),
+          reverse($"c_mktsegment").as("rev"),
+          repeat(lit("*"), ($"c_custkey" % 4).cast("int")).as("stars"),
+          locate("#", $"c_name").as("hash_pos"),
+          upper($"c_mktsegment").as("seg_up"),
+          lower($"c_mktsegment").as("seg_lo"))
+        .orderBy($"c_custkey")
+        .limit(200)
+    },
+
+    // Scalar subquery + IN-subquery (decorrelated by Catalyst).
+    sql("q_subqueries",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice
+          |FROM orders_sq
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders_sq)
+          |  AND o_custkey IN (SELECT c_custkey FROM customer_sq WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)
+    },
+
+    // Correlated scalar subquery (per-customer max).
+    sql("q_correlated_subquery",
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT round(max(o_totalprice), 2) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d).createOrReplaceTempView("orders_cq")
+      Tables.customer(s, d).createOrReplaceTempView("customer_cq")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |  (SELECT round(max(o_totalprice), 2) FROM orders_cq
+          |   WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer_cq WHERE c_custkey < 100
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // T2/P6: CDC insert-only filter over a synthesized change stream —
     // eventName derived deterministically from the row, then filtered the way
     // the forwarder does (`fwd:36-37`).
