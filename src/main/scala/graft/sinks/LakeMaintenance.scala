@@ -1,0 +1,77 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake table maintenance: MERGE-style upsert and small-file compaction on
+  * plain partitioned parquet — the table-format operations a lakehouse needs
+  * that raw parquet doesn't provide (Delta/Iceberg would supply them as
+  * `MERGE INTO` / `OPTIMIZE`; neither ships in this environment, so the
+  * engine implements the same semantics on the open format).
+  *
+  * Both operators are PARTITION-SCOPED: they rewrite only the hive
+  * partitions the change set touches (dynamic partition overwrite), never
+  * the whole table — at 100 TB an upsert of one hour's data rewrites one
+  * partition, not 8760 of them.
+  */
+object LakeMaintenance {
+
+  /** MERGE semantics: rows in `updates` replace target rows with the same
+    * natural key; unmatched update rows insert. Only partitions present in
+    * `updates` (by `partitionCols` values) are read and rewritten.
+    *
+    * `orderCol` breaks ties WITHIN the updates batch (latest wins).
+    */
+  def upsert(
+      spark: SparkSession,
+      targetPath: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      orderCol: String): Unit = {
+    require(keys.nonEmpty && partitionCols.nonEmpty)
+    val dedupedUpdates = graft.ops.Dedup.keepLatest(updates, keys, orderCol)
+    val exists = try {
+      spark.read.parquet(targetPath).take(1).nonEmpty
+    } catch { case _: Exception => false }
+    val merged =
+      if (!exists) dedupedUpdates
+      else {
+        // read ONLY the touched partitions (pruned via the partition-value
+        // semi-join predicate), keep target rows whose key has no update
+        val touched = updates.select(partitionCols.map(col): _*).distinct()
+        val target = spark.read.parquet(targetPath)
+          .join(broadcast(touched), partitionCols, "left_semi")
+        val survivors = target.join(
+          dedupedUpdates.select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
+        survivors.unionByName(dedupedUpdates.select(survivors.columns.map(col): _*))
+      }
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(targetPath)
+  }
+
+  /** Compact a partition's small files to ~`targetFileRows` rows per file.
+    * Rewrites only that partition directory, preserving its data exactly. */
+  def compactPartition(
+      spark: SparkSession,
+      tablePath: String,
+      partitionDir: String, // e.g. "dt=2025-08-29/hour=14"
+      targetFileRows: Long = 1000000L): Unit = {
+    val path = s"$tablePath/$partitionDir"
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val compacted = df.coalesce(nFiles)
+    // write to a sibling temp dir, then atomically swap
+    val tmp = s"$path._compact_tmp"
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class LakeMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-maint").toString + "/t"
+
+  test("upsert: updates replace by key, inserts append, untouched partitions survive") {
+    val path = tmp()
+    val base = Seq(
+      ("austin", "2025-08-29", 1, 10.0),
+      ("boston", "2025-08-29", 1, 20.0),
+      ("chicago", "2025-08-30", 1, 30.0) // other partition — must be untouched
+    ).toDF("city", "dt", "v", "temp")
+    base.write.partitionBy("dt").parquet(path)
+
+    val updates = Seq(
+      ("austin", "2025-08-29", 2, 11.5), // replaces austin
+      ("denver", "2025-08-29", 1, 5.0)   // new key, same partition
+    ).toDF("city", "dt", "v", "temp")
+    LakeMaintenance.upsert(spark, path, updates,
+      keys = Seq("city"), partitionCols = Seq("dt"), orderCol = "v")
+
+    val out = spark.read.parquet(path)
+    assert(out.count() == 4)
+    assert(out.filter($"city" === "austin").select($"temp").as[Double].head() == 11.5)
+    assert(out.filter($"city" === "chicago").count() == 1) // untouched partition intact
+    assert(Dedup.duplicates(out, Seq("city")).isEmpty)
+  }
+
+  test("upsert into an empty target just inserts; within-batch ties keep latest") {
+    val path = tmp()
+    val updates = Seq(
+      ("austin", "2025-08-29", 1, 10.0),
+      ("austin", "2025-08-29", 2, 99.0) // same key twice in one batch
+    ).toDF("city", "dt", "v", "temp")
+    LakeMaintenance.upsert(spark, path, updates,
+      keys = Seq("city"), partitionCols = Seq("dt"), orderCol = "v")
+    val out = spark.read.parquet(path).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("temp") == 99.0)
+  }
+
+  test("upsert is idempotent: re-applying the same batch changes nothing") {
+    val path = tmp()
+    val updates = Seq(("a", "2025-08-29", 1, 1.0), ("b", "2025-08-29", 1, 2.0))
+      .toDF("city", "dt", "v", "temp")
+    LakeMaintenance.upsert(spark, path, updates, Seq("city"), Seq("dt"), "v")
+    LakeMaintenance.upsert(spark, path, updates, Seq("city"), Seq("dt"), "v")
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("compaction shrinks file count, preserves data exactly") {
+    val path = tmp()
+    // 8 tiny files in one partition
+    spark.range(800).select(
+        lit("2025-08-29").as("dt"), col("id"), (col("id") * 2).as("v"))
+      .repartition(8)
+      .write.partitionBy("dt").parquet(path)
+    val before = spark.read.parquet(s"$path/dt=2025-08-29")
+    val beforeFiles = before.inputFiles.length
+    val beforeSum = before.agg(sum("v")).head().getLong(0)
+    assert(beforeFiles == 8)
+
+    LakeMaintenance.compactPartition(spark, path, "dt=2025-08-29")
+    val after = spark.read.parquet(s"$path/dt=2025-08-29")
+    assert(after.inputFiles.length == 1)
+    assert(after.count() == 800)
+    assert(after.agg(sum("v")).head().getLong(0) == beforeSum)
+  }
+}
