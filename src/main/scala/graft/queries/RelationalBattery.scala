@@ -346,6 +346,45 @@ object RelationalBattery {
         .orderBy($"user_id")
     },
 
+    // Statistical aggregates: stddev/variance/correlation/covariance +
+    // width_bucket histogram — one pass, algebraic (map-side partials).
+    sql("q_stats_agg",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS price_sd,
+        |  round(var_samp(l_quantity), 4) AS qty_var,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_discount, l_tax), 8) AS disc_tax_cov,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_extendedprice"), 4).as("price_sd"),
+          round(var_samp($"l_quantity"), 4).as("qty_var"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("qty_price_corr"),
+          round(covar_samp($"l_discount", $"l_tax"), 8).as("disc_tax_cov"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Histogram via width_bucket: fixed-width price buckets.
+    sql("q_histogram",
+      """SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |       WHEN o_totalprice >= 600000 THEN 13
+        |       ELSE 1 + CAST(floor(o_totalprice * 12 / 600000) AS BIGINT) END AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(width_bucket($"o_totalprice", lit(0), lit(600000), lit(12)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min($"o_totalprice"), 2).as("lo"),
+          round(max($"o_totalprice"), 2).as("hi"))
+        .orderBy($"bucket")
+    },
+
     // Distinct aggregates (expand + two-phase agg under the hood).
     sql("q_distinct_agg",
       """SELECT l_returnflag,

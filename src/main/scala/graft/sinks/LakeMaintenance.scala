@@ -53,6 +53,43 @@ object LakeMaintenance {
       .parquet(targetPath)
   }
 
+  /** SCD Type-2 apply: merge a batch of dimension changes into a history
+    * table keeping full validity ranges. Current rows whose key appears in
+    * the batch are CLOSED (`valid_to` = the change's effective ts,
+    * `is_current` = false) and the new version opens with
+    * `valid_to = null, is_current = true`. Rows with unchanged keys pass
+    * through untouched. Returns the new history frame (caller writes it —
+    * at scale via [[upsert]]-style partition-scoped rewrite).
+    *
+    * `changes` must carry the key columns, the tracked attribute columns,
+    * and `effectiveTsCol`; one change per key per batch (pre-dedup with
+    * `Dedup.keepLatest`).
+    */
+  def scd2Apply(
+      history: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      effectiveTsCol: String): DataFrame = {
+    val ch = changes.withColumn("_eff", col(effectiveTsCol))
+    val chKeys = ch.select(keys.map(col) :+ col("_eff"): _*).distinct()
+    // close currently-open versions of changed keys
+    val closed = history
+      .join(broadcast(chKeys), keys)
+      .withColumn("valid_to",
+        when(col("is_current"), col("_eff")).otherwise(col("valid_to")))
+      .withColumn("is_current", lit(false))
+      .drop("_eff")
+    val untouched = history.join(broadcast(chKeys.select(keys.map(col): _*)), keys, "left_anti")
+    val opened = ch
+      .withColumn("valid_from", col("_eff"))
+      .withColumn("valid_to", lit(null).cast(history.schema("valid_to").dataType))
+      .withColumn("is_current", lit(true))
+      .drop("_eff")
+    untouched
+      .unionByName(closed)
+      .unionByName(opened.select(history.columns.map(col): _*))
+  }
+
   /** Compact a partition's small files to ~`targetFileRows` rows per file.
     * Rewrites only that partition directory, preserving its data exactly. */
   def compactPartition(

@@ -56,6 +56,35 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("SCD2: changed keys close with validity range; unchanged pass through") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val history = Seq(
+      ("austin", "TX", ts("2025-01-01T00:00:00Z"), null.asInstanceOf[Timestamp], true),
+      ("boston", "MA", ts("2025-01-01T00:00:00Z"), null.asInstanceOf[Timestamp], true),
+      // an already-closed old version
+      ("austin", "OLD", ts("2024-01-01T00:00:00Z"), ts("2025-01-01T00:00:00Z"), false)
+    ).toDF("city", "state", "valid_from", "valid_to", "is_current")
+    val changes = Seq(("austin", "TX2", ts("2025-08-29T00:00:00Z")))
+      .toDF("city", "state", "changed_at")
+
+    val out = LakeMaintenance.scd2Apply(history, changes, Seq("city"), "changed_at")
+    assert(out.count() == 4)
+    val austin = out.filter($"city" === "austin")
+      .orderBy($"valid_from")
+      .select("state", "is_current").as[(String, Boolean)].collect().toSeq
+    assert(austin == Seq(("OLD", false), ("TX", false), ("TX2", true)))
+    // the closed TX version got its valid_to stamped with the change ts
+    val closedTx = out.filter($"city" === "austin" && $"state" === "TX").head()
+    assert(closedTx.getTimestamp(closedTx.fieldIndex("valid_to")) == ts("2025-08-29T00:00:00Z"))
+    // boston untouched and still current
+    assert(out.filter($"city" === "boston" && $"is_current").count() == 1)
+    // exactly one current row per key
+    val currents = out.filter($"is_current").groupBy("city").count()
+      .select("count").as[Long].collect()
+    assert(currents.forall(_ == 1L))
+  }
+
   test("compaction shrinks file count, preserves data exactly") {
     val path = tmp()
     // 8 tiny files in one partition

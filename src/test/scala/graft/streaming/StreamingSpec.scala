@@ -93,6 +93,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.contains(("2025-08-29 14:00:00", "austin", 2L)))
   }
 
+  test("stream-static join: streaming facts enrich against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("austin", "TX"), ("boston", "MA")).toDF("city", "state")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val enriched = mem.toDF().toDF("city", "temp")
+      .join(dim, Seq("city"), "left") // static side broadcast per micro-batch
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData(("austin", 35.0), ("denver", 20.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(2)) null else r.getString(2))).toSet
+    q.stop()
+    assert(rows == Set(("austin", "TX"), ("denver", null)))
+  }
+
   test("dedupWithinWatermark drops retry-duplicates in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Timestamp)]
