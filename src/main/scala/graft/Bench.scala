@@ -4,11 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = SessionFactory.builder("graft-bench", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: one cheap scan per table primes the JVM (codegen compiler,
     // parquet readers, classloading) so the first timed query doesn't absorb

@@ -78,12 +78,8 @@ object Etl {
       hourFilter = arg("--hour-filter"),
       full = args.contains("--full"),
       idempotent = !args.contains("--append"))
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = SessionFactory.builder(
+      "graft-etl", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = run(spark, cfg)
     println(metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))

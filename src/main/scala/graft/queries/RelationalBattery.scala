@@ -346,6 +346,26 @@ object RelationalBattery {
         .orderBy($"user_id")
     },
 
+    // Array/collection surface: collect into sorted distinct lists, size,
+    // membership, element access — deterministic via sort_array(collect_set).
+    sql("q_array_funcs",
+      """SELECT o_orderpriority,
+        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  CAST(len(list_sort(list(DISTINCT o_orderstatus))) AS INT) AS n_statuses,
+        |  list_contains(list(DISTINCT o_orderstatus), 'F') AS has_f,
+        |  list_sort(list(DISTINCT o_orderstatus))[1] AS first_status
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(sort_array(collect_set($"o_orderstatus")).as("statuses"))
+        .select($"o_orderpriority", $"statuses",
+          size($"statuses").as("n_statuses"),
+          array_contains($"statuses", "F").as("has_f"),
+          element_at($"statuses", 1).as("first_status"))
+        .orderBy($"o_orderpriority")
+    },
+
     // Statistical aggregates: stddev/variance/correlation/covariance +
     // width_bucket histogram — one pass, algebraic (map-side partials).
     sql("q_stats_agg",
