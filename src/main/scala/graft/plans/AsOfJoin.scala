@@ -65,9 +65,16 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  // co-partition on the by keys, like a sort-merge join
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftBy) :: ClusteredDistribution(rightBy) :: Nil
+  // co-partition on the by keys, like a sort-merge join. The partition
+  // count is PINNED on both sides: zipPartitions requires equal counts, and
+  // a fixed requiredNumPartitions keeps AQE from coalescing the two input
+  // shuffles asymmetrically (it skips stages whose distribution demands an
+  // exact count).
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    ClusteredDistribution(leftBy, requiredNumPartitions = n) ::
+      ClusteredDistribution(rightBy, requiredNumPartitions = n) :: Nil
+  }
 
   // sort within partitions by (by, on) ascending on both sides
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(

@@ -346,6 +346,28 @@ object RelationalBattery {
         .orderBy($"user_id")
     },
 
+    // Bounded top-k sketch aggregate (TypedImperativeAggregate): map-side
+    // partial heaps shuffle k rows per (partition, group) instead of every
+    // row like the window form. Oracle = the window form, exploded.
+    sql("q_topk_aggregate",
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rank,
+        |  round(o_totalprice, 2) AS v, o_orderkey AS id
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(graft.functions.TopKAggregate.top_k($"o_totalprice", $"o_orderkey", 5).as("top"))
+        .select($"o_orderpriority", posexplode($"top").as(Seq("pos", "e")))
+        .select($"o_orderpriority", ($"pos" + 1).cast("int").as("rank"),
+          round($"e.v", 2).as("v"), $"e.id".as("id"))
+        .orderBy($"o_orderpriority", $"rank")
+    },
+
     // Array/collection surface: collect into sorted distinct lists, size,
     // membership, element access — deterministic via sort_array(collect_set).
     sql("q_array_funcs",

@@ -65,6 +65,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("asymmetric side sizes under AQE: partition counts stay aligned") {
+    // big left, tiny right — AQE would love to coalesce the small shuffle
+    val l = spark.range(20000).select(
+      (col("id") % 50).cast("string").as("sym"), col("id").as("t"), col("id").as("lid"))
+    val r = spark.range(20).select(
+      (col("id") % 50).cast("string").as("qsym"), (col("id") * 100).as("qt"), col("id").as("rid"))
+    val out = AsOf.join(l, r, "t", "qt", Seq("sym"), Seq("qsym"))
+    assert(out.count() == 20000) // every left row exactly once (left outer)
+    // a key with a quote at t=0: rows with t >= 0 on sym where a quote exists
+    val matched = out.filter(col("rid").isNotNull).count()
+    assert(matched > 0)
+  }
+
   test("physical plan is the custom exec with sort-merge movement") {
     val plan = asof.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"))
