@@ -178,6 +178,31 @@ object PipelineBattery {
         .limit(100)
     },
 
+    // Date arithmetic + conditional scalar breadth.
+    sql("q_date_funcs2",
+      """SELECT o_orderkey,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        |  CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INT) AS days_to_y2k,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  ifnull(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d).select(
+          $"o_orderkey",
+          last_day($"o_orderdate").as("month_end"),
+          date_trunc("quarter", $"o_orderdate").as("qtr_start"),
+          dayofweek($"o_orderdate").as("dow"),
+          weekofyear($"o_orderdate").as("woy"),
+          datediff(lit("2000-01-01").cast("timestamp"), $"o_orderdate").as("days_to_y2k"),
+          nullif($"o_orderstatus", lit("O")).as("status_or_null"),
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status_label"))
+        .orderBy($"o_orderkey")
+        .limit(200)
+    },
+
     // Math scalar surface: rounding, powers, logs, signs, extrema.
     sql("q_math_funcs",
       """SELECT l_orderkey, l_linenumber,
