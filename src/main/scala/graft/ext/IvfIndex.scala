@@ -48,18 +48,29 @@ object IvfIndex {
   }
 
   /** Train k centroids with `iters` Lloyd's iterations.
-    * Returns (cluster_id, centroid: array<double>). */
+    * Returns (cluster_id, centroid: array<double>).
+    *
+    * Centroids are MATERIALIZED at the driver after every iteration
+    * (they're k rows by construction — collecting them is scale-safe at any
+    * table size): without this, each iteration's plan nests the previous
+    * one's, and the final search re-derives the whole training chain every
+    * time it touches the centroid frame. */
   def train(vectors: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
     val base = vectors.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
+        df.schema)
     // deterministic init: the k lowest-id vectors. The unpartitioned
     // row_number window below runs on the k-row limit result only — never
     // on the full vector table.
-    var centroids = base.orderBy("id").limit(k)
+    var centroids = materialize(base.orderBy("id").limit(k)
       .select((row_number().over(Window.orderBy("id")) - 1).as("cluster_id"),
-        col("vec").as("centroid"))
+        col("vec").as("centroid")))
     var i = 0
     while (i < iters) {
-      centroids = meanByCluster(assign(base, centroids))
+      centroids = materialize(meanByCluster(assign(base, centroids)))
       i += 1
     }
     centroids
