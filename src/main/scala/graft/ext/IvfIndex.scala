@@ -36,15 +36,46 @@ object IvfIndex {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("centroid"))
 
-  /** Nearest-centroid assignment via broadcast argmax (centroids are k rows —
-    * always broadcastable; the big side streams through map-side only). */
+  /** Nearest-centroid assignment, genuinely map-side: centroids are k rows
+    * by construction, so they are collected once and closed over by a single
+    * JVM argmax — the vector table streams through a narrow projection with
+    * NO shuffle and no k× row expansion. (The previous formulation
+    * cross-joined k rows per vector and ranked them with a row_number
+    * window, shuffling the expanded table; a groupBy+max_by argmax would
+    * still shuffle one vector-payload row per id.) Ties go to the lowest
+    * cluster_id, matching `ORDER BY cos DESC, cluster_id`. */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("_c").desc, col("cluster_id"))
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("_c", cos(col("vec"), col("centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("id"), col("vec"), col("cluster_id"))
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cluster_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // closure-captured centroid matrix: k·d doubles ride the task binary
+    // (tens of KB for any sane k) — below the threshold where an explicit
+    // sc.broadcast would pay off
+    val nearest = udf((v: Seq[Double]) => {
+      val a = v.toArray
+      var na = 0.0
+      var j = 0
+      while (j < a.length) { na += a(j) * a(j); j += 1 }
+      var best = if (cents.isEmpty) -1 else cents(0)._1
+      var bestCos = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)._2
+        var dot = 0.0
+        var nb = 0.0
+        val n = math.min(a.length, c.length)
+        j = 0
+        while (j < n) { dot += a(j) * c(j); nb += c(j) * c(j); j += 1 }
+        val cosv = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (cosv > bestCos) { bestCos = cosv; best = cents(i)._1 }
+        i += 1
+      }
+      best
+    })
+    vectors.select(col("id"), col("vec"),
+      nearest(col("vec").cast("array<double>")).as("cluster_id"))
   }
 
   /** Train k centroids with `iters` Lloyd's iterations.
@@ -100,13 +131,20 @@ object IvfIndex {
       .select(col("query_id"), col("qv"), col("cluster_id"))
     val lists = invertedLists.select(
       col("cluster_id"), col("id").as("neighbor_id"), col("vec").as("cv"))
-    val rankW = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    // Rank with the bounded top-k aggregate, not a window: the shuffle then
+    // carries ≤ k pairs per (partition, query) partial instead of every
+    // scored candidate. Rounding happens BEFORE ranking and ties break on
+    // the smaller neighbor_id — both matching bruteForceTopK, so the
+    // nprobe = k ≡ brute force pin still holds bit-for-bit.
     probes.join(lists, "cluster_id") // co-partitioned by cluster at scale
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cos(col("qv"), col("cv")), roundTo).as("cos"))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.top_k(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.v").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** One-call convenience: train + build + search over a single table. */

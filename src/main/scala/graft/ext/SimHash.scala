@@ -57,20 +57,39 @@ object SimHash {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Candidate near-dup pairs with Hamming distance ≤ maxDist (≤ 15 with the
-    * 4×16-bit banding guarantee; larger maxDist loses recall). */
+  /** Smallest band count (power of two dividing 64, capped at 16) that
+    * guarantees full recall for `maxDist`: a pair within Hamming distance d
+    * shares at least one exact band iff d ≤ bands − 1 (pigeonhole — d
+    * differing bits can spoil at most d bands). Beyond maxDist = 15 the cap
+    * applies and recall is no longer guaranteed (documented below). */
+  private[ext] def chooseBands(maxDist: Int): Int =
+    Seq(2, 4, 8, 16).find(_ > maxDist).getOrElse(16)
+
+  /** Candidate near-dup pairs with Hamming distance ≤ maxDist.
+    *
+    * Recall guarantee: ALL pairs at distance ≤ bands − 1 are found
+    * (pigeonhole over the equal-width bands). With `bands = 0` (default)
+    * the band count is auto-chosen to cover `maxDist`, capped at 16 bands
+    * (4-bit bands) — so requesting maxDist > 15 silently trades recall for
+    * join selectivity; prefer maxDist ≤ 7 (8×8-bit bands), which keeps
+    * band values selective enough that bucket sizes stay bounded at scale. */
   def candidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      bands: Int = 0): DataFrame = {
+    val nBands = if (bands > 0) bands else chooseBands(maxDist)
+    require(Set(2, 4, 8, 16, 32).contains(nBands), s"bands must divide 64: $nBands")
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
     val withSim = df.select(
       col(idCol).as("doc"),
       simhash(TextAnalysis.tokens(col(textCol))).as("sim"))
     val banded = withSim.select(
       col("doc"), col("sim"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until nBands).map(j =>
+        shiftright(col("sim"), j * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band_idx", "band_val")))
     val a = banded.toDF("doc_a", "sim_a", "band_idx", "band_val")
     val b = banded.toDF("doc_b", "sim_b", "band_idx", "band_val")

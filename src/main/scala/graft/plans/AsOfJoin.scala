@@ -112,26 +112,42 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lOnVal = lOnProj(lRow)
-        // advance the right side: past smaller keys (dropping the stale
-        // candidate), then through same-key rows with on <= left.on,
-        // remembering the last one (rows are mutable — copy).
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rKey = rKeyProj(rBuf.head)
-          val keyCmp = keyOrd.compare(rKey, lKey)
-          if (keyCmp < 0) {
-            candidate = null; candidateKey = null
-            rBuf.next()
-          } else if (keyCmp == 0 && onOrd.compare(rOnProj(rBuf.head), lOnVal) <= 0) {
-            candidate = rBuf.next().copy()
-            candidateKey = rKey.copy()
-          } else {
-            advancing = false
+        // SQL equality semantics: a NULL by-key (either side) and a NULL on
+        // value never match — `l.by = r.by AND l.on >= r.on` is never true
+        // through a NULL, and the DuckDB ASOF oracle agrees. (The natural
+        // row ordering used for the merge would otherwise equate NULLs.)
+        if (lKey.anyNull) {
+          outProj(joined(lRow, nullRight))
+        } else {
+          val lOnNull = lOnVal.isNullAt(0)
+          // advance the right side: past smaller keys (dropping the stale
+          // candidate), then through same-key rows with on <= left.on,
+          // remembering the last one (rows are mutable — copy).
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val keyCmp = keyOrd.compare(rKey, lKey)
+            if (keyCmp < 0) {
+              candidate = null; candidateKey = null
+              rBuf.next()
+            } else if (keyCmp == 0) {
+              val rOnVal = rOnProj(rBuf.head)
+              if (rOnVal.isNullAt(0)) {
+                rBuf.next() // a NULL on can never satisfy l.on >= r.on
+              } else if (!lOnNull && onOrd.compare(rOnVal, lOnVal) <= 0) {
+                candidate = rBuf.next().copy()
+                candidateKey = rKey.copy()
+              } else {
+                advancing = false
+              }
+            } else {
+              advancing = false
+            }
           }
+          val matched = !lOnNull && candidate != null && candidateKey != null &&
+            keyOrd.compare(candidateKey.asInstanceOf[InternalRow], lKey) == 0
+          outProj(joined(lRow, if (matched) candidate else nullRight))
         }
-        val matched = candidate != null && candidateKey != null &&
-          keyOrd.compare(candidateKey.asInstanceOf[InternalRow], lKey) == 0
-        outProj(joined(lRow, if (matched) candidate else nullRight))
       }
     }
   }

@@ -165,11 +165,13 @@ object ExtensionBattery {
         .limit(200)
     },
 
-    // SimHash near-dup candidates via 16-bit band join, ranked by Hamming.
+    // SimHash near-dup candidates via band join, ranked by Hamming.
+    // maxDist = 7 → 8×8-bit bands: full recall at this radius (pigeonhole),
+    // band values still selective enough for bounded bucket sizes at scale.
     rowsOnly("q_simhash_neardup") { (s, d) =>
       import s.implicits._
       SimHash.candidatePairs(Tables.documents(s, d), "doc_id", "text",
-          maxDist = 16)
+          maxDist = 7)
         .orderBy($"hamming".asc, $"doc_a", $"doc_b")
         .limit(200)
     },
@@ -271,7 +273,11 @@ object ExtensionBattery {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.withMediaColumn(Tables.documents(s, d)))
         .toDF()
-        .select($"doc_id", $"mime", $"n_bytes", $"width", $"height", $"features")
+        // feature vector serialized to a string: the driver row-sorts the
+        // dump in pandas, which cannot order ndarray-valued cells
+        .select($"doc_id", $"mime", $"n_bytes", $"width", $"height",
+          array_join(transform($"features",
+            x => format_string("%.5f", x.cast("double"))), ",").as("features"))
         .orderBy($"doc_id")
     },
 

@@ -69,11 +69,11 @@ object PipelineBattery {
     // rows flow through tagged, never dropped.
     sql("q_validate",
       """SELECT event_id,
-        |  list_filter([
+        |  COALESCE(array_to_string(list_filter([
         |    CASE WHEN value IS NULL OR value < 0 OR value > 180 THEN 'value_out_of_range_or_null' END,
         |    CASE WHEN user_id IS NULL OR user_id < 0 OR user_id > 120 THEN 'user_id_out_of_range_or_null' END,
         |    CASE WHEN event_type IS NULL THEN 'event_type_null' END
-        |  ], x -> x IS NOT NULL) AS validation_errors,
+        |  ], x -> x IS NOT NULL), ','), '') AS validation_errors,
         |  CAST(len(list_filter([
         |    CASE WHEN value IS NULL OR value < 0 OR value > 180 THEN 'value_out_of_range_or_null' END,
         |    CASE WHEN user_id IS NULL OR user_id < 0 OR user_id > 120 THEN 'user_id_out_of_range_or_null' END,
@@ -87,7 +87,11 @@ object PipelineBattery {
         Validate.rangeRule(ev("user_id"), "user_id_out_of_range_or_null", 0, 120),
         Validate.Rule("event_type_null", ev("event_type").isNull))
       Validate.tag(ev, rules)
-        .select($"event_id", $"validation_errors", $"n_errors")
+        // serialize the error array — the driver's row-sort can't order
+        // ndarray cells; the tagging op itself still builds a real array
+        .select($"event_id",
+          array_join($"validation_errors", ",").as("validation_errors"),
+          $"n_errors")
         .orderBy($"event_id")
         .limit(500)
     },

@@ -370,9 +370,12 @@ object RelationalBattery {
 
     // Array/collection surface: collect into sorted distinct lists, size,
     // membership, element access — deterministic via sort_array(collect_set).
+    // NB: the output serializes the list to a string (array_to_string /
+    // array_join) — the driver's hash compare sorts rows in pandas, which
+    // cannot sort ndarray-valued cells; the array ops themselves still run.
     sql("q_array_funcs",
       """SELECT o_orderpriority,
-        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         |  CAST(len(list_sort(list(DISTINCT o_orderstatus))) AS INT) AS n_statuses,
         |  list_contains(list(DISTINCT o_orderstatus), 'F') AS has_f,
         |  list_sort(list(DISTINCT o_orderstatus))[1] AS first_status
@@ -381,7 +384,8 @@ object RelationalBattery {
       Tables.orders(s, d)
         .groupBy($"o_orderpriority")
         .agg(sort_array(collect_set($"o_orderstatus")).as("statuses"))
-        .select($"o_orderpriority", $"statuses",
+        .select($"o_orderpriority",
+          array_join($"statuses", ",").as("statuses"),
           size($"statuses").as("n_statuses"),
           array_contains($"statuses", "F").as("has_f"),
           element_at($"statuses", 1).as("first_status"))

@@ -31,9 +31,24 @@ object LakeMaintenance {
       orderCol: String): Unit = {
     require(keys.nonEmpty && partitionCols.nonEmpty)
     val dedupedUpdates = graft.ops.Dedup.keepLatest(updates, keys, orderCol)
-    val exists = try {
-      spark.read.parquet(targetPath).take(1).nonEmpty
-    } catch { case _: Exception => false }
+    // Existence probe must distinguish "target absent/empty" (first write)
+    // from transient read failures: treating an FS blip as "absent" would
+    // skip the merge branch and dynamic-overwrite surviving rows away.
+    // Only path-not-found / no-parquet-files map to false; anything else
+    // (throttling, corrupt footer, permissions) propagates.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(targetPath), spark.sparkContext.hadoopConfiguration)
+    val exists =
+      fs.exists(new org.apache.hadoop.fs.Path(targetPath)) && {
+        try spark.read.parquet(targetPath).take(1).nonEmpty
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).exists(c =>
+                c.startsWith("PATH_NOT_FOUND") ||
+                  c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+            false // dir exists but holds no data files: nothing to merge
+        }
+      }
     val merged =
       if (!exists) dedupedUpdates
       else {
@@ -102,13 +117,27 @@ object LakeMaintenance {
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
     val compacted = df.coalesce(nFiles)
-    // write to a sibling temp dir, then atomically swap
-    val tmp = s"$path._compact_tmp"
-    compacted.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // Temp and backup dirs carry a leading "." so Spark's file listing
+    // (hiddenFileFilter) never picks them up during a concurrent read.
+    val tmp = new org.apache.hadoop.fs.Path(
+      dst.getParent, s".${dst.getName}._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      dst.getParent, s".${dst.getName}._compact_old")
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Swap via rename-aside, never delete-then-rename: every intermediate
+    // state keeps a complete copy of the partition on disk. A crash between
+    // the two renames leaves the data in the hidden backup dir (recoverable)
+    // instead of permanently deleted.
+    fs.delete(old, true) // stale backup from a prior crashed run
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compactPartition: cannot move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back: restore the original partition
+      throw new java.io.IOException(s"compactPartition: cannot install $tmp")
+    }
+    fs.delete(old, true)
   }
 }

@@ -106,6 +106,31 @@ class SimHashSpec extends SparkSpec {
     assert(hNear < hFar)
   }
 
+  test("chooseBands covers maxDist by pigeonhole: bands > maxDist, capped at 16") {
+    assert(SimHash.chooseBands(0) == 2)
+    assert(SimHash.chooseBands(3) == 4)
+    assert(SimHash.chooseBands(7) == 8)
+    assert(SimHash.chooseBands(15) == 16)
+    assert(SimHash.chooseBands(16) == 16) // cap: recall no longer guaranteed
+  }
+
+  test("banding recall: every pair within hamming <= bands-1 is found (8 bands)") {
+    // doc pairs engineered near each other: same text with k token swaps
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (0 to 6).map(i => (i.toLong, base + (" pad" * i))).toDF("doc_id", "text")
+    val sims = docs.select(col("doc_id"),
+      SimHash.simhash(graft.ext.TextAnalysis.tokens(col("text"))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      d = java.lang.Long.bitCount(sims(a) ^ sims(b)) if d <= 7
+    } yield (a, b)).toSet
+    val got = SimHash.candidatePairs(docs, "doc_id", "text", maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(got)) // full recall at d <= bands-1
+  }
+
   test("candidatePairs: identical docs at hamming 0; banding finds dist<=maxDist pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -83,6 +83,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"))
   }
 
+  test("NULL by-keys and NULL on values never match (SQL equality semantics)") {
+    // the DuckDB oracle `l.by = r.by AND l.on >= r.on` is never true through
+    // a NULL; the merge must not let the natural row ordering equate NULLs
+    val l = Seq(
+      (Some("A"), Some(5L), 1L),
+      (None: Option[String], Some(5L), 2L), // null by-key
+      (Some("A"), None: Option[Long], 3L)   // null on
+    ).toDF("sym", "t", "lid")
+    val r = Seq(
+      (Some("A"), Some(1L), 10L),
+      (None: Option[String], Some(1L), 11L), // null by-key on the right
+      (Some("A"), None: Option[Long], 12L)   // null on on the right
+    ).toDF("qsym", "qt", "rid")
+    val got = AsOf.join(l, r, "t", "qt", Seq("sym"), Seq("qsym"))
+      .select("lid", "rid")
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(got(1L) == 10L) // normal match
+    assert(got(2L) == -1L) // null by-key: no match, even though rid=11 has null key too
+    assert(got(3L) == -1L) // null on: no match, even though rid=12 has null qt
+  }
+
   test("registration via SparkSessionExtensions class compiles into a session") {
     // the production wiring path; the shared test session uses lazy
     // registration instead, so just exercise the injector.

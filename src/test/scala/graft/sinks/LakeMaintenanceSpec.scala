@@ -102,5 +102,21 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(after.inputFiles.length == 1)
     assert(after.count() == 800)
     assert(after.agg(sum("v")).head().getLong(0) == beforeSum)
+
+    // no temp/backup residue, and nothing visible to partition discovery
+    // beyond the real partition dir (hidden names start with . or _)
+    val entries = new java.io.File(path).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    assert(entries.toSet == Set("dt=2025-08-29"))
+    // whole-table read still sees exactly one copy of the partition
+    assert(spark.read.parquet(path).count() == 800)
+  }
+
+  test("upsert probe: existing-but-empty target dir behaves as first write") {
+    val path = tmp()
+    new java.io.File(path).mkdirs() // exists, but holds no parquet files
+    val updates = Seq(("a", "2025-08-29", 1, 1.0)).toDF("city", "dt", "v", "temp")
+    LakeMaintenance.upsert(spark, path, updates, Seq("city"), Seq("dt"), "v")
+    assert(spark.read.parquet(path).count() == 1)
   }
 }
