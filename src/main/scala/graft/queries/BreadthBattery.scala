@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Operator-breadth battery: generators, unpivot, map functions, exact
+  * percentiles, string distance, distribution windows, null-safe equality,
+  * bitwise/radix scalars, boolean aggregates. All shapes a lakehouse SQL
+  * surface is expected to cover beyond the reference's §2 inventory, each
+  * oracled against DuckDB.
+  *
+  * Scale notes mirror the rest of the engine: every aggregate here is
+  * algebraic (map-side partials), the generators fan out bounded row counts
+  * per input row, and windows partition on real keys — no global windows.
+  */
+object BreadthBattery {
+  import QueryDef._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Generator/UNNEST: explode whitespace tokens, global top-50 words.
+    // Two-phase hash agg under the explode keeps the shuffle at
+    // |distinct words| not |tokens|.
+    sql("q_explode_tokens",
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |      FROM documents)
+        |WHERE len(word) > 0
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 50""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(split(lower($"text"), "\\s+")).as("word"))
+        .filter(length($"word") > 0)
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(50)
+    },
+
+    // UNPIVOT / melt: wide per-flag aggregates to (flag, metric, value).
+    sql("q_unpivot",
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sq,
+        |    round(sum(l_extendedprice), 2) AS sp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM t UNPIVOT (value FOR metric IN (sq, sp))
+        |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(round(sum($"l_quantity"), 2).as("sq"),
+          round(sum($"l_extendedprice"), 2).as("sp"))
+        .unpivot(Array($"l_returnflag"), Array($"sq", $"sp"), "metric", "value")
+        .orderBy($"l_returnflag", $"metric")
+    },
+
+    // Map construction + lookup + transform_values; map-typed outputs are
+    // serialized to scalars/strings (driver compare sorts rows in pandas).
+    sql("q_map_funcs",
+      """SELECT o_orderkey,
+        |  o_orderpriority AS prio_val,
+        |  upper(o_orderstatus) AS status_up,
+        |  2 AS n_keys,
+        |  'status,prio' AS keys,
+        |  concat(o_orderstatus, ',', o_orderpriority) AS vals
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val m = map(lit("status"), $"o_orderstatus", lit("prio"), $"o_orderpriority")
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          element_at(m, "prio").as("prio_val"),
+          element_at(transform_values(m, (_, v) => upper(v)), "status").as("status_up"),
+          size(m).as("n_keys"),
+          array_join(map_keys(m), ",").as("keys"),
+          array_join(map_values(m), ",").as("vals"))
+        .orderBy($"o_orderkey")
+        .limit(200)
+    },
+
+    // Exact percentiles: linear-interpolation quantiles + median per group.
+    sql("q_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(median(l_quantity), 4) AS med_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Corpus profile per language — the doc-pipeline shape of the same
+    // exact-percentile machinery.
+    sql("q_doc_profile",
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  round(quantile_cont(n_chars, 0.5), 1) AS med_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg($"n_chars"), 2).as("avg_chars"),
+          min($"n_chars").cast("long").as("min_chars"),
+          max($"n_chars").cast("long").as("max_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 1).as("med_chars"))
+        .orderBy($"lang")
+    },
+
+    // Edit distance + affix predicates.
+    sql("q_string_distance",
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev,
+        |  starts_with(c_name, 'Customer') AS sw,
+        |  ends_with(c_mktsegment, 'RY') AS ew,
+        |  contains(c_mktsegment, 'O') AS has_o
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_custkey",
+          levenshtein($"c_mktsegment", lit("BUILDING")).cast("int").as("lev"),
+          $"c_name".startsWith("Customer").as("sw"),
+          $"c_mktsegment".endsWith("RY").as("ew"),
+          $"c_mktsegment".contains("O").as("has_o"))
+        .orderBy($"c_custkey")
+        .limit(300)
+    },
+
+    // Distribution windows: ntile / percent_rank / cume_dist / nth_value.
+    // The (totalprice, orderkey) ordering is a total order, so peer groups
+    // are single rows on both engines.
+    sql("q_window_dist",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value($"o_orderkey", 2).over(wFull).as("second_key"))
+        .orderBy($"o_orderkey")
+        .limit(500)
+    },
+
+    // first/last with IGNORE NULLS over an explicit full frame.
+    sql("q_first_last_window",
+      """SELECT o_orderkey,
+        |  first_value(nullif(o_orderstatus, 'O') IGNORE NULLS) OVER w AS first_closed,
+        |  last_value(nullif(o_orderstatus, 'O') IGNORE NULLS) OVER w AS last_closed,
+        |  nth_value(o_orderkey, 3) OVER w AS third_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val statusN = nullif($"o_orderstatus", lit("O"))
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          first(statusN, ignoreNulls = true).over(w).as("first_closed"),
+          last(statusN, ignoreNulls = true).over(w).as("last_closed"),
+          nth_value($"o_orderkey", 3).over(w).as("third_key"))
+        .orderBy($"o_orderkey")
+        .limit(500)
+    },
+
+    // sequence + explode: bounded per-row fan-out, re-aggregated.
+    sql("q_sequence_explode",
+      """SELECT step,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM (SELECT o_orderkey,
+        |        unnest(generate_series(1, o_orderkey % 3 + 1)) AS step
+        |      FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          explode(sequence(lit(1L), ($"o_orderkey" % 3) + 1)).as("step"))
+        .groupBy($"step")
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+        .orderBy($"step")
+    },
+
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM) vs plain equality;
+    // the plain-equality result is cast to INT so the nullable column stays
+    // pandas-sortable in the driver compare.
+    sql("q_null_safe_eq",
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS nseq_f,
+        |  nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS nseq_null,
+        |  CAST(CASE WHEN nullif(o_orderstatus, 'O') = 'F' THEN 1
+        |       WHEN NOT nullif(o_orderstatus, 'O') = 'F' THEN 0 END AS INT) AS eq_f
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val statusN = nullif($"o_orderstatus", lit("O"))
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          statusN.eqNullSafe(lit("F")).as("nseq_f"),
+          statusN.eqNullSafe(lit(null).cast("string")).as("nseq_null"),
+          when(statusN === "F", 1).when(!(statusN === "F"), 0)
+            .cast("int").as("eq_f"))
+        .orderBy($"o_orderkey")
+        .limit(500)
+    },
+
+    // Bitwise scalar surface + radix conversion.
+    sql("q_bitwise",
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS k_and,
+        |  o_orderkey | 16 AS k_or,
+        |  xor(o_orderkey, 96) AS k_xor,
+        |  o_orderkey << 2 AS k_shl,
+        |  o_orderkey >> 1 AS k_shr,
+        |  CAST(bit_count(o_orderkey) AS INT) AS k_bits,
+        |  hex(o_orderkey) AS k_hex
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          $"o_orderkey".bitwiseAND(lit(255L)).as("k_and"),
+          $"o_orderkey".bitwiseOR(lit(16L)).as("k_or"),
+          $"o_orderkey".bitwiseXOR(lit(96L)).as("k_xor"),
+          shiftleft($"o_orderkey", 2).as("k_shl"),
+          shiftright($"o_orderkey", 1).as("k_shr"),
+          bit_count($"o_orderkey").cast("int").as("k_bits"),
+          hex($"o_orderkey").as("k_hex"))
+        .orderBy($"o_orderkey")
+        .limit(500)
+    },
+
+    // Boolean aggregates: bool_and / bool_or / count_if per group.
+    sql("q_bool_agg",
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.05) AS any_disc,
+        |  CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          bool_and($"l_quantity" > 0).as("all_pos"),
+          bool_or($"l_discount" > 0.05).as("any_disc"),
+          count_if($"l_tax" === 0).as("n_taxfree"))
+        .orderBy($"l_returnflag")
+    },
+  )
+}
