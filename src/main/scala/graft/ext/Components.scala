@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the dup-cluster
+  * operator: near-duplicate candidate pairs (MinHash/SimHash/LSH output)
+  * form a graph, and each connected component is one duplicate cluster,
+  * labeled by its minimum member id so a pipeline can keep one canonical
+  * document per cluster.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with its own id; each round a node takes the minimum label among itself
+  * and its neighbors; fixpoint when no label changes. A component of
+  * diameter D converges in ≤ D rounds. Per round the work is one shuffle
+  * join (edges ⋈ labels on node id) plus a min aggregate — both partition
+  * on node id, so consecutive rounds reuse the same hash partitioning.
+  *
+  * Scale notes: labels are truncated with `localCheckpoint` every round —
+  * without it round N's plan nests rounds 1..N-1 and the job re-derives the
+  * whole history each action. Real dup graphs are overwhelmingly small
+  * clusters (pairs/triples), so rounds-to-converge is the max cluster
+  * diameter, typically < 5; `maxIters` bounds pathological chains. (The
+  * alternating large-star/small-star variant converges in O(log D) for
+  * adversarial graphs; min-propagation is the right trade for dup-cluster
+  * shapes.)
+  */
+object Components {
+
+  /** edges: two long-typed columns (src, dst), undirected (either
+    * orientation). Returns (id, component): every node that appears in an
+    * edge, labeled with the smallest node id in its component. */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = stepped.filter(col("label") =!= col("old_label")).count()
+      labels = stepped.select("id", "label")
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+}

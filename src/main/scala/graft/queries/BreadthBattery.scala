@@ -255,6 +255,139 @@ object BreadthBattery {
         .limit(500)
     },
 
+    // Regexp surface: global replace, match count, boolean match, group
+    // extract. Spark regexp_replace is global by default = DuckDB 'g' flag.
+    sql("q_regexp",
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits,
+        |  regexp_matches(c_name, '^Customer') AS is_customer,
+        |  regexp_extract(c_name, '([0-9]{3})$', 1) AS last3
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_custkey",
+          regexp_replace($"c_name", "[0-9]+", "#").as("masked"),
+          regexp_count($"c_name", lit("[0-9]")).cast("int").as("n_digits"),
+          $"c_name".rlike("^Customer").as("is_customer"),
+          regexp_extract($"c_name", "([0-9]{3})$", 1).as("last3"))
+        .orderBy($"c_custkey")
+        .limit(300)
+    },
+
+    // Datetime construction + epoch extraction from component values.
+    sql("q_datetime_construct",
+      """SELECT o_orderkey,
+        |  make_date(1995, CAST(o_orderkey % 12 + 1 AS INT), CAST(o_orderkey % 28 + 1 AS INT)) AS d,
+        |  make_timestamp(1995, CAST(o_orderkey % 12 + 1 AS INT), CAST(o_orderkey % 28 + 1 AS INT),
+        |    CAST(o_orderkey % 24 AS INT), CAST(o_orderkey % 60 AS INT), 0.0) AS t,
+        |  CAST(date_part('epoch', make_timestamp(1995, CAST(o_orderkey % 12 + 1 AS INT),
+        |    CAST(o_orderkey % 28 + 1 AS INT), CAST(o_orderkey % 24 AS INT),
+        |    CAST(o_orderkey % 60 AS INT), 0.0)) AS BIGINT) AS epoch_s,
+        |  CAST(date_part('doy', o_orderdate) AS INT) AS doy
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val mo = ($"o_orderkey" % 12 + 1).cast("int")
+      val dy = ($"o_orderkey" % 28 + 1).cast("int")
+      val hr = ($"o_orderkey" % 24).cast("int")
+      val mi = ($"o_orderkey" % 60).cast("int")
+      val ts = make_timestamp(lit(1995), mo, dy, hr, mi, lit(0.0))
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          make_date(lit(1995), mo, dy).as("d"),
+          ts.as("t"),
+          unix_timestamp(ts).as("epoch_s"),
+          dayofyear($"o_orderdate").as("doy"))
+        .orderBy($"o_orderkey")
+        .limit(300)
+    },
+
+    // Tumbling event-time windows in batch: Spark's window() buckets are
+    // epoch-aligned, as are DuckDB's time_bucket boundaries for intervals
+    // that divide a day — identical bucketing, no streaming machinery.
+    sql("q_tumbling_window",
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .select($"w.start".as("bucket"), $"n", $"sum_value")
+        .orderBy($"bucket")
+    },
+
+    // Calendar gap-fill: a generated day series LEFT-joined to per-day
+    // order counts — absent days surface as zero instead of silently
+    // missing rows (the broadcast side is the 31-row series).
+    sql("q_gap_fill",
+      """SELECT CAST(d.day AS DATE) AS day,
+        |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+        |FROM (SELECT unnest(generate_series(DATE '1995-03-01', DATE '1995-03-31',
+        |        INTERVAL 1 DAY)) AS day) d
+        |LEFT JOIN (SELECT o_orderdate, count(*) AS n FROM orders GROUP BY 1) o
+        |  ON CAST(d.day AS DATE) = o.o_orderdate
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val days = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("1995-03-01")),
+        lit(java.sql.Date.valueOf("1995-03-31")),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val counts = Tables.orders(s, d)
+        .groupBy($"o_orderdate").agg(count(lit(1)).as("n"))
+      days.join(counts, $"day" === $"o_orderdate", "left")
+        .select($"day", coalesce($"n", lit(0L)).as("n_orders"))
+        .orderBy($"day")
+    },
+
+    // Connected components as dup clustering: chain edges within groups of
+    // an identical profile key (the stand-in for near-dup candidate pairs,
+    // whose engine hashes are not oracle-expressible), min-label propagated
+    // to a fixpoint. Oracle = the closed-form min-per-group, which the
+    // iterative algorithm must reproduce exactly.
+    sql("q_dup_clusters",
+      """SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+        |FROM (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY k) AS cluster_id,
+        |        count(*) OVER (PARTITION BY k) AS c
+        |      FROM (SELECT doc_id,
+        |              lang || '|' || source || '|' || CAST(n_chars % 20 AS VARCHAR) AS k
+        |            FROM documents))
+        |WHERE c > 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val keyed = Tables.documents(s, d).select($"doc_id",
+        concat_ws("|", $"lang", $"source", ($"n_chars" % 20).cast("string")).as("k"))
+      val w = Window.partitionBy($"k").orderBy($"doc_id")
+      val edges = keyed
+        .withColumn("prev", lag($"doc_id", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"prev".as("src"), $"doc_id".as("dst"))
+      graft.ext.Components.connectedComponents(edges)
+        .select($"id".as("doc_id"), $"component".as("cluster_id"))
+        .orderBy($"doc_id")
+    },
+
+    // Salted join on an extreme-skew key (3 distinct values): every fact row
+    // of a hot key spreads over `salts` reducers; oracle = the plain join.
+    sql("q_salted_join",
+      """WITH dim AS (SELECT DISTINCT l_returnflag, 'flag-' || l_returnflag AS label
+        |             FROM lineitem)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN dim USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val dim = li.select($"l_returnflag").distinct()
+        .withColumn("label", concat(lit("flag-"), $"l_returnflag"))
+      graft.ops.SkewJoin.saltedInnerJoin(li, dim, Seq("l_returnflag"), salts = 8)
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("revenue"))
+        .orderBy($"label")
+    },
+
     // Boolean aggregates: bool_and / bool_or / count_if per group.
     sql("q_bool_agg",
       """SELECT l_returnflag,

@@ -1,0 +1,37 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains, triangles, and singleton edges all collapse to min-id labels") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),        // chain 1-2-3-4
+      (10L, 11L), (11L, 12L), (12L, 10L),  // triangle
+      (21L, 20L)                           // pair
+    ).toDF("src", "dst")
+    val got = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path needs multiple propagation rounds and still converges") {
+    val n = 12
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.toSet == Set(1L)) // one component, labeled by min id
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+}
