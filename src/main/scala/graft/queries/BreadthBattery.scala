@@ -388,6 +388,110 @@ object BreadthBattery {
         .orderBy($"label")
     },
 
+    // TF-IDF top terms per document: corpus-wide document frequency joined
+    // back to per-doc term frequency — tf shuffles on (doc, word), df on
+    // word, the doc-count is a broadcast scalar; all aggregates algebraic.
+    sql("q_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE len(word) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, word, tfidf, rank FROM (
+        |  SELECT doc_id, word,
+        |    round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, word) AS INT) AS rank
+        |  FROM tf JOIN df USING (word) CROSS JOIN n
+        |  WHERE doc_id < 50)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tok = docs
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("word"))
+        .filter(length($"word") > 0)
+      val tf = tok.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val dfq = tok.groupBy($"word").agg(countDistinct($"doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val score = $"tf" * log($"n".cast("double") / $"df")
+      val w = Window.partitionBy($"doc_id").orderBy(score.desc, $"word")
+      tf.join(dfq, "word")
+        .crossJoin(broadcast(n))
+        .filter($"doc_id" < 50)
+        .select($"doc_id", $"word", round(score, 6).as("tfidf"),
+          row_number().over(w).as("rank"))
+        .filter($"rank" <= 3)
+        .orderBy($"doc_id", $"rank")
+    },
+
+    // Deterministic hash split (train/test): md5-prefix bucketing is stable
+    // across engines, runs, and partitionings — the right way to split a
+    // 100 TB corpus (no RNG, no sampling state).
+    sql("q_hash_sample",
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+        |       THEN 'train' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(
+          when(substring(md5($"doc_id".cast("string")), 1, 1) < "d", "train")
+            .otherwise("test").as("split"),
+          $"n_chars")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"), round(avg($"n_chars"), 4).as("avg_chars"))
+        .orderBy($"split")
+    },
+
+    // FULL OUTER join of two aggregates with coalesced keys.
+    sql("q_outer_join",
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS no
+        |           FROM orders
+        |           WHERE CAST(o_orderdate AS DATE)
+        |             BETWEEN DATE '1995-03-01' AND DATE '1995-03-31' GROUP BY 1),
+        |     l AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS nl
+        |           FROM lineitem
+        |           WHERE CAST(l_shipdate AS DATE)
+        |             BETWEEN DATE '1995-03-01' AND DATE '1995-03-31' GROUP BY 1)
+        |SELECT COALESCE(o.d, l.d) AS day,
+        |  CAST(COALESCE(no, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(nl, 0) AS BIGINT) AS n_ships
+        |FROM o FULL OUTER JOIN l ON o.d = l.d
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      def inWindow(c: org.apache.spark.sql.Column) =
+        c.between(lit(java.sql.Date.valueOf("1995-03-01")), lit(java.sql.Date.valueOf("1995-03-31")))
+      val o = Tables.orders(s, d)
+        .select($"o_orderdate".cast("date").as("od"))
+        .filter(inWindow($"od"))
+        .groupBy($"od").agg(count(lit(1)).as("no"))
+      val l = Tables.lineitem(s, d)
+        .select($"l_shipdate".cast("date").as("ld"))
+        .filter(inWindow($"ld"))
+        .groupBy($"ld").agg(count(lit(1)).as("nl"))
+      o.join(l, $"od" === $"ld", "full_outer")
+        .select(coalesce($"od", $"ld").as("day"),
+          coalesce($"no", lit(0L)).as("n_orders"),
+          coalesce($"nl", lit(0L)).as("n_ships"))
+        .orderBy($"day")
+    },
+
+    // Cartesian product of two small dims (the one join shape where a
+    // cross join is legitimate — both sides tiny).
+    sql("q_cross_join",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.table(s, d, "region").select($"r_name")
+        .crossJoin(Tables.table(s, d, "nation").select($"n_name"))
+        .orderBy($"r_name", $"n_name")
+    },
+
     // Boolean aggregates: bool_and / bool_or / count_if per group.
     sql("q_bool_agg",
       """SELECT l_returnflag,
