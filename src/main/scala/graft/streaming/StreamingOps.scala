@@ -42,6 +42,52 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream inner join with a time-range condition: right events
+    * within [left.ts, left.ts + withinSeconds] on equal keys. Watermarks on
+    * BOTH sides plus the range bound are what let Spark expire join state —
+    * without them stream-stream state grows forever. Key columns must be
+    * distinct across the two sides (rename before joining). */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTs: String,
+      rightTs: String,
+      withinSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val cond = keys.map { case (l, r) => col(l) === col(r) }.reduce(_ && _) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark), cond, "inner")
+  }
+
+  /** Streaming MERGE sink: each micro-batch upserts into a partitioned
+    * parquet table via [[graft.sinks.LakeMaintenance.upsert]] — keys replace,
+    * new keys insert, only touched partitions rewrite. With the batch dedup
+    * inside upsert this makes the at-least-once source (T7) exactly-once at
+    * the table level: re-delivered rows replace themselves idempotently. */
+  def startMergeSink(
+      stream: DataFrame,
+      targetPath: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      orderCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sinks.LakeMaintenance.upsert(
+            batch.sparkSession, targetPath, batch.toDF(), keys, partitionCols, orderCol)
+      }
+      .start()
+
   // ---- sessionization ------------------------------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -109,6 +109,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows == Set(("austin", "TX"), ("denver", null)))
   }
 
+  test("stream-stream join: clicks within 60s of impressions, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val imp = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp)]
+    val clk = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp)]
+    val joined = StreamingOps.streamStreamJoin(
+      imp.toDF().toDF("ad", "imp_ts"),
+      clk.toDF().toDF("c_ad", "clk_ts"),
+      keys = Seq(("ad", "c_ad")),
+      leftTs = "imp_ts", rightTs = "clk_ts", withinSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    imp.addData(("a1", ts("2025-08-29T14:00:00Z")), ("a2", ts("2025-08-29T14:00:10Z")))
+    clk.addData(
+      ("a1", ts("2025-08-29T14:00:30Z")), // within 60s → joins
+      ("a2", ts("2025-08-29T14:02:00Z")), // 110s later → outside window
+      ("a3", ts("2025-08-29T14:00:05Z"))) // no matching impression
+    q.processAllAvailable()
+    val rows = spark.table("ssj").select("ad").as[String].collect().toSeq
+    q.stop()
+    assert(rows == Seq("a1"))
+  }
+
+  test("streaming MERGE sink: per-batch upsert makes at-least-once exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val target = s"$dir/table"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Int, Double)]
+    val stream = mem.toDF().toDF("city", "dt", "v", "temp")
+    val q = StreamingOps.startMergeSink(stream, target, s"$dir/ckpt",
+      keys = Seq("city"), partitionCols = Seq("dt"), orderCol = "v",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(("austin", "2025-08-29", 1, 30.0), ("boston", "2025-08-29", 1, 20.0))
+    q.processAllAvailable()
+    mem.addData(("austin", "2025-08-29", 2, 31.5), // replaces austin
+      ("austin", "2025-08-29", 2, 31.5))           // retry duplicate in-batch
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(target)
+    assert(out.count() == 2) // one row per key, no duplicates
+    assert(out.filter($"city" === "austin").select($"temp").as[Double].head() == 31.5)
+  }
+
   test("dedupWithinWatermark drops retry-duplicates in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Timestamp)]
