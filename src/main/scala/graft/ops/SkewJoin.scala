@@ -32,6 +32,10 @@ object SkewJoin {
       pmod(xxhash64(struct(bigCols: _*)), lit(salts.toLong)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    salted.join(replicated, keys :+ "_salt").drop("_salt")
+    // Pin a SHUFFLED hash join (small side builds): salting only means
+    // anything when both sides shuffle on (key, salt) — at test scale the
+    // optimizer would otherwise notice either side fits a broadcast and
+    // silently plan the one join shape salting exists to replace.
+    salted.join(replicated.hint("shuffle_hash"), keys :+ "_salt").drop("_salt")
   }
 }
