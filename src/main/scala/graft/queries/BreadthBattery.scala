@@ -492,6 +492,28 @@ object BreadthBattery {
         .orderBy($"r_name", $"n_name")
     },
 
+    // RANGE frame over event-time values (not row counts): trailing-30-day
+    // revenue per customer. The Spark side orders by day number with a
+    // value-range frame — identical peer/frame semantics to the interval
+    // RANGE frame DuckDB runs.
+    sql("q_range_frame",
+      """SELECT o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE)
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS rev_30d
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy(unix_date($"o_orderdate".cast("date")))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          round(sum($"o_totalprice").over(w), 2).as("rev_30d"))
+        .orderBy($"o_orderkey")
+        .limit(500)
+    },
+
     // Boolean aggregates: bool_and / bool_or / count_if per group.
     sql("q_bool_agg",
       """SELECT l_returnflag,

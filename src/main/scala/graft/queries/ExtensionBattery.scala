@@ -252,6 +252,46 @@ object ExtensionBattery {
         .limit(200)
     },
 
+    // Near-dup dedup END-TO-END: MinHash candidates → connected components
+    // → drop every non-canonical cluster member (canonical = min doc_id) —
+    // the full pipeline a 100 TB corpus dedup runs. Engine-hash based →
+    // rows-only; per-language kept-counts keep the output stable.
+    rowsOnly("q_neardup_keep_canonical") { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = MinHash.candidatePairs(docs, "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3)
+        .filter($"est_jaccard" >= 0.5)
+      val comp = graft.ext.Components.connectedComponents(
+        pairs, srcCol = "doc_a", dstCol = "doc_b")
+      val dropIds = comp.filter($"id" =!= $"component").select($"id".as("doc_id"))
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy($"lang")
+    },
+
+    // Int8-quantized brute-force top-k: 4× smaller vectors, integer dot
+    // products, identical ranking machinery — recall vs exact pinned in
+    // QuantizeSpec. Rows-only (quantized scores are engine-specific).
+    rowsOnly("q_quantize_topk") { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val qz = Tables.embeddings(s, d)
+        .select($"vec_id".as("id"), graft.ext.Quantize.quantize($"embedding").as("z"))
+      val queries = qz.filter($"id" < 5)
+        .select($"id".as("query_id"), $"z.q".as("qa"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      qz.select($"id".as("neighbor_id"), $"z.q".as("qb"))
+        .crossJoin(broadcast(queries))
+        .filter($"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          round(graft.ext.Quantize.cosineInt8($"qa", $"qb"), 6).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .orderBy($"query_id", $"rank")
+    },
+
     // Multimodal: binary media column + typed metadata (oracled), the codec
     // stub only affects q_media_features below.
     sql("q_multimodal_meta",
