@@ -252,6 +252,67 @@ object ExtensionBattery {
         .limit(200)
     },
 
+    // Training-data chunking: fixed-size token windows with overlap
+    // (50-token chunks, stride 40). Pure per-row fan-out — no shuffle until
+    // a downstream op needs one; chunk boundaries clamp identically in
+    // Spark slice() and DuckDB list slicing.
+    sql("q_chunk_documents",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(toks[(i*40+1):(i*40+50)], ' ') AS chunk_text,
+        |  CAST(len(toks[(i*40+1):(i*40+50)]) AS INT) AS n_tokens
+        |FROM x, unnest(generate_series(0, CAST(floor((n-1)/40) AS BIGINT))) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val chunk = 50
+      val step = 40
+      Tables.documents(s, d)
+        .withColumn("toks",
+          filter(split(lower($"text"), "\\s+"), w => length(w) > 0))
+        .withColumn("n", size($"toks"))
+        .filter($"n" > 0)
+        .select($"doc_id", posexplode(
+          transform(sequence(lit(0), floor(($"n" - 1) / step).cast("int")),
+            i => slice($"toks", i * step + 1, lit(chunk))))
+          .as(Seq("chunk_idx", "chunk")))
+        .select($"doc_id", $"chunk_idx",
+          array_join($"chunk", " ").as("chunk_text"),
+          size($"chunk").as("n_tokens"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // Sequence packing: greedy fill of 512-token packs in doc_id order —
+    // pack id = floor(preceding cumulative tokens / budget), one running-sum
+    // window. (A global doc order means a single-partition window here; at
+    // 100 TB packing runs per shard — partition by a shard key first.)
+    sql("q_pack_sequences",
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id, n_tok,
+        |        sum(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(filter(split(lower($"text"), "\\s+"), t => length(t) > 0))
+            .cast("long").as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .select($"doc_id", $"n_tok",
+          floor(($"cum" - $"n_tok") / 512.0).cast("long").as("pack_id"))
+        .orderBy($"doc_id")
+    },
+
     // Near-dup dedup END-TO-END: MinHash candidates → connected components
     // → drop every non-canonical cluster member (canonical = min doc_id) —
     // the full pipeline a 100 TB corpus dedup runs. Engine-hash based →
