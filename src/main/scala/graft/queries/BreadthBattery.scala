@@ -514,6 +514,30 @@ object BreadthBattery {
         .limit(500)
     },
 
+    // Incremental aggregate maintenance: per-half partials merged =
+    // the direct aggregate (the oracle computes it directly) — the
+    // partial/final algebra applied ACROSS job runs.
+    sql("q_incremental_agg",
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val old = li.filter($"l_orderkey" % 2 === 0)
+      val delta = li.filter($"l_orderkey" % 2 =!= 0)
+      graft.ops.IncrementalAgg.merge(Seq("l_returnflag"),
+          graft.ops.IncrementalAgg.partial(old, Seq("l_returnflag"), "l_extendedprice"),
+          graft.ops.IncrementalAgg.partial(delta, Seq("l_returnflag"), "l_extendedprice"))
+        .select($"l_returnflag", $"n",
+          round($"sum_l_extendedprice", 2).as("sum_price"),
+          round($"min_l_extendedprice", 2).as("min_price"),
+          round($"max_l_extendedprice", 2).as("max_price"))
+        .orderBy($"l_returnflag")
+    },
+
     // Boolean aggregates: bool_and / bool_or / count_if per group.
     sql("q_bool_agg",
       """SELECT l_returnflag,
