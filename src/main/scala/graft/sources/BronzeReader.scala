@@ -29,6 +29,35 @@ object BronzeReader {
       .option("recursiveFileLookup", "true")
       .json(path)
 
+  /** Error-isolating read (T8): malformed lines are ROUTED, not dropped and
+    * not fatal — PERMISSIVE mode captures the raw text of any unparseable
+    * line in `_corrupt_record`, so the pipeline can split the stream into
+    * (parsed rows, quarantined raw lines) with one scan and zero failed
+    * tasks. Returns (good, bad): `good` carries the contract columns,
+    * `bad` the raw offending lines for quarantine/replay. */
+  def readWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val raw = spark.read.schema(withCorrupt)
+      .option("recursiveFileLookup", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // corrupt-record splits must not re-read the source per branch with
+      // differing parse results — cache the single parse
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
   /** Partition-aware read: `dt`/`hour` become real partition columns so
     * `filter($"dt" === ... && $"hour" === ...)` prunes at file-listing time —
     * the advertised `--dt_filter`/`--hour_filter` semantics

@@ -250,4 +250,22 @@ class BronzeReaderSpec extends SparkSpec {
     assert(df.schema == schema)
     assert(df.head() == Row("austin", 35.5))
   }
+
+  test("quarantine read routes malformed lines without failing the scan (T8)") {
+    val dir = Files.createTempDirectory("graft-quarantine").toString
+    Seq(
+      """{"city":"austin","temp_c":35.5}""",
+      """{"city":"boston","temp_c":""",      // truncated JSON
+      """not json at all""",
+      """{"city":"chicago","temp_c":18.2}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("city", StringType), StructField("temp_c", DoubleType)))
+    val (good, bad) = BronzeReader.readWithQuarantine(spark, dir, schema)
+    assert(good.schema == schema)
+    assert(good.select("city").as[String].collect().toSet == Set("austin", "chicago"))
+    val quarantined = bad.as[String].collect()
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("not json at all"))) // raw line preserved
+  }
 }
