@@ -20,7 +20,7 @@ import graft.sources.BronzeReader
   *    (`glue:52,63,104,143`).
   *
   * Usage: graft.Etl --bronze <dir> --gold <dir> [--dt-filter yyyy-MM-dd]
-  *        [--hour-filter HH] [--full] [--append]
+  *        [--hour-filter HH] [--full] [--append] [--quarantine <dir>]
   */
 object Etl {
 
@@ -30,7 +30,8 @@ object Etl {
       dtFilter: Option[String] = None,
       hourFilter: Option[String] = None,
       full: Boolean = false,      // read the whole prefix (reference parity)
-      idempotent: Boolean = true)
+      idempotent: Boolean = true,
+      quarantine: Option[String] = None) // route malformed lines here (T8)
 
   /** One ETL run; returns the loaded frame's metrics as (rows, nullCity). */
   def run(spark: SparkSession, cfg: Config): Map[String, Any] = {
@@ -43,10 +44,20 @@ object Etl {
         (Some(prev.toLocalDate.toString), Some(f"${prev.getHour}%02d"))
       }
 
-    val raw = BronzeReader.readPartitioned(spark, cfg.bronze, Weather.contract, dtF, hourF)
-      // partition cols come back from the directory layout; drop so the
-      // event-time derivation below re-derives them from the record itself
-      .drop("dt", "hour")
+    val raw = cfg.quarantine match {
+      case Some(qDir) =>
+        // quarantine path: one PERMISSIVE parse, malformed lines land in
+        // qDir as raw text for replay, contract rows continue downstream
+        val (good, bad) = BronzeReader.readWithQuarantine(
+          spark, BronzeReader.globFor(cfg.bronze, dtF, hourF), Weather.contract)
+        bad.write.mode("append").text(qDir)
+        good
+      case None =>
+        BronzeReader.readPartitioned(spark, cfg.bronze, Weather.contract, dtF, hourF)
+          // partition cols come back from the directory layout; drop so the
+          // event-time derivation below re-derives them from the record itself
+          .drop("dt", "hour")
+    }
 
     // conditional embedded-JSON expansion (glue:42-61)
     val expanded = JsonExpand.findJsonColumn(raw)
@@ -77,7 +88,8 @@ object Etl {
       dtFilter = arg("--dt-filter"),
       hourFilter = arg("--hour-filter"),
       full = args.contains("--full"),
-      idempotent = !args.contains("--append"))
+      idempotent = !args.contains("--append"),
+      quarantine = arg("--quarantine"))
     val spark = SessionFactory.builder(
       "graft-etl", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

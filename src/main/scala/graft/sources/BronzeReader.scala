@@ -62,19 +62,25 @@ object BronzeReader {
     * `filter($"dt" === ... && $"hour" === ...)` prunes at file-listing time —
     * the advertised `--dt_filter`/`--hour_filter` semantics
     * (`README.md:188-190`) done right. */
+  /** The directory a (dt, hour) filter narrows the scan to — shared by the
+    * partition-pruned and quarantine read paths. */
+  def globFor(
+      basePath: String,
+      dtFilter: Option[String],
+      hourFilter: Option[String]): String =
+    (dtFilter, hourFilter) match {
+      case (Some(dt), Some(h)) => s"$basePath/dt=$dt/hour=$h"
+      case (Some(dt), None)    => s"$basePath/dt=$dt"
+      case _                   => basePath
+    }
+
   def readPartitioned(
       spark: SparkSession,
       basePath: String,
       schema: StructType,
       dtFilter: Option[String] = None,
-      hourFilter: Option[String] = None): DataFrame = {
-    val globbed = (dtFilter, hourFilter) match {
-      case (Some(dt), Some(h)) => s"$basePath/dt=$dt/hour=$h"
-      case (Some(dt), None)    => s"$basePath/dt=$dt"
-      case _                   => basePath
-    }
+      hourFilter: Option[String] = None): DataFrame =
     spark.read.schema(schema)
       .option("basePath", basePath)
-      .json(globbed)
-  }
+      .json(globFor(basePath, dtFilter, hourFilter))
 }

@@ -59,4 +59,20 @@ class EtlSpec extends SparkSpec {
     // event-time partition columns re-derived and written hive-style
     assert(out.filter(org.apache.spark.sql.functions.col("dt") === "2025-08-30").count() == 1)
   }
+
+  test("--quarantine routes malformed bronze lines and still loads the good rows") {
+    val bronze = Files.createTempDirectory("graft-etl-bronze3").toString
+    val gold = Files.createTempDirectory("graft-etl-gold3").toString + "/weather"
+    val qdir = Files.createTempDirectory("graft-etl-q").toString + "/bad"
+    writeBronzePartition(bronze, "2025-08-29", "14", Seq(
+      rec("Austin", "2025-08-29T14:05:00Z"),
+      """{"broken json line""",
+      rec("Boston", "2025-08-29T14:10:00Z")))
+
+    val m = Etl.run(spark, Etl.Config(bronze, gold, full = true,
+      quarantine = Some(qdir)))
+    assert(m("rows") == 2L)
+    val quarantined = spark.read.text(qdir).collect().map(_.getString(0))
+    assert(quarantined.length == 1 && quarantined.head.contains("broken json"))
+  }
 }
