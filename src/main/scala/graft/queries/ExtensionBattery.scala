@@ -316,6 +316,48 @@ object ExtensionBattery {
         .orderBy($"doc_id")
     },
 
+    // BM25 ranked retrieval over the corpus for a fixed term set (k1=1.2,
+    // b=0.75): tf on (doc, word), df on word, corpus stats broadcast — the
+    // classic lexical-search scorer as three algebraic aggregates + joins.
+    sql("q_bm25_search",
+      """WITH tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE len(word) > 0),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |terms AS (SELECT unnest(['spark', 'query', 'data']) AS word)
+        |SELECT doc_id,
+        |  round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |    tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+        |FROM tf
+        |JOIN terms USING (word) JOIN df USING (word) JOIN dl USING (doc_id)
+        |CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("word"))
+        .filter(length($"word") > 0)
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).cast("double").as("dl"))
+      val tf = tok.groupBy($"doc_id", $"word").agg(count(lit(1)).cast("double").as("tf"))
+      val dfq = tok.groupBy($"word").agg(countDistinct($"doc_id").cast("double").as("df"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg($"dl").as("avgdl"))
+      val terms = Seq("spark", "query", "data").toDF("word")
+      val score = log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+        $"tf" * 2.2 / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+      tf.join(broadcast(terms), "word")
+        .join(dfq, "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy($"doc_id")
+        .agg(round(sum(score), 6).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    },
+
     // Near-dup dedup END-TO-END: MinHash candidates → connected components
     // → drop every non-canonical cluster member (canonical = min doc_id) —
     // the full pipeline a 100 TB corpus dedup runs. Engine-hash based →
