@@ -538,6 +538,27 @@ object BreadthBattery {
         .orderBy($"l_returnflag")
     },
 
+    // Stratified sampling: exactly 10 docs per language, selected by a
+    // deterministic hash order (md5 of the id) — reproducible across
+    // engines, runs, and partitionings, unlike TABLESAMPLE/rand().
+    sql("q_stratified_sample",
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      Tables.documents(s, d)
+        .select($"lang", $"doc_id", row_number().over(w).as("rn"))
+        .filter($"rn" <= 10)
+        .select($"lang", $"doc_id")
+        .orderBy($"lang", $"doc_id")
+    },
+
     // Boolean aggregates: bool_and / bool_or / count_if per group.
     sql("q_bool_agg",
       """SELECT l_returnflag,

@@ -377,6 +377,19 @@ object ExtensionBattery {
         .orderBy($"lang")
     },
 
+    // Product-quantized ANN: 16-byte codes (32× smaller than the double
+    // vectors), per-query ADC tables, candidates scored by table lookups
+    // only, ranked by the bounded top-k aggregate. Recall vs exact L2
+    // pinned in PqIndexSpec. Rows-only (codebooks are engine-trained).
+    rowsOnly("q_pq_topk") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val books = graft.ext.PqIndex.train(emb, m = 16, k = 256, sampleN = 2000, iters = 5)
+      graft.ext.PqIndex.search(
+          emb.filter($"id" < 5), graft.ext.PqIndex.encode(emb, books), books, topK = 10)
+        .orderBy($"query_id", $"rank")
+    },
+
     // Int8-quantized brute-force top-k: 4× smaller vectors, integer dot
     // products, identical ranking machinery — recall vs exact pinned in
     // QuantizeSpec. Rows-only (quantized scores are engine-specific).
