@@ -30,11 +30,23 @@ object PqIndex {
       m: Int = 8,
       k: Int = 16,
       sampleN: Int = 10000,
-      iters: Int = 5): Array[Array[Array[Double]]] = {
-    val sample = vectors
+      iters: Int = 5): Array[Array[Array[Double]]] =
+    trainOnPoints(sampleVectors(vectors, sampleN), m, k, iters)
+
+  /** Deterministic bounded training sample: the first `sampleN` ids. */
+  private[ext] def sampleVectors(vectors: DataFrame, sampleN: Int): Array[Array[Double]] =
+    vectors
       .select(col("id"), col("vec").cast("array<double>").as("v"))
       .orderBy("id").limit(sampleN)
       .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Subspace codebooks from in-memory points — shared with [[IvfPq]],
+    * which trains on coarse-quantizer RESIDUALS instead of raw vectors. */
+  private[ext] def trainOnPoints(
+      sample: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty, "empty training sample")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
@@ -63,7 +75,7 @@ object PqIndex {
     }
   }
 
-  private def nearest(p: Array[Double], cents: Array[Array[Double]]): Int = {
+  private[ext] def nearest(p: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -98,7 +110,7 @@ object PqIndex {
 
   /** ADC table for one query vector: flat m·k doubles, entry (j, c) =
     * ||q_j − centroid_jc||². */
-  private def adcTable(q: Array[Double], codebooks: Array[Array[Array[Double]]]): Array[Double] = {
+  private[ext] def adcTable(q: Array[Double], codebooks: Array[Array[Array[Double]]]): Array[Double] = {
     val m = codebooks.length
     val k = codebooks(0).length
     val sub = codebooks(0)(0).length

@@ -390,6 +390,18 @@ object ExtensionBattery {
         .orderBy($"query_id", $"rank")
     },
 
+    // IVF+PQ composed ANN: coarse lists + residual PQ codes + per-list ADC
+    // tables, nprobe-pruned — the billion-scale index shape. Rows-only.
+    rowsOnly("q_ivfpq_topk") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val model = graft.ext.IvfPq.train(emb, nlist = 16, m = 16, k = 256, sampleN = 2000)
+      graft.ext.IvfPq.search(
+          emb.filter($"id" < 5), graft.ext.IvfPq.encode(emb, model),
+          model, topK = 10, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+
     // Int8-quantized brute-force top-k: 4× smaller vectors, integer dot
     // products, identical ranking machinery — recall vs exact pinned in
     // QuantizeSpec. Rows-only (quantized scores are engine-specific).

@@ -97,6 +97,18 @@ object Snapshots {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Compact the current snapshot to ~`targetFileRows` rows per file as a
+    * NEW version — readers pinned to older manifests are untouched (no
+    * rename-aside dance needed once commits are manifest-published; compare
+    * [[LakeMaintenance.compactPartition]] for the raw-directory variant).
+    * Old small files become unreferenced and fall to [[vacuum]]. */
+  def compact(spark: SparkSession, table: String, targetFileRows: Long = 1000000L): Long = {
+    val df = read(spark, table)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    commit(df.coalesce(nFiles), table, SaveMode.Overwrite)
+  }
+
   /** Drop data dirs referenced by no retained manifest (failed commits,
     * overwritten versions after `retainLast` manifests are pruned). */
   def vacuum(spark: SparkSession, table: String, retainLast: Int = 2): Unit = {

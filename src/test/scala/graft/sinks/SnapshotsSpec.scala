@@ -42,6 +42,20 @@ class SnapshotsSpec extends SparkSpec {
     assert(dataDirs.length == 2)
   }
 
+  test("compact publishes a new version; pinned old versions still read") {
+    val t = tmp()
+    (1 to 4).foreach(i => Snapshots.commit(
+      spark.range(200).select(($"id" + i * 1000).as("k")).repartition(4), t))
+    val before = Snapshots.read(spark, t)
+    assert(before.inputFiles.length >= 8) // many small files across commits
+    val v = Snapshots.compact(spark, t, targetFileRows = 1000000L)
+    val after = Snapshots.read(spark, t)
+    assert(after.inputFiles.length == 1)
+    assert(after.count() == 800)
+    // time travel to a pre-compaction version still works
+    assert(Snapshots.read(spark, t, Some(v - 1)).count() == 800)
+  }
+
   test("readers only see whole commits: no tmp manifests, immutable data dirs") {
     val t = tmp()
     Snapshots.commit(spark.range(100).select($"id", ($"id" * 2).as("v")), t)
