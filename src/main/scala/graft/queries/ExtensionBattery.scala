@@ -316,6 +316,70 @@ object ExtensionBattery {
         .orderBy($"doc_id")
     },
 
+    // Benchmark decontamination: flag corpus docs sharing ≥ 3 distinct
+    // token 3-grams with an eval set (here: doc_id < 10) — the n-gram
+    // overlap check every training corpus runs against its benchmarks.
+    // Gram join keys are strings ≈ uniform — balanced shuffle at scale;
+    // the eval-set gram side is the small (broadcastable) side.
+    sql("q_decontaminate",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(toks[i:(i+2)], ' ') AS gram
+        |  FROM tok, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM (SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+        |      FROM grams g JOIN bench USING (gram)
+        |      WHERE g.doc_id >= 10 GROUP BY 1)
+        |WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .withColumn("toks", filter(split(lower($"text"), "\\s+"), w => length(w) > 0))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"toks") - 2),
+            i => array_join(slice($"toks", i, lit(3)), " "))).as("gram"))
+      val bench = grams.filter($"doc_id" < 10).select($"gram").distinct()
+      grams.filter($"doc_id" >= 10)
+        .join(broadcast(bench), "gram")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"gram").as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .orderBy($"doc_id")
+    },
+
+    // Repetition quality signals (Gopher/C4-style): top-term share and
+    // distinct-token ratio per doc — two algebraic aggregates over the
+    // per-(doc, word) counts.
+    sql("q_repetition",
+      """WITH t AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE len(word) > 0),
+        |wc AS (SELECT doc_id, word, count(*) AS cnt FROM t GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tok,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share,
+        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS uniq_ratio
+        |FROM wc GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("word"))
+        .filter(length($"word") > 0)
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"cnt").as("n_tok"),
+          round(max($"cnt").cast("double") / sum($"cnt"), 6).as("top_share"),
+          round(count(lit(1)).cast("double") / sum($"cnt"), 6).as("uniq_ratio"))
+        .orderBy($"doc_id")
+    },
+
     // BM25 ranked retrieval over the corpus for a fixed term set (k1=1.2,
     // b=0.75): tf on (doc, word), df on word, corpus stats broadcast — the
     // classic lexical-search scorer as three algebraic aggregates + joins.
