@@ -58,6 +58,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    forSamples(edgeGen, n = 5) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      if (real.nonEmpty) {
+        val got = Components.connectedComponents(real.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        real.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        assert(got == expected)
+      }
+    }
+  }
+
+  test("quantize reconstruction is bounded by scale/2 on random vectors") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000.0, 1000.0))
+    forSamples(vecGen, n = 20) { v =>
+      val df = Seq(Tuple1(v)).toDF("vec")
+      val row = df.select(Quantize.quantize($"vec").as("z"))
+        .select($"z.scale", Quantize.dequantize($"z.scale", $"z.q").as("dq"))
+        .head()
+      val scale = row.getDouble(0)
+      val dq = row.getSeq[Double](1)
+      v.zip(dq).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-9, s"$a vs $b (scale $scale)")
+      }
+    }
+  }
+
   test("ddb unwrap is total on arbitrary scalar tag maps and keeps every key") {
     val scalarGen: Gen[String] = Gen.oneOf(
       Gen.alphaNumStr.map(s => s"""{"S":"$s"}"""),
