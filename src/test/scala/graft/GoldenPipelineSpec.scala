@@ -101,4 +101,24 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(expanded.columns.toSet == Set("id", "city", "temp_c", "humidity"))
     assert(expanded.filter($"city" === "Austin").select($"temp_c").as[Double].head() == 35.8)
   }
+
+  test("gold commits through the snapshot layer: hourly runs version the table") {
+    import graft.sinks.Snapshots
+    val t = java.nio.file.Files.createTempDirectory("graft-gold-snap").toString + "/gold"
+    // hour-14 batch then hour-15 batch, each an atomic snapshot commit
+    val h14 = Seq(("Austin", "2025-08-29T14:05:00Z", 35.1), ("Boston", "2025-08-29T14:10:00Z", 21.0))
+      .toDF("city", "fetched_at_utc", "temp_c")
+    val h15 = Seq(("Chicago", "2025-08-29T15:01:00Z", 18.5))
+      .toDF("city", "fetched_at_utc", "temp_c")
+    Snapshots.commit(h14, t)
+    Snapshots.commit(h15, t)
+    assert(Snapshots.read(spark, t).count() == 3)
+    // the hour-14 snapshot is still exactly the hour-14 load (audit/replay)
+    assert(Snapshots.read(spark, t, Some(1L)).select("city").as[String]
+      .collect().toSet == Set("Austin", "Boston"))
+    // compaction doesn't disturb history
+    Snapshots.compact(spark, t)
+    assert(Snapshots.read(spark, t).count() == 3)
+    assert(Snapshots.read(spark, t, Some(1L)).count() == 2)
+  }
 }
