@@ -41,6 +41,34 @@ object LakeWriter {
       .parquet(path)
   }
 
+  /** Format-agnostic partitioned write: `parquet` (default), `orc`, `json`,
+    * `csv` — the storage format is a parameter, not an architecture
+    * decision. CSV gets headers; columnar formats keep their native
+    * min/max stats for scan-time skipping. */
+  def writeFormat(
+      df: DataFrame,
+      path: String,
+      format: String = "parquet",
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode("append").format(format)
+    val withOpts = if (format == "csv") w.option("header", "true") else w
+    (if (partitionCols.nonEmpty) withOpts.partitionBy(partitionCols.filter(df.columns.contains): _*)
+     else withOpts).save(path)
+  }
+
+  /** Matching read; text formats (csv/json) take the explicit contract
+    * schema so types round-trip without an inference pass. */
+  def readFormat(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      format: String = "parquet",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format(format)
+    val withSchema = schema.fold(r)(r.schema)
+    val withOpts = if (format == "csv") withSchema.option("header", "true") else withSchema
+    withOpts.load(path)
+  }
+
   /** Idempotent gold load: overwrite exactly the partitions present in this
     * batch (dynamic partition overwrite), leaving the rest of the table
     * untouched — re-running a batch replaces instead of duplicating, making

@@ -235,6 +235,22 @@ class LakeRoundTripSpec extends SparkSpec {
     LakeWriter.writeGold(gold, path)
     assert(spark.read.parquet(path).count() == 6)
   }
+
+  test("storage formats round-trip: parquet, orc, json, csv with contract schema") {
+    val df = Seq(("austin", 35.5, 44), ("boston", 21.0, 60))
+      .toDF("city", "temp_c", "humidity")
+    val schema = df.schema
+    Seq("parquet", "orc", "json", "csv").foreach { fmt =>
+      val path = tmp() + s"/t_$fmt"
+      LakeWriter.writeFormat(df, path, fmt)
+      val back = LakeWriter.readFormat(spark, path, fmt,
+        schema = if (fmt == "parquet" || fmt == "orc") None else Some(schema))
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        schema.map(f => (f.name, f.dataType)), s"$fmt schema")
+      assert(back.orderBy("city").collect().map(_.toSeq).toSeq ==
+        df.orderBy("city").collect().map(_.toSeq).toSeq, s"$fmt values")
+    }
+  }
 }
 
 class BronzeReaderSpec extends SparkSpec {
