@@ -559,6 +559,36 @@ object BreadthBattery {
         .orderBy($"lang", $"doc_id")
     },
 
+    // Bloom-pruned semi join: the big side is pre-filtered MAP-SIDE by a
+    // ~10-bit/key sketch of the small side's keys before any shuffle; the
+    // exact join removes the sketch's false positives, so the result (and
+    // the oracle) is the plain semi join.
+    sql("q_bloom_semi_join",
+      """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val pricey = Tables.orders(s, d)
+        .filter($"o_totalprice" > 400000).select($"o_orderkey")
+      graft.ops.Sketches.bloomSemiJoin(
+          Tables.lineitem(s, d), pricey, "l_orderkey", "o_orderkey",
+          expectedKeys = 100000)
+        .agg(count(lit(1)).as("n"), sum($"l_orderkey").as("key_sum"))
+    },
+
+    // Two-pass exact heavy hitters: count-min candidates (never undercounts
+    // → no true hitter lost), exact counts on the candidate set only. The
+    // oracle is the exact GROUP BY HAVING the sketch plan must reproduce.
+    sql("q_heavy_hitters",
+      """SELECT k, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem)
+        |GROUP BY 1 HAVING count(*) >= 25 ORDER BY k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.ops.Sketches.heavyHitters(
+          Tables.lineitem(s, d), "l_suppkey", threshold = 25)
+        .orderBy($"k")
+    },
+
     // Boolean aggregates: bool_and / bool_or / count_if per group.
     sql("q_bool_agg",
       """SELECT l_returnflag,
