@@ -64,4 +64,49 @@ object ZOrder {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** N-dimensional interleave: bit i of value j lands at position i·n + j.
+    * Each dimension keeps 62/n bits (capped at 21) so the code fits a Long. */
+  private[sinks] def mortonN(vals: Array[Long], bits: Int): Long = {
+    val n = vals.length
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      var j = 0
+      while (j < n) {
+        out |= ((vals(j) >> i) & 1L) << (i * n + j)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Z-ordered write over ANY number of numeric columns (2–6 useful in
+    * practice; beyond that each dimension keeps too few bits to cluster).
+    * One 2n-value aggregate for the ranges, then the same range-partitioned
+    * sorted write as the 2-d form. */
+  def writeZorderedN(
+      df: DataFrame, path: String, cols: Seq[String], numFiles: Int): Unit = {
+    require(cols.size >= 2, "z-order needs at least two dimensions")
+    val n = cols.size
+    val bits = math.min(Bits, 62 / n)
+    val maxRank = (1L << bits) - 1
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    def scale(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(maxRank), greatest(lit(0L),
+        ((c.cast("double") - lo) / (hi - lo) * maxRank).cast("long")))
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      scale(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+    }
+    val mortonNUdf = udf((vs: Seq[Long]) => mortonN(vs.toArray, bits))
+    df.withColumn("_z", mortonNUdf(array(scaled: _*)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

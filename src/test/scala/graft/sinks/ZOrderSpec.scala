@@ -44,4 +44,24 @@ class ZOrderSpec extends SparkSpec {
     assert(avgSpread(zPath, "a") < 40)
     assert(avgSpread(zPath, "b") < 40)
   }
+
+  test("3-dimension z-order: zone-map pruning skips files on EVERY dimension") {
+    import graft.sinks.FileStats
+    val df = spark.range(32768).select(
+      ($"id" % 32).as("x"),
+      (($"id" / 32) % 32).as("y"),
+      (($"id" / 1024) % 32).as("z"))
+    val path = Files.createTempDirectory("graft-z3").toString + "/t"
+    ZOrder.writeZorderedN(df, path, Seq("x", "y", "z"), numFiles = 32)
+    val read = spark.read.parquet(path)
+    assert(read.count() == 32768)
+    val nFiles = read.inputFiles.length
+    // point predicates on each dimension should prune most files via the
+    // per-file min/max stats — the whole reason to z-order 3 columns
+    Seq("x", "y", "z").foreach { dim =>
+      val stats = FileStats.collect(read, Seq(dim))
+      val cands = FileStats.candidateFiles(stats, dim, lit(7L)).count()
+      assert(cands.toDouble / nFiles <= 0.6, s"$dim: $cands of $nFiles files")
+    }
+  }
 }
