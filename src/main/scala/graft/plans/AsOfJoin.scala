@@ -160,8 +160,10 @@ case class AsOfJoinExec(
 /** Extension-point registration (`SparkSession.builder.withExtensions(new
   * GraftExtensions)`), the production wiring. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
+  }
 }
 
 /** Public API. `AsOf.join(trades, quotes, on = "ts", by = Seq("symbol"))`. */
@@ -172,6 +174,9 @@ object AsOf {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val opt = spark.experimental.extraOptimizations
+    if (!opt.contains(AsOfJoinFilterPushdown))
+      spark.experimental.extraOptimizations = opt :+ AsOfJoinFilterPushdown
   }
 
   /** Backward as-of LEFT OUTER join. Right-side columns must not collide

@@ -104,6 +104,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(3L) == -1L) // null on: no match, even though rid=12 has null qt
   }
 
+  test("filter above the as-of join pushes into the left child and mirrors by-keys right") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val filtered = asof.filter(col("sym") === "A" && col("price") > 100.0)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // no Filter remains ABOVE the join…
+    assert(!optimized.isInstanceOf[LFilter], optimized.toString)
+    val j = optimized.collectFirst { case p: AsOfJoinPlan => p }.get
+    // …both conjuncts sit below it on the left…
+    assert(j.left.collectFirst { case f: LFilter => f }.isDefined)
+    // …and the by-key predicate mirrored onto the right child
+    val rightFilter = j.right.collectFirst { case f: LFilter => f }
+    assert(rightFilter.isDefined, "by-key predicate should mirror to the right side")
+    assert(rightFilter.get.condition.references.exists(_.name == "qsym"))
+
+    // semantics unchanged: same rows as filtering the unoptimized result
+    val expect = asof.collect().filter(r =>
+      r.getString(0) == "A" && r.getDouble(2) > 100.0).map(_.toSeq).toSet
+    assert(filtered.collect().map(_.toSeq).toSet == expect)
+  }
+
+  test("non-left-only predicates stay above the join (right-side nullable cols)") {
+    val filtered = asof.filter(col("bid").isNotNull)
+    // right-side reference: must NOT push below a left-outer as-of join
+    val j = filtered.queryExecution.optimizedPlan
+      .collectFirst { case p: AsOfJoinPlan => p }.get
+    assert(j.right.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty)
+    assert(filtered.count() == 3) // A's three trades; B's quote is later, C has none
+  }
+
   test("registration via SparkSessionExtensions class compiles into a session") {
     // the production wiring path; the shared test session uses lazy
     // registration instead, so just exercise the injector.
