@@ -301,6 +301,37 @@ object PipelineBattery {
     // T2/P6: CDC insert-only filter over a synthesized change stream —
     // eventName derived deterministically from the row, then filtered the way
     // the forwarder does (`fwd:36-37`).
+    // SCD Type-2 apply, oracled: changed keys close their current version
+    // (valid_to = effective ts) and open a new one; unchanged keys pass
+    // through. The oracle reconstructs the expected history in plain SQL.
+    sql("q_scd2",
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 50)
+        |SELECT c_custkey, c_mktsegment AS segment,
+        |  TIMESTAMP '1990-01-01' AS valid_from,
+        |  CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1995-06-01' END AS valid_to,
+        |  (c_custkey % 3 <> 0) AS is_current
+        |FROM cust
+        |UNION ALL
+        |SELECT c_custkey, lower(c_mktsegment) AS segment,
+        |  TIMESTAMP '1995-06-01' AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |FROM cust WHERE c_custkey % 3 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d).filter($"c_custkey" < 50)
+      val history = cust.select(
+        $"c_custkey", $"c_mktsegment".as("segment"),
+        lit(java.sql.Timestamp.valueOf("1990-01-01 00:00:00")).as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val changes = cust.filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey", lower($"c_mktsegment").as("segment"),
+          lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")).as("eff"))
+      graft.sinks.LakeMaintenance.scd2Apply(history, changes, Seq("c_custkey"), "eff")
+        .orderBy($"c_custkey", $"valid_from")
+    },
+
     sql("q_cdc_insert_filter",
       """SELECT event_id, user_id, event_type FROM (
         |  SELECT event_id, user_id, event_type,

@@ -152,6 +152,39 @@ object RelationalBattery {
         .orderBy($"event_id")
     },
 
+    // The filtered as-of join: the WHERE lands ABOVE AsOf.join, and the
+    // engine's AsOfJoinFilterPushdown rule pushes it into the left child
+    // and mirrors the by-key predicate to the right — the pruned-scan path
+    // a 100 TB as-of join needs (AsOfJoinSpec pins the plan shape).
+    sql("q_asof_join_filtered",
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT p_user, p_ts, p_event FROM (
+        |    SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event,
+        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT c.user_id, c.event_id, p.p_event
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.p_user AND c.ts >= p.p_ts
+        |WHERE c.user_id < 20
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      val purchases = graft.ops.Dedup.keepFirst(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_event")),
+        Seq("p_user", "p_ts"), Seq($"p_event"))
+      graft.plans.AsOf.join(clicks, purchases,
+          leftOn = "ts", rightOn = "p_ts",
+          leftBy = Seq("user_id"), rightBy = Seq("p_user"))
+        .filter($"user_id" < 20) // pushed through the join by the rule
+        .select($"user_id", $"event_id", $"p_event")
+        .orderBy($"event_id")
+    },
+
     // Binned range join (point-in-interval): equi-join on bucket + residual
     // filter instead of the BroadcastNestedLoopJoin a theta join would plan.
     // The oracle IS the plain theta join — result sets must be identical.
