@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Plan-shape invariants for the hot paths: filters reach the parquet scan
+  * (PushedFilters), projections prune the read schema (ReadSchema), and the
+  * relational pipeline stays inside whole-stage codegen (the `*(n)` spans
+  * in the executed plan). These are the properties that decide whether a
+  * query reads 2 columns or 200, and 1 partition or 8760, at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("filter + projection reach the scan: PushedFilters and pruned ReadSchema") {
+    val q = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" > "1995-01-01" && $"l_quantity" > 30)
+      .select($"l_orderkey", $"l_extendedprice")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:") &&
+      (scan.contains("GreaterThan(l_quantity") || scan.contains("IsNotNull(l_quantity")),
+      s"filters not pushed:\n$scan")
+    // the scan must read only the 4 referenced columns, not all 16
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_orderkey", "l_extendedprice", "l_shipdate", "l_quantity")
+      .forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_returnflag"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("aggregation pipeline runs inside whole-stage codegen spans") {
+    val q = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity"), avg($"l_extendedprice"))
+    q.collect() // finalize the adaptive plan first — spans print post-execution
+    // codegen'd stages print as "*(n)" prefixes in the executed plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("dimension join broadcasts; no shuffle lands on the fact side scan") {
+    val q = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment").count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
