@@ -589,6 +589,75 @@ object BreadthBattery {
         .orderBy($"k")
     },
 
+    // Native session_window in batch: dynamic gap-merged event-time
+    // sessions as ONE groupBy — no lag/running-sum window chain. The
+    // oracle rebuilds the same sessions with gap logic (break at
+    // diff >= gap, matching session_window's half-open [start, last+gap)).
+    sql("q_session_window",
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 300000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(session_window($"ts", "5 minutes"), $"user_id")
+        .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+
+    // ANSI-safe arithmetic: the try_* family returns null where ANSI mode
+    // would raise (divide by zero, overflow, bad parse).
+    sql("q_try_arith",
+      """SELECT o_orderkey,
+        |  o_totalprice / NULLIF(o_orderkey % 10, 0) AS safe_div,
+        |  CAST(NULL AS BIGINT) AS overflow_add,
+        |  TRY_CAST(o_orderpriority AS DOUBLE) AS bad_parse,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          try_divide($"o_totalprice", $"o_orderkey" % 10).as("safe_div"),
+          try_add(lit(Long.MaxValue), $"o_orderkey" + 1).as("overflow_add"),
+          expr("try_cast(o_orderpriority AS DOUBLE)").as("bad_parse"),
+          expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").as("prio_num"))
+        .orderBy($"o_orderkey")
+        .limit(300)
+    },
+
+    // from_csv: scalar CSV parsing of an embedded delimited column.
+    sql("q_from_csv",
+      """SELECT o_orderkey,
+        |  string_split(csv_line, ',')[1] AS f_status,
+        |  TRY_CAST(string_split(csv_line, ',')[2] AS DOUBLE) AS f_price,
+        |  string_split(csv_line, ',')[3] AS f_prio
+        |FROM (SELECT o_orderkey,
+        |        o_orderstatus || ',' || CAST(round(o_totalprice, 2) AS VARCHAR)
+        |          || ',' || o_orderpriority AS csv_line
+        |      FROM orders)
+        |ORDER BY o_orderkey LIMIT 300""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val line = concat_ws(",", $"o_orderstatus",
+        round($"o_totalprice", 2).cast("string"), $"o_orderpriority")
+      Tables.orders(s, d)
+        .select($"o_orderkey", from_csv(line,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "f_status STRING, f_price DOUBLE, f_prio STRING"),
+          Map.empty[String, String]).as("p"))
+        .select($"o_orderkey", $"p.f_status", $"p.f_price", $"p.f_prio")
+        .orderBy($"o_orderkey")
+        .limit(300)
+    },
+
     // Boolean aggregates: bool_and / bool_or / count_if per group.
     sql("q_bool_agg",
       """SELECT l_returnflag,
