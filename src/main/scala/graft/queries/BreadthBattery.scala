@@ -658,6 +658,26 @@ object BreadthBattery {
         .limit(300)
     },
 
+    // VariantType (Spark 4): parse once into the binary variant encoding,
+    // extract typed paths with variant_get — the schema-flexible column
+    // type for semi-structured data at scale (no per-query JSON re-parse).
+    sql("q_variant",
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  (CAST(json_extract(props, '$.k') AS INT) > 50) AS k_big
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val v = parse_json($"props")
+      Tables.events(s, d)
+        .select($"event_id",
+          variant_get(v, "$.k", "int").as("k_int"),
+          (variant_get(v, "$.k", "bigint") % 10).as("k_mod"),
+          (variant_get(v, "$.k", "int") > 50).as("k_big"))
+        .orderBy($"event_id")
+        .limit(500)
+    },
+
     // Boolean aggregates: bool_and / bool_or / count_if per group.
     sql("q_bool_agg",
       """SELECT l_returnflag,
