@@ -152,6 +152,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.filter($"city" === "austin").select($"temp").as[Double].head() == 31.5)
   }
 
+  test("native session_window sessions in a stream close at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp)]
+    val sessions = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "5 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    // two events 1 min apart = one session; a third 20 min later advances
+    // the watermark past session end and forces the emit
+    mem.addData((7L, ts("2025-08-29T14:00:00Z")), (7L, ts("2025-08-29T14:01:00Z")))
+    q.processAllAvailable()
+    mem.addData((7L, ts("2025-08-29T14:30:00Z")))
+    q.processAllAvailable()
+    mem.addData((7L, ts("2025-08-29T15:30:00Z"))) // push watermark further
+    q.processAllAvailable()
+    val rows = spark.table("sw").select($"user_id", $"n").as[(Long, Long)].collect()
+    q.stop()
+    assert(rows.contains((7L, 2L))) // the merged two-event session emitted
+  }
+
   test("dedupWithinWatermark drops retry-duplicates in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Timestamp)]
