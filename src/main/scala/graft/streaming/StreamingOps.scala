@@ -88,6 +88,34 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming vector-index maintenance: each micro-batch of (id, vec)
+    * rows is encoded against a FIXED trained model (coarse assignment +
+    * PQ residual codes — both map-only) and appended to the inverted-list
+    * table partitioned by `cluster_id`. Searches read only their probed
+    * partitions, so index freshness costs one partitioned append per
+    * batch and never a rebuild. Retraining the model is an offline
+    * decision (codebook drift), not a streaming one. */
+  def startIndexMaintenance(
+      stream: DataFrame, // (id, vec)
+      model: graft.ext.IvfPq.Model,
+      indexPath: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.IvfPq.encode(batch.toDF(), model)
+            .write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(indexPath)
+      }
+      .start()
+
   // ---- sessionization ------------------------------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -174,6 +174,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.contains((7L, 2L))) // the merged two-event session emitted
   }
 
+  test("streaming index maintenance: appended vectors become searchable") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val model = graft.ext.IvfPq.train(emb, nlist = 4, m = 16, k = 256, sampleN = 500)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+    val idx = s"$dir/index"
+    // base index from the first 400 vectors
+    graft.ext.IvfPq.encode(emb.filter($"id" < 400), model)
+      .write.partitionBy("cluster_id").parquet(idx)
+
+    // stream the remaining vectors in as a micro-batch
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.startIndexMaintenance(
+      mem.toDF().toDF("id", "vec"), model, idx, s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val late = emb.filter($"id" >= 400)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    mem.addData(late.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val lists = spark.read.parquet(idx)
+    assert(lists.count() == 500) // base + streamed
+    // a streamed vector is its own nearest neighbor through the index
+    val probe = emb.filter($"id" === 450L)
+    val hits = graft.ext.IvfPq.search(probe, lists, model, topK = 500, nprobe = 4)
+      .filter($"neighbor_id" >= 400).count()
+    assert(hits > 0) // streamed vectors are searchable
+  }
+
   test("dedupWithinWatermark drops retry-duplicates in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Timestamp)]
