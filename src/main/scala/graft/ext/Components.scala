@@ -53,15 +53,28 @@ object Components {
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nbr_min"))
-      val stepped = labels
+      val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jumping (path compression): additionally take my LABEL's
+      // label — composing one hop through the label graph each round turns
+      // O(diameter) convergence into O(log diameter), so long chains don't
+      // need a round per link
+      val byId = prop.select(col("id").as("jid"), col("label").as("jlabel"))
+      val stepped = prop
+        .join(byId, prop("label") === byId("jid"), "left")
+        .select(prop("id"), prop("old_label"),
+          least(prop("label"), coalesce(col("jlabel"), prop("label"))).as("label"))
         .localCheckpoint()
       changed = stepped.filter(col("label") =!= col("old_label")).count()
       labels = stepped.select("id", "label")
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIters rounds " +
+          s"($changed labels still moving) — raise maxIters")
     labels.select(col("id"), col("label").as("component"))
   }
 }

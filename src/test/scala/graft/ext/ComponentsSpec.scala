@@ -28,6 +28,16 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L)) // one component, labeled by min id
   }
 
+  test("pointer jumping: a 300-link chain converges in O(log n) rounds") {
+    // plain min-propagation would need ~300 rounds; with path compression
+    // the default maxIters = 20 is ample (≈ 2·log2(300) ≈ 17 worst case)
+    val n = 300
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.toSet == Set(1L))
+  }
+
   test("self-loops and duplicate/reversed edges are harmless") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)).toDF("src", "dst")
     val got = Components.connectedComponents(edges)
