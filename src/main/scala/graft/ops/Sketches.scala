@@ -27,11 +27,29 @@ object Sketches {
       smallKey: String,
       expectedKeys: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val keyType = big.schema(bigKey).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    // build and probe must hash the same representation (see heavyHitters)
+    val bloom = keyType match {
+      case StringType => small.stat.bloomFilter(
+        col(smallKey).cast("string"), expectedKeys, fpp)
+      case t if integral(t) => small.stat.bloomFilter(
+        col(smallKey).cast("long"), expectedKeys, fpp)
+      case t => throw new IllegalArgumentException(
+        s"bloomSemiJoin supports string/integral keys, got $t")
+    }
     val bloomBc = big.sparkSession.sparkContext.broadcast(bloom)
     // the task closure captures only the broadcast sketch
-    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
-    val pruned = big.filter(mightContain(col(bigKey).cast("long")))
+    val pruned = keyType match {
+      case StringType =>
+        val mc = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
+        big.filter(mc(col(bigKey).cast("string")))
+      case _ =>
+        val mc = udf((k: Long) => bloomBc.value.mightContainLong(k))
+        big.filter(mc(col(bigKey).cast("long")))
+    }
     pruned.join(small.select(col(smallKey)).distinct(),
       pruned(bigKey) === col(smallKey), "left_semi")
   }

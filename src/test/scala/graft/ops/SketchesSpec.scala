@@ -17,6 +17,17 @@ class SketchesSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("bloom-pruned semi join on STRING keys matches the plain semi join") {
+    val big = spark.range(5000).select(
+      concat(lit("key"), ($"id" % 321).cast("string")).as("k"), $"id".as("v"))
+    val small = spark.range(20).select(concat(lit("key"), ($"id" * 7).cast("string")).as("sk"))
+    val exact = big.join(small, big("k") === col("sk"), "left_semi")
+      .collect().map(_.toSeq).toSet
+    val got = Sketches.bloomSemiJoin(big, small, "k", "sk", expectedKeys = 100)
+      .collect().map(_.toSeq).toSet
+    assert(got == exact && exact.nonEmpty)
+  }
+
   test("two-pass heavy hitters are exact: same keys and counts as GROUP BY HAVING") {
     // skewed stream: key "hot" dominates, a few warm keys, long tail
     val df = spark.range(30000).select(
