@@ -25,10 +25,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * volume is in the (never-rewritten) parquet; commit cost is one rename.
   * The data/ subtree is never listed by readers (only manifest dirs are),
   * so orphaned dirs from failed commits are invisible until vacuumed.
+  *
+  * Partitioned tables ([[commitPartitioned]]) additionally key the manifest
+  * by hive partition spec (`dt=2025-01-01/hour=03` → commit dirs holding
+  * that partition). That buys the two things a 100 TB table needs:
+  * **dynamic partition overwrite** rewrites only the touched specs' manifest
+  * entries (data for untouched partitions is never moved or re-listed), and
+  * **partition-pruned reads** resolve the scan file set from the manifest
+  * alone — no object-store LIST over 10⁵ partition prefixes.
   */
 object Snapshots {
 
   private val mapper = new ObjectMapper()
+
+  /** One resolved manifest version: `dirs` for unpartitioned commits,
+    * `partitions` (hive spec → commit base dirs; data lives at
+    * `base/spec`) for partitioned ones. A table uses one or the other. */
+  private[sinks] case class Manifest(dirs: Seq[String], partitions: Map[String, Seq[String]])
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     FileSystem.get(new java.net.URI(table), spark.sparkContext.hadoopConfiguration)
@@ -48,13 +61,41 @@ object Snapshots {
       .sorted
   }
 
-  private def readManifest(f: FileSystem, table: String, v: Long): Seq[String] = {
+  private def readManifest(f: FileSystem, table: String, v: Long): Manifest = {
     val in = f.open(manifestPath(table, v))
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val node = mapper.readTree(bytes)
     val dirs = Seq.newBuilder[String]
-    node.get("dirs").forEach(d => dirs += d.asText())
-    dirs.result()
+    if (node.has("dirs")) node.get("dirs").forEach(d => dirs += d.asText())
+    val parts = Map.newBuilder[String, Seq[String]]
+    if (node.has("partitions")) node.get("partitions").fields().forEachRemaining { e =>
+      val bases = Seq.newBuilder[String]
+      e.getValue.forEach(b => bases += b.asText())
+      parts += e.getKey -> bases.result()
+    }
+    Manifest(dirs.result(), parts.result())
+  }
+
+  /** Write-temp + rename publication shared by both commit flavors. */
+  private def publish(f: FileSystem, table: String, v: Long, m: Manifest): Long = {
+    val root = mapper.createObjectNode()
+    root.put("version", v)
+    val arr = root.putArray("dirs")
+    m.dirs.foreach(arr.add)
+    if (m.partitions.nonEmpty) {
+      val po = root.putObject("partitions")
+      m.partitions.toSeq.sortBy(_._1).foreach { case (spec, bases) =>
+        val a = po.putArray(spec)
+        bases.foreach(a.add)
+      }
+    }
+    f.mkdirs(manifestDir(table))
+    val tmp = new Path(manifestDir(table), f".v$v%05d.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    if (!f.rename(tmp, manifestPath(table, v)))
+      throw new java.io.IOException(s"snapshot commit race on $table v$v")
+    v
   }
 
   /** Commit `df` as the next version. `Append` keeps prior data dirs in the
@@ -71,30 +112,110 @@ object Snapshots {
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     val dirs =
       if (mode == SaveMode.Overwrite || prev.isEmpty) Seq(dataDir)
-      else readManifest(f, table, prev.last) :+ dataDir
-    val root = mapper.createObjectNode()
-    root.put("version", v)
-    val arr = root.putArray("dirs")
-    dirs.foreach(arr.add)
-    // publish atomically: temp write, then rename into the versioned name
-    f.mkdirs(manifestDir(table))
-    val tmp = new Path(manifestDir(table), f".v$v%05d.json.tmp")
-    val out = f.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
-    if (!f.rename(tmp, manifestPath(table, v)))
-      throw new java.io.IOException(s"snapshot commit race on $table v$v")
-    v
+      else {
+        val m = readManifest(f, table, prev.last)
+        require(m.partitions.isEmpty,
+          s"$table is partitioned — append with commitPartitioned")
+        m.dirs :+ dataDir
+      }
+    publish(f, table, v, Manifest(dirs, Map.empty))
   }
 
-  /** Read a snapshot: the latest version by default, or any retained one. */
-  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
+  /** Commit `df` hive-partitioned by `partitionBy` as the next version.
+    *
+    *  - `SaveMode.Append`: new files add to each touched partition.
+    *  - `SaveMode.Overwrite`: DYNAMIC partition overwrite — only partitions
+    *    present in `df` are replaced; all others carry forward untouched.
+    *    (Full-table overwrite = vacuum + fresh table, deliberately not a
+    *    mode here: at 100 TB "overwrite everything" should be loud.)
+    *
+    * The manifest delta is proportional to TOUCHED partitions, and no
+    * existing data file is moved, rewritten, or even listed. */
+  def commitPartitioned(
+      df: DataFrame,
+      table: String,
+      partitionBy: Seq[String],
+      mode: SaveMode = SaveMode.Append): Long = {
+    require(partitionBy.nonEmpty, "partitionBy must be non-empty")
+    require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
+      s"unsupported snapshot commit mode $mode")
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val prev = versions(spark, table)
+    val v = prev.lastOption.getOrElse(0L) + 1
+    val base = f"$table/data/c-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists).partitionBy(partitionBy: _*).parquet(base)
+    // discover the specs this commit wrote: walk partitionBy.length levels
+    // of k=v dirs under the (private, just-written) commit dir
+    def specs(p: Path, depth: Int): Seq[String] =
+      if (depth == 0) Seq("")
+      else f.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => specs(st.getPath, depth - 1)
+          .map(rest => if (rest.isEmpty) st.getPath.getName else s"${st.getPath.getName}/$rest"))
+    val touched = specs(new Path(base), partitionBy.length)
+    require(touched.nonEmpty, "commitPartitioned wrote no partitions (empty df?)")
+    val prevParts = prev.lastOption.map { pv =>
+      val m = readManifest(f, table, pv)
+      require(m.dirs.isEmpty, s"$table is unpartitioned — use commit")
+      m.partitions
+    }.getOrElse(Map.empty[String, Seq[String]])
+    val merged =
+      if (mode == SaveMode.Overwrite) // dynamic: only touched specs replaced
+        prevParts -- touched ++ touched.map(_ -> Seq(base))
+      else
+        prevParts ++ touched.map(s => s -> (prevParts.getOrElse(s, Seq.empty) :+ base))
+    publish(f, table, v, Manifest(Seq.empty, merged.toMap))
+  }
+
+  /** Partition specs of a snapshot, ascending (empty for unpartitioned). */
+  def partitions(spark: SparkSession, table: String, version: Option[Long] = None): Seq[String] = {
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    readManifest(f, table, version.getOrElse(vs.last)).partitions.keys.toSeq.sorted
+  }
+
+  /** `"dt=2025-01-01/hour=03"` → `Map("dt" -> "2025-01-01", "hour" -> "03")`
+    * (hive %-escaping decoded). */
+  def parseSpec(spec: String): Map[String, String] =
+    spec.split('/').map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) ->
+        java.net.URLDecoder.decode(kv.substring(i + 1), java.nio.charset.StandardCharsets.UTF_8)
+    }.toMap
+
+  /** Read a snapshot: the latest version by default, or any retained one.
+    *
+    * For partitioned tables, `partitionFilter` prunes BEFORE any file I/O:
+    * the scan set is resolved from the manifest's specs alone, so a
+    * point-in-time read of one partition out of 10⁵ opens one manifest and
+    * the matching data dirs — no recursive listing. Partition columns come
+    * back as columns (hive-style discovery anchored at each commit dir). */
+  def read(
+      spark: SparkSession,
+      table: String,
+      version: Option[Long] = None,
+      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
     val f = fs(spark, table)
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val dirs = readManifest(f, table, v)
-    spark.read.parquet(dirs: _*)
+    val m = readManifest(f, table, v)
+    if (m.partitions.isEmpty) spark.read.parquet(m.dirs: _*)
+    else {
+      val kept = m.partitions.filter { case (spec, _) => partitionFilter(parseSpec(spec)) }
+      require(kept.nonEmpty, s"partitionFilter matched no partitions of $table v$v")
+      // group by commit dir: basePath anchors hive discovery so the k=v
+      // path segments materialize as partition columns
+      kept.toSeq.flatMap { case (spec, bases) => bases.map(b => (b, s"$b/$spec")) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (base, paths) =>
+          spark.read.option("basePath", base).parquet(paths.map(_._2).distinct: _*)
+        }
+        .reduce(_.unionByName(_))
+    }
   }
 
   /** Compact the current snapshot to ~`targetFileRows` rows per file as a
@@ -103,10 +224,26 @@ object Snapshots {
     * [[LakeMaintenance.compactPartition]] for the raw-directory variant).
     * Old small files become unreferenced and fall to [[vacuum]]. */
   def compact(spark: SparkSession, table: String, targetFileRows: Long = 1000000L): Long = {
-    val df = read(spark, table)
-    val rows = df.count()
-    val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
-    commit(df.coalesce(nFiles), table, SaveMode.Overwrite)
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val m = readManifest(f, table, vs.last)
+    if (m.partitions.isEmpty) {
+      val df = read(spark, table)
+      val rows = df.count()
+      val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+      commit(df.coalesce(nFiles), table, SaveMode.Overwrite)
+    } else {
+      // partitioned: cluster by the partition columns so each partition's
+      // accumulated small files rewrite as one task → one file, then commit
+      // as a dynamic overwrite of every spec (all specs are "touched")
+      val df = read(spark, table)
+      val cols = parseSpec(m.partitions.keys.head).keys.toSeq
+        .sortBy(k => m.partitions.keys.head.split('/').indexWhere(_.startsWith(k + "=")))
+      commitPartitioned(
+        df.repartition(cols.map(org.apache.spark.sql.functions.col): _*),
+        table, cols, SaveMode.Overwrite)
+    }
   }
 
   /** Drop data dirs referenced by no retained manifest (failed commits,
@@ -117,7 +254,10 @@ object Snapshots {
     val keep = vs.takeRight(math.max(1, retainLast))
     vs.dropRight(math.max(1, retainLast))
       .foreach(v => f.delete(manifestPath(table, v), false))
-    val live = keep.flatMap(readManifest(f, table, _)).toSet
+    val live = keep.flatMap { v =>
+      val m = readManifest(f, table, v)
+      m.dirs ++ m.partitions.values.flatten
+    }.toSet
     val dataRoot = new Path(s"$table/data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot).foreach { st =>

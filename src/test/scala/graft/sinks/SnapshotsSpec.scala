@@ -56,6 +56,67 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t, Some(v - 1)).count() == 800)
   }
 
+  test("partitioned: dynamic overwrite replaces only touched partitions") {
+    val t = tmp()
+    val day1 = Seq(("2025-01-01", 1, "a"), ("2025-01-01", 2, "b"),
+      ("2025-01-02", 3, "c")).toDF("dt", "k", "v")
+    Snapshots.commitPartitioned(day1, t, Seq("dt"))
+    assert(Snapshots.partitions(spark, t) == Seq("dt=2025-01-01", "dt=2025-01-02"))
+    // dynamic overwrite of ONLY dt=2025-01-02
+    val fix = Seq(("2025-01-02", 9, "fixed")).toDF("dt", "k", "v")
+    Snapshots.commitPartitioned(fix, t, Seq("dt"), SaveMode.Overwrite)
+    val now = Snapshots.read(spark, t)
+    assert(now.count() == 3) // 2 surviving day-1 rows + 1 replacement
+    assert(now.filter($"dt" === "2025-01-02").select("v").as[String].collect().toSeq == Seq("fixed"))
+    assert(now.filter($"dt" === "2025-01-01").count() == 2) // untouched
+    // time travel to pre-fix still shows the original day-2 row
+    assert(Snapshots.read(spark, t, Some(1L))
+      .filter($"dt" === "2025-01-02").select("v").as[String].collect().toSeq == Seq("c"))
+  }
+
+  test("partitioned: append accumulates within a partition; pruned read scans only matching dirs") {
+    val t = tmp()
+    Snapshots.commitPartitioned(
+      Seq(("2025-01-01", 1), ("2025-01-02", 2)).toDF("dt", "k"), t, Seq("dt"))
+    Snapshots.commitPartitioned(
+      Seq(("2025-01-01", 10)).toDF("dt", "k"), t, Seq("dt"))
+    val all = Snapshots.read(spark, t)
+    assert(all.count() == 3)
+    val pruned = Snapshots.read(spark, t, None, p => p("dt") == "2025-01-01")
+    assert(pruned.select("k").as[Int].collect().toSet == Set(1, 10))
+    // the prune happened at the MANIFEST, before file I/O: every input file
+    // sits under a dt=2025-01-01 path
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.forall(_.contains("dt=2025-01-01")))
+  }
+
+  test("partitioned: compact rewrites each partition to one file, history intact") {
+    val t = tmp()
+    (1 to 3).foreach { i =>
+      Snapshots.commitPartitioned(
+        Seq(("a", i), ("b", i * 100)).toDF("g", "k").repartition(2), t, Seq("g"))
+    }
+    val before = Snapshots.read(spark, t)
+    assert(before.inputFiles.length > 2)
+    val v = Snapshots.compact(spark, t)
+    val after = Snapshots.read(spark, t)
+    assert(after.count() == 6 && after.inputFiles.length == 2) // one per partition
+    assert(Snapshots.partitions(spark, t) == Seq("g=a", "g=b"))
+    assert(Snapshots.read(spark, t, Some(v - 1)).count() == 6)
+    // vacuum drops the pre-compaction small files once out of retention
+    Snapshots.vacuum(spark, t, retainLast = 1)
+    assert(Snapshots.read(spark, t).count() == 6)
+  }
+
+  test("partitioned and plain commits don't mix; specs decode hive escaping") {
+    val t = tmp()
+    Snapshots.commitPartitioned(Seq(("x y", 1)).toDF("g", "k"), t, Seq("g"))
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t) // append to partitioned
+    }
+    assert(Snapshots.parseSpec(Snapshots.partitions(spark, t).head) == Map("g" -> "x y"))
+    assert(Snapshots.read(spark, t).select("g").as[String].head() == "x y")
+  }
+
   test("readers only see whole commits: no tmp manifests, immutable data dirs") {
     val t = tmp()
     Snapshots.commit(spark.range(100).select($"id", ($"id" * 2).as("v")), t)
