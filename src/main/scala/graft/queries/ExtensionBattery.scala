@@ -454,6 +454,19 @@ object ExtensionBattery {
         .orderBy($"query_id", $"rank")
     },
 
+    // OPQ: PCA + eigenvalue-allocation rotation (Ge et al. CVPR'13 non-
+    // parametric init) ahead of the same PQ coding — distances preserved
+    // exactly by the orthonormal rotation, quantization error reduced when
+    // variance is skewed across raw dims. Mechanism pinned in OpqSpec.
+    rowsOnly("q_opq_topk") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val model = graft.ext.Opq.train(emb, m = 16, k = 256, sampleN = 2000, iters = 5)
+      graft.ext.Opq.search(
+          emb.filter($"id" < 5), graft.ext.Opq.encode(emb, model), model, topK = 10)
+        .orderBy($"query_id", $"rank")
+    },
+
     // IVF+PQ composed ANN: coarse lists + residual PQ codes + per-list ADC
     // tables, nprobe-pruned — the billion-scale index shape. Rows-only.
     rowsOnly("q_ivfpq_topk") { (s, d) =>
