@@ -694,5 +694,132 @@ object BreadthBattery {
           count_if($"l_tax" === 0).as("n_taxfree"))
         .orderBy($"l_returnflag")
     },
+
+    // Ordered event funnel: view → click-after-view → purchase-after-click.
+    // Each stage is one keyed min-aggregate plus an equi-join on user_id —
+    // the shuffle key stays user_id throughout, so at 100 TB this is three
+    // co-partitioned hash aggs, not a per-user sort of all events.
+    // Timestamps compare at µs (epoch_us) to match Spark's micros.
+    sql("q_funnel",
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2 GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT 1 AS ord, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p)
+        |ORDER BY ord""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"event_type",
+        unix_micros($"ts").as("us"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("t1"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"us" > $"t1")
+        .groupBy($"user_id").agg(min($"us").as("t2"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"us" > $"t2")
+        .groupBy($"user_id").agg(min($"us").as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit(1).as("ord"), lit("view").as("stage"), $"n_users")
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("ord"), lit("view>click").as("stage"), $"n_users"))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("ord"), lit("view>click>purchase").as("stage"), $"n_users"))
+        .orderBy($"ord").select($"stage", $"n_users")
+    },
+
+    // Weekly cohort retention: cohort = ISO week of first activity, cell =
+    // distinct users active k weeks later. Two keyed aggregates and one
+    // user_id equi-join; the distinct lands on (cohort, week, user) — all
+    // map-side partial-aggregable.
+    sql("q_retention",
+      """WITH first AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events)
+        |SELECT f.cohort, CAST(datediff('day', f.cohort, a.wk) // 7 AS INT) AS week_n,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM first f JOIN act a ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy($"user_id")
+        .agg(to_date(date_trunc("week", min($"ts"))).as("cohort"))
+      val act = ev.select($"user_id", to_date(date_trunc("week", $"ts")).as("wk")).distinct()
+      first.join(act, "user_id")
+        .groupBy($"cohort", floor(datediff($"wk", $"cohort") / 7).cast("int").as("week_n"))
+        .agg(count_distinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"week_n")
+    },
+
+    // Ordered string aggregation (LISTAGG): deterministic via sort-then-join
+    // on the collected array — the grouped lists are bounded (nations per
+    // region), which is the only safe shape for collect_list at scale.
+    sql("q_string_agg",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+        .orderBy($"r_name")
+    },
+
+    // Word bigrams: pair adjacent tokens inside each document (zip the
+    // token array against itself shifted by one), then a two-phase hash
+    // agg over the exploded pairs — shuffle carries |distinct bigrams|.
+    sql("q_bigrams",
+      """SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |                i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |               x -> len(x) > 0) AS w
+        |        FROM documents))
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(filter(split(lower($"text"), "\\s+"),
+          x => length(x) > 0).as("w"))
+        .select(explode(zip_with(
+          slice($"w", lit(1), greatest(size($"w") - 1, lit(0))),
+          slice($"w", lit(2), greatest(size($"w") - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram")
+        .limit(30)
+    },
+
+    // Hopping (sliding) event-time windows: 10-minute windows every
+    // 5 minutes — Spark's window(ts, size, slide) generator; the oracle
+    // expands each event into its two containing windows explicitly.
+    sql("q_hopping_window",
+      """WITH a AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+        |  FROM events)
+        |SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .select($"w.start".as("window_start"), $"n", $"sum_value")
+        .orderBy($"window_start")
+    },
   )
 }
