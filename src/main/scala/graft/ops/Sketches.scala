@@ -31,25 +31,19 @@ object Sketches {
     val keyType = big.schema(bigKey).dataType
     val integral = Set[org.apache.spark.sql.types.DataType](
       ByteType, ShortType, IntegerType, LongType)
-    // build and probe must hash the same representation (see heavyHitters)
-    val bloom = keyType match {
-      case StringType => small.stat.bloomFilter(
-        col(smallKey).cast("string"), expectedKeys, fpp)
-      case t if integral(t) => small.stat.bloomFilter(
-        col(smallKey).cast("long"), expectedKeys, fpp)
-      case t => throw new IllegalArgumentException(
-        s"bloomSemiJoin supports string/integral keys, got $t")
-    }
-    val bloomBc = big.sparkSession.sparkContext.broadcast(bloom)
+    require(keyType == StringType || integral(keyType),
+      s"bloomSemiJoin supports string/integral keys, got $keyType")
+    // build via the grouped sketch aggregate (two-phase, map-side partials;
+    // only the merged ~KB sketch reaches the driver), then broadcast. Build
+    // and probe both see the string-cast key — same hashed representation.
+    val bytes = small
+      .agg(graft.functions.SketchAggregates.bloom_agg(col(smallKey), expectedKeys, fpp))
+      .head().getAs[Array[Byte]](0)
+    val bloomBc = big.sparkSession.sparkContext.broadcast(
+      graft.functions.SketchAggregates.bloomFromBytes(bytes))
     // the task closure captures only the broadcast sketch
-    val pruned = keyType match {
-      case StringType =>
-        val mc = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
-        big.filter(mc(col(bigKey).cast("string")))
-      case _ =>
-        val mc = udf((k: Long) => bloomBc.value.mightContainLong(k))
-        big.filter(mc(col(bigKey).cast("long")))
-    }
+    val mc = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
+    val pruned = big.filter(mc(col(bigKey).cast("string")))
     pruned.join(small.select(col(smallKey)).distinct(),
       pruned(bigKey) === col(smallKey), "left_semi")
   }
@@ -68,8 +62,11 @@ object Sketches {
     // sketch and probes must hash the SAME representation: cast once, then
     // both the CMS build and the estimate lookups see strings
     val keyed = df.select(col(keyCol).cast("string").as("k"))
-    val cms = keyed.stat.countMinSketch("k", eps, confidence, seed = 42)
-    val cmsBc = df.sparkSession.sparkContext.broadcast(cms)
+    val bytes = keyed
+      .agg(graft.functions.SketchAggregates.cms_agg(col("k"), eps, confidence))
+      .head().getAs[Array[Byte]](0)
+    val cmsBc = df.sparkSession.sparkContext.broadcast(
+      graft.functions.SketchAggregates.cmsFromBytes(bytes))
     val estimate = udf((k: String) => cmsBc.value.estimateCount(k))
     val candidates = keyed.distinct()
       .filter(estimate(col("k")) >= threshold) // superset: CMS never undercounts

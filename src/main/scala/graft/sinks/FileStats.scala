@@ -32,4 +32,36 @@ object FileStats {
     stats
       .filter(value >= col(s"min_$c") && value <= col(s"max_$c"))
       .select(col("_file"))
+
+  /** [[collect]] plus a per-file BLOOM FILTER over `bloomCol` — the
+    * point-lookup complement to zone maps. Min/max prunes range predicates
+    * on CLUSTERED columns; on a high-cardinality key whose values scatter
+    * across files (ids, urls, hashes), every file's [min, max] spans the
+    * probe and zone maps prune nothing — the bloom still rules out every
+    * file that lacks the key (no false negatives, ~`fpp` false positives).
+    * One grouped aggregate pass builds all blooms; ~1 KB/file at
+    * `expectedPerFile`=1e3, fpp=1%. */
+  def collectWithBloom(
+      df: DataFrame,
+      cols: Seq[String],
+      bloomCol: String,
+      expectedPerFile: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = (count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) :+
+      graft.functions.SketchAggregates
+        .bloom_agg(col(bloomCol), expectedPerFile, fpp).as(s"bloom_$bloomCol")
+    df.withColumn("_file", input_file_name())
+      .groupBy(col("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose bloom may contain `value` — the candidate set of a point
+    * lookup. Exact read = scan these files, keep the exact predicate. */
+  def candidateFilesPoint(stats: DataFrame, bloomCol: String, value: Column): DataFrame =
+    stats
+      .filter(graft.functions.SketchAggregates
+        .might_contain(col(s"bloom_$bloomCol"), value))
+      .select(col("_file"))
 }
