@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tails this process's output and json-parses the last
+// line. sbt's default LoggedOutput prefixes forked stdout with "[info] "
+// and appends a "[success] Total time" line, both of which break that
+// parse — emit forked output verbatim and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -53,7 +53,9 @@ object PqIndex {
     val sub = d / m
     Array.tabulate(m) { j =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
-      var cents = pts.distinct.take(k).map(_.clone)
+      // value-level dedupe: Array equality is reference-based, so a plain
+      // pts.distinct would keep duplicate subvectors as duplicate seeds
+      var cents = pts.map(_.toSeq).distinct.take(k).map(_.toArray)
       var it = 0
       while (it < iters) {
         val sums = Array.fill(cents.length)(new Array[Double](sub))

@@ -39,13 +39,15 @@ object FileStats {
     * across files (ids, urls, hashes), every file's [min, max] spans the
     * probe and zone maps prune nothing — the bloom still rules out every
     * file that lacks the key (no false negatives, ~`fpp` false positives).
-    * One grouped aggregate pass builds all blooms; ~1 KB/file at
-    * `expectedPerFile`=1e3, fpp=1%. */
+    * One grouped aggregate pass builds all blooms. Size `expectedPerFile`
+    * to the DISTINCT keys per file: ~1.2 KB/file at the 1e3 default,
+    * ~120 KB/file at 1e5 — keep it small enough that the stats manifest
+    * stays driver-loadable across thousands of files. */
   def collectWithBloom(
       df: DataFrame,
       cols: Seq[String],
       bloomCol: String,
-      expectedPerFile: Long = 1000000L,
+      expectedPerFile: Long = 1000L,
       fpp: Double = 0.01): DataFrame = {
     require(cols.nonEmpty)
     val aggs = (count(lit(1)).as("n_rows") +:

@@ -57,7 +57,8 @@ object Snapshots {
     if (!f.exists(manifestDir(table))) Seq.empty
     else f.listStatus(manifestDir(table)).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{5}\\.json") => n.substring(1, 6).toLong }
+      .collect { case n if n.matches("v\\d+\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
       .sorted
   }
 
@@ -108,16 +109,18 @@ object Snapshots {
     val f = fs(spark, table)
     val prev = versions(spark, table)
     val v = prev.lastOption.getOrElse(0L) + 1
+    // Guard BEFORE writing data, and in BOTH modes: an Overwrite on a
+    // partitioned table would otherwise silently convert it to an
+    // unpartitioned one — full-table overwrite of a partitioned table
+    // should be loud (vacuum + fresh table), per commitPartitioned's doc.
+    val prevManifest = prev.lastOption.map(readManifest(f, table, _))
+    prevManifest.foreach(m => require(m.partitions.isEmpty,
+      s"$table is partitioned — use commitPartitioned"))
     val dataDir = f"$table/data/c-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     val dirs =
-      if (mode == SaveMode.Overwrite || prev.isEmpty) Seq(dataDir)
-      else {
-        val m = readManifest(f, table, prev.last)
-        require(m.partitions.isEmpty,
-          s"$table is partitioned — append with commitPartitioned")
-        m.dirs :+ dataDir
-      }
+      if (mode == SaveMode.Overwrite) Seq(dataDir)
+      else prevManifest.map(_.dirs).getOrElse(Seq.empty) :+ dataDir
     publish(f, table, v, Manifest(dirs, Map.empty))
   }
 
@@ -247,8 +250,20 @@ object Snapshots {
   }
 
   /** Drop data dirs referenced by no retained manifest (failed commits,
-    * overwritten versions after `retainLast` manifests are pruned). */
-  def vacuum(spark: SparkSession, table: String, retainLast: Int = 2): Unit = {
+    * overwritten versions after `retainLast` manifests are pruned).
+    *
+    * `minAgeMs` is the concurrent-writer grace window (Delta/Iceberg-style
+    * retention): a commit writes its data dir BEFORE publishing its
+    * manifest, so without an age cutoff a vacuum racing that commit would
+    * see the fresh dir as an orphan, delete it, and leave the about-to-be-
+    * published manifest pointing at missing data. Dirs whose modification
+    * time is within the window are skipped; keep it comfortably above the
+    * longest plausible write-to-publish gap (default 24 h). */
+  def vacuum(
+      spark: SparkSession,
+      table: String,
+      retainLast: Int = 2,
+      minAgeMs: Long = 24L * 3600 * 1000): Unit = {
     val f = fs(spark, table)
     val vs = versions(spark, table)
     val keep = vs.takeRight(math.max(1, retainLast))
@@ -258,10 +273,12 @@ object Snapshots {
       val m = readManifest(f, table, v)
       m.dirs ++ m.partitions.values.flatten
     }.toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMs)
     val dataRoot = new Path(s"$table/data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot).foreach { st =>
-        if (!live.contains(st.getPath.toString) &&
+        if (st.getModificationTime <= cutoff &&
+            !live.contains(st.getPath.toString) &&
             !live.exists(_.endsWith(st.getPath.toUri.getPath)))
           f.delete(st.getPath, true)
       }

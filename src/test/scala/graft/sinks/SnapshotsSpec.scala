@@ -34,7 +34,13 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(Seq((1, "x")).toDF("k", "v"), t)
     Snapshots.commit(Seq((2, "y")).toDF("k", "v"), t, SaveMode.Overwrite)
     Snapshots.commit(Seq((3, "z")).toDF("k", "v"), t)
+    // default grace window: a just-written dir is NOT vacuumable even when
+    // unreferenced (it may belong to a concurrent commit that hasn't
+    // published its manifest yet)
     Snapshots.vacuum(spark, t, retainLast = 2)
+    assert(new java.io.File(s"$t/data").listFiles().length == 3)
+    // with the window waived (no concurrent writers), orphans drop
+    Snapshots.vacuum(spark, t, retainLast = 2, minAgeMs = 0L)
     assert(Snapshots.versions(spark, t) == Seq(2L, 3L))
     assert(Snapshots.read(spark, t).select("k").as[Int].collect().toSet == Set(2, 3))
     // v1's orphaned data dir is gone
@@ -103,7 +109,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.partitions(spark, t) == Seq("g=a", "g=b"))
     assert(Snapshots.read(spark, t, Some(v - 1)).count() == 6)
     // vacuum drops the pre-compaction small files once out of retention
-    Snapshots.vacuum(spark, t, retainLast = 1)
+    Snapshots.vacuum(spark, t, retainLast = 1, minAgeMs = 0L)
     assert(Snapshots.read(spark, t).count() == 6)
   }
 
@@ -112,6 +118,9 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commitPartitioned(Seq(("x y", 1)).toDF("g", "k"), t, Seq("g"))
     intercept[IllegalArgumentException] {
       Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t) // append to partitioned
+    }
+    intercept[IllegalArgumentException] { // overwrite must not de-partition
+      Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t, SaveMode.Overwrite)
     }
     assert(Snapshots.parseSpec(Snapshots.partitions(spark, t).head) == Map("g" -> "x y"))
     assert(Snapshots.read(spark, t).select("g").as[String].head() == "x y")
