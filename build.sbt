@@ -16,7 +16,7 @@ run / fork := true
 // and appends a "[success] Total time" line, both of which break that
 // parse — emit forked output verbatim and drop the success banner.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-ThisBuild / showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -93,12 +93,20 @@ object IvfIndex {
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
         df.schema)
-    // deterministic init: the k lowest-id vectors. The unpartitioned
-    // row_number window below runs on the k-row limit result only — never
-    // on the full vector table.
-    var centroids = materialize(base.orderBy("id").limit(k)
-      .select((row_number().over(Window.orderBy("id")) - 1).as("cluster_id"),
-        col("vec").as("centroid")))
+    // deterministic init: the k lowest-id vectors, numbered at the driver
+    // (k rows by construction — avoids even a k-row unpartitioned window,
+    // which would log a global-window warning on every train)
+    val seedRows = base.orderBy("id").limit(k).select("vec").collect()
+    var centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(seedRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getSeq[Double](0))
+      }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true))))
     var i = 0
     while (i < iters) {
       centroids = materialize(meanByCluster(assign(base, centroids)))

@@ -82,6 +82,40 @@ object MinHash {
   def signature(shinglesCol: Column, k: Int = 64): Column =
     udf((sh: Seq[String]) => minhashSig(sh, k)).apply(shinglesCol)
 
+  /** Fused text → signature: tokenize, shingle, and minhash in ONE JVM pass
+    * per row. Semantically identical to `signature(shingles(text, n), k)`
+    * (spec-pinned) but ~20× faster: the Column form's shingling is a
+    * higher-order `transform` that evaluates interpreted AND re-evaluates
+    * the tokenizing `split` once per shingle element (HOF lambdas inline
+    * non-attribute children), so it dominated the whole LSH job. Duplicate
+    * shingles need no dedup here — min over a multiset equals min over its
+    * set. */
+  def signatureFromText(text: Column, k: Int = 64, n: Int = 3): Column =
+    udf((t: String) => {
+      val mins = Array.fill(k)(Long.MaxValue)
+      if (t != null) {
+        val toks = t.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        def add(shingle: String): Unit = {
+          val base = fnv1a64(shingle)
+          var i = 0
+          while (i < k) {
+            val h = mix64(base + i)
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        if (toks.length >= n) {
+          var i = 0
+          while (i + n <= toks.length) {
+            add(toks.slice(i, i + n).mkString(" "))
+            i += 1
+          }
+        } else if (toks.nonEmpty) add(toks.mkString(" "))
+      }
+      mins
+    }).apply(text)
+
   /** Estimated Jaccard = fraction of agreeing signature positions.
     * JVM loop: at LSH-join fan-out (millions of candidate pairs) the
     * zip_with/filter form evaluates interpreted per element and dominates
@@ -123,7 +157,7 @@ object MinHash {
     val input = fanOutIfNarrow(df)
     val withSig = input.select(
         col(idCol).as("doc"),
-        signature(shingles(col(textCol), shingleN), k).as("sig"))
+        signatureFromText(col(textCol), k, shingleN).as("sig"))
     // The candidate join carries ONLY ids: on a near-dup-dense corpus the
     // band join is quadratic-ish, and shuffling a k-long signature per
     // candidate row multiplies that shuffle by ~50×. Ids are deduped at

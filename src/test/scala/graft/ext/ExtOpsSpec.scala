@@ -70,6 +70,21 @@ class MinHashSpec extends SparkSpec {
     assert(est == 1.0)
   }
 
+  test("signatureFromText ≡ signature(shingles(text)) — fused JVM path is exact") {
+    val df = Seq(
+      "The quick  brown fox\tjumps over the lazy dog",
+      "short one", "a", "", "   ", "dup dup dup dup dup",
+      "Mixed CASE Tokens repeated mixed case tokens"
+    ).toDF("text")
+    for (n <- Seq(2, 3)) {
+      val composed = df.select(
+        MinHash.signature(MinHash.shingles($"text", n), 16).as("s")).as[Seq[Long]].collect()
+      val fused = df.select(
+        MinHash.signatureFromText($"text", 16, n).as("s")).as[Seq[Long]].collect()
+      assert(composed.toSeq == fused.toSeq, s"mismatch at n=$n")
+    }
+  }
+
   test("candidatePairs finds near-dups, est_jaccard close to true jaccard") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
