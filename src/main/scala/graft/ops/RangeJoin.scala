@@ -44,4 +44,35 @@ object RangeJoin {
       .filter(col(loCol) <= p && p < col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval-overlap join: `left JOIN right ON loL <= hiR AND loR <= hiL`
+    * (CLOSED intervals, the natural reading for date ranges) as a binned
+    * equi-join. Both sides explode to the bins they cover; the join is on
+    * bin (+ optional `equiKeys`, columns named identically on both sides —
+    * e.g. a tenant/partition key that also bounds the bin fan-in).
+    *
+    * A pair overlapping many shared bins would match once per bin; instead
+    * of a post-join `distinct` (an extra pairs-sized shuffle), each pair is
+    * emitted EXACTLY once: only at the bin containing the overlap's start,
+    * `greatest(loL, loR)` — a point both intervals cover by definition of
+    * overlap, so that bin always produces the pair and no other bin does.
+    *
+    * At 100 TB: shuffle = Σ span/binWidth rows per side, partitioned on
+    * uniform bin keys; no nested loop, no distinct. Pick binWidth near the
+    * median interval length (spans ≪ width degrade toward bins with heavy
+    * fan-in; spans ≫ width inflate the explode). */
+  def intervalOverlap(
+      left: DataFrame, loL: String, hiL: String,
+      right: DataFrame, loR: String, hiR: String,
+      binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(hi) >= col(lo))
+        .withColumn("_bin", explode(sequence(
+          floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+    binned(left, loL, hiL).join(binned(right, loR, hiR), "_bin" +: equiKeys)
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        col("_bin") === floor(greatest(col(loL), col(loR)) / binWidth))
+      .drop("_bin")
+  }
 }

@@ -538,5 +538,32 @@ object ExtensionBattery {
         .select($"doc_id", $"frame_idx", length($"frame").as("frame_bytes"))
         .orderBy($"doc_id", $"frame_idx")
     },
+
+    // Bigram-LM perplexity scoring (CCNet-shape quality filter): train an
+    // add-1 smoothed bigram model on the corpus, score each doc by mean
+    // ln P(w2|w1). Fully oracled — the whole model is relational algebra.
+    sql("q_lm_perplexity",
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |ugc AS (SELECT w1, sum(c2) AS c1 FROM bgc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS vs
+         |      FROM (SELECT unnest(toks) AS w FROM tok)),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |    ln((bgc.c2 + 1.0) / (ugc.c1 + 1.0 * (SELECT vs FROM v))) AS logp
+         |  FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(logp), 4) AS avg_logp
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.ext.NgramLm.score(Tables.documents(s, d), "doc_id", "text")
+        .select($"doc_id", $"n_bigrams", round($"avg_logp", 4).as("avg_logp"))
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -206,6 +206,43 @@ object RelationalBattery {
         .orderBy($"n_nationkey")
     },
 
+    // Interval-overlap join (interval × interval, the range-join big
+    // sibling): binned equi-join with emit-once-at-overlap-start dedupe —
+    // no nested loop, no distinct. Self-join: overlapping shipment windows
+    // [shipdate, receiptdate] per supplier. Oracle IS the theta join.
+    sql("q_interval_overlap",
+      """WITH t AS (SELECT l_suppkey AS sk, l_orderkey AS ok, l_linenumber AS ln,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS lo,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + l_linenumber * 2 + 3 AS hi
+        |  FROM lineitem WHERE l_suppkey <= 5)
+        |SELECT a.sk AS suppkey, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1) AS BIGINT) AS overlap_days
+        |FROM t a JOIN t b ON a.sk = b.sk AND a.lo <= b.hi AND b.lo <= a.hi
+        |  AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // shipment window = [shipdate, shipdate + 2·linenumber + 3 days]
+      // (receipt date synthesized — the testdata lineitem carries only
+      // l_shipdate)
+      val base = Tables.lineitem(s, d).filter($"l_suppkey" <= 5).select(
+        $"l_suppkey".as("sk"), $"l_orderkey", $"l_linenumber",
+        datediff($"l_shipdate".cast("date"), lit("1970-01-01")).cast("long").as("lo"),
+        (datediff($"l_shipdate".cast("date"), lit("1970-01-01"))
+          + $"l_linenumber" * 2 + 3).cast("long").as("hi"))
+      val a = base.toDF("sk", "ok_a", "ln_a", "lo_a", "hi_a")
+      val b = base.toDF("sk", "ok_b", "ln_b", "lo_b", "hi_b")
+      graft.ops.RangeJoin.intervalOverlap(
+          a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+          binWidth = 16, equiKeys = Seq("sk"))
+        .filter($"ok_a" < $"ok_b" || ($"ok_a" === $"ok_b" && $"ln_a" < $"ln_b"))
+        .groupBy($"sk")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least($"hi_a", $"hi_b") - greatest($"lo_a", $"lo_b") + 1).as("overlap_days"))
+        .select($"sk".as("suppkey"), $"n_pairs", $"overlap_days")
+        .orderBy($"suppkey")
+    },
+
     // Window top-k per group: row_number over (partition, order) + filter.
     sql("q_window_topk",
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
