@@ -821,5 +821,71 @@ object BreadthBattery {
         .select($"w.start".as("window_start"), $"n", $"sum_value")
         .orderBy($"window_start")
     },
+
+    // Dataset mixing: per-source sampling rates applied with a DETERMINISTIC
+    // hash gate (md5 prefix vs a rate threshold) — the reproducible way to
+    // re-weight corpus sources for a training mix. Rate class = source
+    // number mod 4 → 25/50/75/100%. One conditional-aggregation pass.
+    sql("q_mix_sources",
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE
+        |    CAST(substr(source, 4) AS INT) % 4 = 3
+        |    OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |       CASE CAST(substr(source, 4) AS INT) % 4
+        |         WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val srcClass = substring($"source", 4, 10).cast("int") % 4
+      val keep = srcClass === 3 ||
+        substring(md5($"doc_id".cast("string")), 1, 2) <
+          when(srcClass === 0, "40").when(srcClass === 1, "80").otherwise("c0")
+      Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(keep, 1)).as("n_sampled"))
+        .orderBy($"source")
+    },
+
+    // Shannon entropy of the event-type distribution per user bucket.
+    // Spark has no entropy aggregate: two-level aggregation computes
+    // log2(T) - Σ c·log2(c) / T — algebraic partials all the way down, no
+    // window, no collect. Oracle: DuckDB's native entropy().
+    sql("q_entropy",
+      """SELECT user_id % 10 AS bucket,
+        |  round(entropy(event_type), 4) AS type_entropy
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(pmod($"user_id", lit(10)).as("bucket"), $"event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"bucket")
+        .agg(round(
+          log2(sum($"c")) - sum($"c" * log2($"c")) / sum($"c"), 4)
+          .as("type_entropy"))
+        .orderBy($"bucket")
+    },
+
+    // Linear-regression aggregates (slope/intercept/r², the SQL:2003 regr_*
+    // family): price as a function of quantity per return flag.
+    sql("q_regr_agg",
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          regr_count($"l_extendedprice", $"l_quantity").as("n"),
+          round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+          round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("intercept"),
+          round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+          round(regr_avgx($"l_extendedprice", $"l_quantity"), 4).as("avg_qty"))
+        .orderBy($"l_returnflag")
+    },
   )
 }

@@ -40,8 +40,15 @@ object Snapshots {
 
   /** One resolved manifest version: `dirs` for unpartitioned commits,
     * `partitions` (hive spec → commit base dirs; data lives at
-    * `base/spec`) for partitioned ones. A table uses one or the other. */
-  private[sinks] case class Manifest(dirs: Seq[String], partitions: Map[String, Seq[String]])
+    * `base/spec`) for partitioned ones. A table uses one or the other.
+    * `txn` is the streaming-transaction watermark map (writer appId → last
+    * committed epoch/batch id), carried forward by every commit — the
+    * Delta-style idempotence token that makes a replayed `foreachBatch`
+    * micro-batch a no-op instead of a duplicate append. */
+  private[sinks] case class Manifest(
+      dirs: Seq[String],
+      partitions: Map[String, Seq[String]],
+      txn: Map[String, Long] = Map.empty)
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     FileSystem.get(new java.net.URI(table), spark.sparkContext.hadoopConfiguration)
@@ -74,7 +81,11 @@ object Snapshots {
       e.getValue.forEach(b => bases += b.asText())
       parts += e.getKey -> bases.result()
     }
-    Manifest(dirs.result(), parts.result())
+    val txn = Map.newBuilder[String, Long]
+    if (node.has("txn")) node.get("txn").fields().forEachRemaining { e =>
+      txn += e.getKey -> e.getValue.asLong()
+    }
+    Manifest(dirs.result(), parts.result(), txn.result())
   }
 
   /** Write-temp + rename publication shared by both commit flavors. */
@@ -90,6 +101,10 @@ object Snapshots {
         bases.foreach(a.add)
       }
     }
+    if (m.txn.nonEmpty) {
+      val to = root.putObject("txn")
+      m.txn.toSeq.sortBy(_._1).foreach { case (app, id) => to.put(app, id) }
+    }
     f.mkdirs(manifestDir(table))
     val tmp = new Path(manifestDir(table), f".v$v%05d.json.tmp")
     val out = f.create(tmp, true)
@@ -99,10 +114,27 @@ object Snapshots {
     v
   }
 
+  /** Last committed transaction id for a streaming writer `appId`, from the
+    * latest manifest (None if the table or the app has never committed).
+    * The exactly-once gate: skip any batch with id <= this watermark. */
+  def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
+    val vs = versions(spark, table)
+    vs.lastOption.flatMap(v => readManifest(fs(spark, table), table, v).txn.get(appId))
+  }
+
   /** Commit `df` as the next version. `Append` keeps prior data dirs in the
     * new manifest; `Overwrite` starts the version from only this commit's
-    * files. Returns the committed version number. */
-  def commit(df: DataFrame, table: String, mode: SaveMode = SaveMode.Append): Long = {
+    * files. Returns the committed version number.
+    *
+    * `txn = Some(appId -> batchId)` makes the commit IDEMPOTENT per writer:
+    * if the latest manifest already records `appId` at >= `batchId` the
+    * commit is a no-op returning the current version — an at-least-once
+    * streaming source replaying a micro-batch cannot double-append. */
+  def commit(
+      df: DataFrame,
+      table: String,
+      mode: SaveMode = SaveMode.Append,
+      txn: Option[(String, Long)] = None): Long = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"unsupported snapshot commit mode $mode")
     val spark = df.sparkSession
@@ -116,12 +148,17 @@ object Snapshots {
     val prevManifest = prev.lastOption.map(readManifest(f, table, _))
     prevManifest.foreach(m => require(m.partitions.isEmpty,
       s"$table is partitioned — use commitPartitioned"))
-    val dataDir = f"$table/data/c-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    val dirs =
-      if (mode == SaveMode.Overwrite) Seq(dataDir)
-      else prevManifest.map(_.dirs).getOrElse(Seq.empty) :+ dataDir
-    publish(f, table, v, Manifest(dirs, Map.empty))
+    val prevTxn = prevManifest.map(_.txn).getOrElse(Map.empty[String, Long])
+    val replayed = txn.exists { case (app, id) => prevTxn.get(app).exists(_ >= id) }
+    if (replayed) prev.last // already-committed batch: idempotent no-op
+    else {
+      val dataDir = f"$table/data/c-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+      val dirs =
+        if (mode == SaveMode.Overwrite) Seq(dataDir)
+        else prevManifest.map(_.dirs).getOrElse(Seq.empty) :+ dataDir
+      publish(f, table, v, Manifest(dirs, Map.empty, prevTxn ++ txn))
+    }
   }
 
   /** Commit `df` hive-partitioned by `partitionBy` as the next version.
@@ -138,7 +175,8 @@ object Snapshots {
       df: DataFrame,
       table: String,
       partitionBy: Seq[String],
-      mode: SaveMode = SaveMode.Append): Long = {
+      mode: SaveMode = SaveMode.Append,
+      txn: Option[(String, Long)] = None): Long = {
     require(partitionBy.nonEmpty, "partitionBy must be non-empty")
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"unsupported snapshot commit mode $mode")
@@ -146,29 +184,81 @@ object Snapshots {
     val f = fs(spark, table)
     val prev = versions(spark, table)
     val v = prev.lastOption.getOrElse(0L) + 1
-    val base = f"$table/data/c-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode(SaveMode.ErrorIfExists).partitionBy(partitionBy: _*).parquet(base)
-    // discover the specs this commit wrote: walk partitionBy.length levels
-    // of k=v dirs under the (private, just-written) commit dir
-    def specs(p: Path, depth: Int): Seq[String] =
-      if (depth == 0) Seq("")
-      else f.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .flatMap(st => specs(st.getPath, depth - 1)
-          .map(rest => if (rest.isEmpty) st.getPath.getName else s"${st.getPath.getName}/$rest"))
-    val touched = specs(new Path(base), partitionBy.length)
-    require(touched.nonEmpty, "commitPartitioned wrote no partitions (empty df?)")
-    val prevParts = prev.lastOption.map { pv =>
-      val m = readManifest(f, table, pv)
-      require(m.dirs.isEmpty, s"$table is unpartitioned — use commit")
-      m.partitions
-    }.getOrElse(Map.empty[String, Seq[String]])
-    val merged =
-      if (mode == SaveMode.Overwrite) // dynamic: only touched specs replaced
-        prevParts -- touched ++ touched.map(_ -> Seq(base))
-      else
-        prevParts ++ touched.map(s => s -> (prevParts.getOrElse(s, Seq.empty) :+ base))
-    publish(f, table, v, Manifest(Seq.empty, merged.toMap))
+    val prevTxnMap = prev.lastOption
+      .map(readManifest(f, table, _).txn).getOrElse(Map.empty[String, Long])
+    val replayed = txn.exists { case (app, id) => prevTxnMap.get(app).exists(_ >= id) }
+    if (replayed) prev.last // already-committed batch: idempotent no-op
+    else {
+      val base = f"$table/data/c-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode(SaveMode.ErrorIfExists).partitionBy(partitionBy: _*).parquet(base)
+      // discover the specs this commit wrote: walk partitionBy.length levels
+      // of k=v dirs under the (private, just-written) commit dir
+      def specs(p: Path, depth: Int): Seq[String] =
+        if (depth == 0) Seq("")
+        else f.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap(st => specs(st.getPath, depth - 1)
+            .map(rest => if (rest.isEmpty) st.getPath.getName else s"${st.getPath.getName}/$rest"))
+      val touched = specs(new Path(base), partitionBy.length)
+      require(touched.nonEmpty, "commitPartitioned wrote no partitions (empty df?)")
+      val prevParts = prev.lastOption.map { pv =>
+        val m = readManifest(f, table, pv)
+        require(m.dirs.isEmpty, s"$table is unpartitioned — use commit")
+        m.partitions
+      }.getOrElse(Map.empty[String, Seq[String]])
+      val merged =
+        if (mode == SaveMode.Overwrite) // dynamic: only touched specs replaced
+          prevParts -- touched ++ touched.map(_ -> Seq(base))
+        else
+          prevParts ++ touched.map(s => s -> (prevParts.getOrElse(s, Seq.empty) :+ base))
+      publish(f, table, v, Manifest(Seq.empty, merged.toMap, prevTxnMap ++ txn))
+    }
+  }
+
+  /** Snapshot-native MERGE (upsert): rows of `updates` replace current rows
+    * sharing their key; new keys insert. Published as one new version, so
+    * readers see the merge atomically and time travel keeps the pre-merge
+    * state. `updates` must be unique on `keys` (pre-dedupe upstream —
+    * [[graft.ops.Dedup]]).
+    *
+    * Unpartitioned tables rewrite fully (inherent to keyed replacement
+    * without partition bounds). Partitioned tables rewrite ONLY the
+    * partitions present in `updates`: matched rows there are anti-joined
+    * out, the union is committed as a dynamic overwrite of those specs, and
+    * every other partition carries forward as manifest references — at
+    * 100 TB an hourly upsert rewrites one hour, not the table. Rows whose
+    * key lives in a partition NOT touched by `updates` are not matched —
+    * same contract as partition-scoped MERGE everywhere
+    * ([[LakeMaintenance.upsert]]). */
+  def merge(
+      spark: SparkSession,
+      table: String,
+      updates: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge keys must be non-empty")
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val m = readManifest(f, table, vs.last)
+    if (m.partitions.isEmpty) {
+      val kept = read(spark, table).join(updates, keys, "left_anti")
+      commit(kept.unionByName(updates, allowMissingColumns = true),
+        table, SaveMode.Overwrite)
+    } else {
+      val partCols = parseSpec(m.partitions.keys.head).keys.toSeq
+        .sortBy(k => m.partitions.keys.head.split('/').indexWhere(_.startsWith(k + "=")))
+      // partitions the updates touch — resolved from the updates frame, then
+      // used to prune the read to only those specs
+      val touchedSpecs = updates.select(partCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().collect()
+        .map(r => partCols.zipWithIndex.map { case (c, i) => c -> r.get(i).toString }.toMap)
+        .toSet
+      val current = read(spark, table, None,
+        spec => touchedSpecs.exists(t => t.forall { case (k, v) => spec.get(k).contains(v) }))
+      val kept = current.join(updates, keys, "left_anti")
+      commitPartitioned(kept.unionByName(updates, allowMissingColumns = true),
+        table, partCols, SaveMode.Overwrite)
+    }
   }
 
   /** Partition specs of a snapshot, ascending (empty for unpartitioned). */
@@ -206,18 +296,80 @@ object Snapshots {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val m = readManifest(f, table, v)
-    if (m.partitions.isEmpty) spark.read.parquet(m.dirs: _*)
+    if (m.partitions.isEmpty) readDirs(spark, m.dirs)
     else {
       val kept = m.partitions.filter { case (spec, _) => partitionFilter(parseSpec(spec)) }
       require(kept.nonEmpty, s"partitionFilter matched no partitions of $table v$v")
-      // group by commit dir: basePath anchors hive discovery so the k=v
-      // path segments materialize as partition columns
-      kept.toSeq.flatMap { case (spec, bases) => bases.map(b => (b, s"$b/$spec")) }
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (base, paths) =>
-          spark.read.option("basePath", base).parquet(paths.map(_._2).distinct: _*)
-        }
-        .reduce(_.unionByName(_))
+      readSpecs(spark, kept.toSeq.flatMap { case (spec, bases) => bases.map((_, spec)) })
+    }
+  }
+
+  /** Scan a set of unpartitioned commit dirs. `mergeSchema` reconciles
+    * footers across commits, so SCHEMA EVOLUTION is free: a commit may add
+    * columns and older commits' rows read back with them as null. */
+  private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+
+  /** Scan (commit base, spec) pairs of a partitioned table. Grouped by
+    * commit dir: basePath anchors hive discovery so the k=v path segments
+    * materialize as partition columns; `allowMissingColumns` unions across
+    * commits whose schemas evolved. */
+  private def readSpecs(spark: SparkSession, baseSpecs: Seq[(String, String)]): DataFrame =
+    baseSpecs.map { case (base, spec) => (base, s"$base/$spec") }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (base, paths) =>
+        spark.read.option("basePath", base).option("mergeSchema", "true")
+          .parquet(paths.map(_._2).distinct: _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Change data feed between two versions: every row added or removed going
+    * `fromVersion` → `toVersion`, tagged `_change_type` ('insert'/'delete').
+    *
+    * Because commit data dirs are IMMUTABLE and manifests reference whole
+    * dirs, the diff is exact at the manifest level: dirs (or per-spec bases)
+    * present only in the newer manifest are inserts, only in the older are
+    * deletes. No row-level comparison, and the scan touches ONLY changed
+    * dirs — an incremental consumer of an hourly-append 100 TB table reads
+    * one hour's files, which is what makes downstream incremental
+    * maintenance (see [[graft.ops.IncrementalAgg]]) cheaper than recompute.
+    * An overwrite shows up as delete-all-old + insert-all-new for the
+    * affected partitions, matching Delta CDF semantics without CDC files. */
+  def changes(
+      spark: SparkSession,
+      table: String,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    require(vs.contains(fromVersion), s"version $fromVersion not in $vs")
+    require(vs.contains(toVersion), s"version $toVersion not in $vs")
+    require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
+    val (m1, m2) = (readManifest(f, table, fromVersion), readManifest(f, table, toVersion))
+    val (ins, del) =
+      if (m1.partitions.isEmpty && m2.partitions.isEmpty) {
+        val (d1, d2) = (m1.dirs.toSet, m2.dirs.toSet)
+        def rd(dirs: Seq[String]) = if (dirs.isEmpty) None else Some(readDirs(spark, dirs))
+        (rd(m2.dirs.filterNot(d1)), rd(m1.dirs.filterNot(d2)))
+      } else {
+        def diff(a: Map[String, Seq[String]], b: Map[String, Seq[String]]) =
+          a.toSeq.flatMap { case (spec, bases) =>
+            val other = b.getOrElse(spec, Seq.empty).toSet
+            bases.filterNot(other).map((_, spec))
+          }
+        def rd(bs: Seq[(String, String)]) = if (bs.isEmpty) None else Some(readSpecs(spark, bs))
+        (rd(diff(m2.partitions, m1.partitions)), rd(diff(m1.partitions, m2.partitions)))
+      }
+    val tagged = Seq(
+      ins.map(_.withColumn("_change_type", lit("insert"))),
+      del.map(_.withColumn("_change_type", lit("delete")))).flatten
+    tagged match {
+      case Seq(one) => one
+      case Seq(a, b) => a.unionByName(b, allowMissingColumns = true)
+      case _ => // no changed dirs: empty frame with the table's schema + tag
+        read(spark, table, Some(toVersion)).limit(0)
+          .withColumn("_change_type", lit("insert"))
     }
   }
 

@@ -116,6 +116,42 @@ object StreamingOps {
       }
       .start()
 
+  /** Exactly-once streaming commit into a [[graft.sinks.Snapshots]] table:
+    * each micro-batch publishes as one ATOMIC snapshot version carrying the
+    * (appId, batchId) transaction watermark in the manifest. On failure +
+    * replay the source re-delivers a batch, but the commit sees the
+    * watermark and no-ops — at-least-once delivery becomes exactly-once at
+    * the table (the Delta `txnAppId`/`txnVersion` pattern, here on the
+    * manifest format). Readers never observe a torn batch: the version
+    * appears with one manifest rename. `partitionCols` non-empty → hive-
+    * partitioned commits (dt/hour style), else plain appends. */
+  def startSnapshotSink(
+      stream: DataFrame,
+      table: String,
+      checkpointDir: String,
+      appId: String,
+      partitionCols: Seq[String] = Nil,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (partitionCols.isEmpty)
+            graft.sinks.Snapshots.commit(batch.toDF(), table,
+              org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))
+          else
+            graft.sinks.Snapshots.commitPartitioned(batch.toDF(), table,
+              partitionCols, org.apache.spark.sql.SaveMode.Append,
+              txn = Some(appId -> batchId))
+          ()
+        }
+      }
+      .start()
+
   // ---- sessionization ------------------------------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -126,6 +126,96 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).select("g").as[String].head() == "x y")
   }
 
+  test("changes: appends surface as inserts, overwrite as delete+insert, file-level only") {
+    val t = tmp()
+    Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t)
+    Snapshots.commit(Seq((2, "b"), (3, "c")).toDF("k", "v"), t)
+    // append-only diff v1→v2: only the new commit's rows, tagged insert
+    val c12 = Snapshots.changes(spark, t, 1L, 2L)
+    assert(c12.filter($"_change_type" === "insert").select("k").as[Int].collect().toSet == Set(2, 3))
+    assert(c12.filter($"_change_type" === "delete").count() == 0)
+    // the CDF scan reads ONLY the changed commit dir, not the whole table
+    assert(c12.inputFiles.nonEmpty && c12.inputFiles.forall(_.contains("c-00002")))
+    // overwrite v2→v3: all old rows delete, new rows insert
+    Snapshots.commit(Seq((9, "z")).toDF("k", "v"), t, SaveMode.Overwrite)
+    val c23 = Snapshots.changes(spark, t, 2L, 3L)
+    assert(c23.filter($"_change_type" === "delete").select("k").as[Int].collect().toSet == Set(1, 2, 3))
+    assert(c23.filter($"_change_type" === "insert").select("k").as[Int].collect().toSet == Set(9))
+    // self-diff is empty but keeps the schema
+    assert(Snapshots.changes(spark, t, 3L, 3L).count() == 0)
+  }
+
+  test("changes on partitioned tables: dynamic overwrite diffs only touched specs") {
+    val t = tmp()
+    Snapshots.commitPartitioned(
+      Seq(("2025-01-01", 1), ("2025-01-02", 2)).toDF("dt", "k"), t, Seq("dt"))
+    Snapshots.commitPartitioned(
+      Seq(("2025-01-02", 9)).toDF("dt", "k"), t, Seq("dt"), SaveMode.Overwrite)
+    val c = Snapshots.changes(spark, t, 1L, 2L)
+    val byType = c.select("_change_type", "k").as[(String, Int)].collect().groupBy(_._1)
+    assert(byType("delete").map(_._2).toSet == Set(2)) // only dt=2025-01-02 diffed
+    assert(byType("insert").map(_._2).toSet == Set(9))
+    assert(c.inputFiles.forall(_.contains("dt=2025-01-02")))
+  }
+
+  test("schema evolution: a commit may add columns; old rows read back null") {
+    val t = tmp()
+    Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t)
+    Snapshots.commit(Seq((2, "b", 7.5)).toDF("k", "v", "score"), t)
+    val df = Snapshots.read(spark, t)
+    assert(df.columns.toSet == Set("k", "v", "score"))
+    val rows = df.select("k", "score").as[(Int, Option[Double])].collect().toMap
+    assert(rows == Map(1 -> None, 2 -> Some(7.5)))
+    // evolution flows through the change feed too
+    val c = Snapshots.changes(spark, t, 1L, 2L)
+    assert(c.columns.contains("score"))
+  }
+
+  test("txn commits are idempotent: a replayed (app, batch) no-ops") {
+    val t = tmp()
+    val v1 = Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t, txn = Some("app" -> 0L))
+    val v2 = Snapshots.commit(Seq((2, "b")).toDF("k", "v"), t, txn = Some("app" -> 1L))
+    // replay batch 1 (and an older batch 0): both skipped, version unchanged
+    assert(Snapshots.commit(Seq((2, "b")).toDF("k", "v"), t, txn = Some("app" -> 1L)) == v2)
+    assert(Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t, txn = Some("app" -> 0L)) == v2)
+    assert(Snapshots.read(spark, t).count() == 2)
+    assert(Snapshots.lastTxn(spark, t, "app").contains(1L))
+    // a DIFFERENT writer's ids are independent
+    Snapshots.commit(Seq((3, "c")).toDF("k", "v"), t, txn = Some("other" -> 0L))
+    assert(Snapshots.read(spark, t).count() == 3)
+    // non-txn commits carry the watermark map forward
+    Snapshots.commit(Seq((4, "d")).toDF("k", "v"), t)
+    assert(Snapshots.lastTxn(spark, t, "app").contains(1L))
+    assert(v1 == 1L && v2 == 2L)
+  }
+
+  test("merge: keyed upsert as one new version; partitioned merge rewrites only touched specs") {
+    val t = tmp()
+    Snapshots.commitPartitioned(
+      Seq(("d1", 1, "old1"), ("d1", 2, "old2"), ("d2", 3, "old3")).toDF("dt", "k", "v"),
+      t, Seq("dt"))
+    // update k=2, insert k=9 — both land in dt=d1; dt=d2 untouched
+    val v = Snapshots.merge(spark, t,
+      Seq(("d1", 2, "NEW2"), ("d1", 9, "NEW9")).toDF("dt", "k", "v"), Seq("dt", "k"))
+    val now = Snapshots.read(spark, t)
+    assert(now.select("k", "v").as[(Int, String)].collect().toMap ==
+      Map(1 -> "old1", 2 -> "NEW2", 3 -> "old3", 9 -> "NEW9"))
+    // time travel: pre-merge state intact
+    assert(Snapshots.read(spark, t, Some(v - 1))
+      .filter($"k" === 2).select("v").as[String].head() == "old2")
+    // the merge's change feed touches only dt=d1 files
+    val c = Snapshots.changes(spark, t, v - 1, v)
+    assert(c.inputFiles.forall(_.contains("dt=d1")))
+  }
+
+  test("merge on an unpartitioned table") {
+    val t = tmp()
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
+    Snapshots.merge(spark, t, Seq((2, "B!"), (5, "e")).toDF("k", "v"), Seq("k"))
+    assert(Snapshots.read(spark, t).select("k", "v").as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 2 -> "B!", 5 -> "e"))
+  }
+
   test("readers only see whole commits: no tmp manifests, immutable data dirs") {
     val t = tmp()
     Snapshots.commit(spark.range(100).select($"id", ($"id" * 2).as("v")), t)

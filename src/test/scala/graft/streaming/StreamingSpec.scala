@@ -205,6 +205,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(hits > 0) // streamed vectors are searchable
   }
 
+  test("snapshot sink: micro-batches commit atomically; replayed batch is exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapsink").toString
+    val table = s"$dir/t"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamingOps.startSnapshotSink(
+      mem.toDF().toDF("k", "v"), table, s"$dir/ckpt", appId = "ingest-1",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.sinks.Snapshots.read(spark, table).count() == 3)
+    val lastBatch = graft.sinks.Snapshots.lastTxn(spark, table, "ingest-1").get
+    // simulate an at-least-once REPLAY of the last batch (what a recovering
+    // foreachBatch does): the manifest watermark makes it a no-op
+    val before = graft.sinks.Snapshots.versions(spark, table)
+    graft.sinks.Snapshots.commit(
+      Seq((3L, "c")).toDF("k", "v"), table,
+      org.apache.spark.sql.SaveMode.Append, txn = Some("ingest-1" -> lastBatch))
+    assert(graft.sinks.Snapshots.versions(spark, table) == before)
+    assert(graft.sinks.Snapshots.read(spark, table).count() == 3) // no dup rows
+  }
+
   test("dedupWithinWatermark drops retry-duplicates in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Timestamp)]
