@@ -152,6 +152,44 @@ object RelationalBattery {
         .orderBy($"event_id")
     },
 
+    // As-of join with a TOLERANCE (pandas merge_asof semantics): a match
+    // older than 1 hour is as good as no match — payload columns null out.
+    // Same custom exec; the tolerance is a post-join projection, compared
+    // in microseconds (events ts is sub-second).
+    sql("q_asof_tolerance",
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT p_user, p_ts, p_event FROM (
+        |    SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event,
+        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT c.user_id, c.event_id, c.ts,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.p_ts) <= 3600000000
+        |       THEN p.p_event END AS p_event,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.p_ts) <= 3600000000
+        |       THEN p.p_ts END AS p_ts
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.p_user AND c.ts >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      val purchases = graft.ops.Dedup.keepFirst(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_event")),
+        Seq("p_user", "p_ts"), Seq($"p_event"))
+      val within = unix_micros($"ts") - unix_micros($"p_ts") <= 3600000000L
+      graft.plans.AsOf.join(clicks, purchases,
+          leftOn = "ts", rightOn = "p_ts",
+          leftBy = Seq("user_id"), rightBy = Seq("p_user"))
+        .select($"user_id", $"event_id", $"ts",
+          when(within, $"p_event").as("p_event"),
+          when(within, $"p_ts").as("p_ts"))
+        .orderBy($"event_id")
+    },
+
     // The filtered as-of join: the WHERE lands ABOVE AsOf.join, and the
     // engine's AsOfJoinFilterPushdown rule pushes it into the left child
     // and mirrors the by-key predicate to the right — the pruned-scan path

@@ -261,6 +261,22 @@ object Snapshots {
     }
   }
 
+  /** Version current AS OF `timestampMs`: the newest manifest whose publish
+    * (rename) time is <= the instant — `read(spark, table, Some(versionAsOf
+    * (...)))` is point-in-time time travel by wall clock. Manifest files are
+    * written once and never touched after publish, so their modification
+    * time IS the commit time. */
+  def versionAsOf(spark: SparkSession, table: String, timestampMs: Long): Long = {
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val at = vs.filter(v =>
+      f.getFileStatus(manifestPath(table, v)).getModificationTime <= timestampMs)
+    require(at.nonEmpty,
+      s"no snapshot of $table existed at $timestampMs (first commit is later)")
+    at.last
+  }
+
   /** Partition specs of a snapshot, ascending (empty for unpartitioned). */
   def partitions(spark: SparkSession, table: String, version: Option[Long] = None): Seq[String] = {
     val f = fs(spark, table)

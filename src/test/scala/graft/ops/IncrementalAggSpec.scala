@@ -22,6 +22,29 @@ class IncrementalAggSpec extends SparkSpec {
     assert(m == d)
   }
 
+  test("applyChanges maintains count/sum through appends AND an overwrite") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sinks.Snapshots
+    val t = java.nio.file.Files.createTempDirectory("graft-ivm").toString + "/t"
+    def rows(r: (String, Double)*) = r.toSeq.toDF("k", "v")
+    Snapshots.commit(rows(("a", 1.0), ("a", 2.0), ("b", 10.0)), t) // v1
+    // bootstrap state from v1
+    var state = IncrementalAgg.partial(Snapshots.read(spark, t, Some(1L)), Seq("k"), "v")
+      .select($"k", $"n", $"sum_v")
+    Snapshots.commit(rows(("b", 5.0), ("c", 7.0)), t) // v2 append
+    state = IncrementalAgg.applyChanges(
+      state, Snapshots.changes(spark, t, 1L, 2L), Seq("k"), "v")
+    Snapshots.commit(rows(("a", 100.0)), t, SaveMode.Overwrite) // v3 drops a/b/c history
+    state = IncrementalAgg.applyChanges(
+      state, Snapshots.changes(spark, t, 2L, 3L), Seq("k"), "v")
+    val expect = IncrementalAgg.partial(Snapshots.read(spark, t), Seq("k"), "v")
+      .select($"k", $"n", $"sum_v")
+    assert(state.orderBy("k").collect().map(_.toSeq).toSeq ==
+      expect.orderBy("k").collect().map(_.toSeq).toSeq)
+    // keys vanished by the overwrite (b, c) dropped out of the state
+    assert(state.select("k").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("merge is associative across three deltas") {
     val parts = (0 until 3).map(i =>
       spark.range(1000).filter($"id" % 3 === i)

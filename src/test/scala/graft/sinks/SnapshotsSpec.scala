@@ -208,6 +208,19 @@ class SnapshotsSpec extends SparkSpec {
     assert(c.inputFiles.forall(_.contains("dt=d1")))
   }
 
+  test("versionAsOf resolves the newest manifest at or before a wall-clock instant") {
+    val t = tmp()
+    Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    Snapshots.commit(Seq((2, "b")).toDF("k", "v"), t)
+    assert(Snapshots.versionAsOf(spark, t, between) == 1L)
+    assert(Snapshots.versionAsOf(spark, t, System.currentTimeMillis()) == 2L)
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(spark, t, between - 60000) // before the table existed
+    }
+  }
+
   test("merge on an unpartitioned table") {
     val t = tmp()
     Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
