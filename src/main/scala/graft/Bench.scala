@@ -27,6 +27,13 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    // dev knob: dump EVERY query's timing (sorted slowest-first) to a file
+    // for perf triage; the driver-facing stdout line stays short
+    sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>
+      val full = results.toSeq.sortBy(-_._2)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
+    }
     // The driver captures only the tail of this process's output, so the
     // JSON line must stay well under 2000 chars: report the full-battery
     // total, but per-query timings only for a fixed headline subset

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Set-similarity self-join with PREFIX FILTERING (the PPJoin family): all
+  * document pairs whose token-set Jaccard ≥ `threshold`, without comparing
+  * all pairs.
+  *
+  * Why not brute force: exact all-pairs is |D|²/2 comparisons — 5·10¹³ at
+  * 10M docs. Why not only LSH: MinHash banding is probabilistic (misses
+  * near-threshold pairs). Prefix filtering is EXACT: order each doc's
+  * tokens by ascending global frequency; if J(a,b) ≥ t, then a and b must
+  * share at least one token within their first |x| − ⌈t·|x|⌉ + 1 tokens
+  * (else the overlap is too small to reach t even if everything after the
+  * prefixes matched). So candidates = pairs sharing ≥ 1 PREFIX token, and
+  * rare-first ordering makes prefixes meet on RARE tokens — tiny candidate
+  * lists where an unordered inverted index would put every doc pair sharing
+  * "the" into one bucket.
+  *
+  * Scale shape: token-frequency count (one corpus shuffle), per-doc ranking
+  * window (hash-partitioned by doc id), candidate equi-join on prefix
+  * tokens CARRYING IDS ONLY (same discipline as [[MinHash.candidatePairs]]),
+  * distinct, then one verification join that fetches each doc's token array
+  * once per surviving pair. Frequency-ascending order bounds join fan-in:
+  * the hottest tokens sit at the END of every prefix, so most prefix
+  * entries are rare tokens with short postings lists.
+  */
+object SetSimJoin {
+
+  /** (doc_a, doc_b, jaccard) for all pairs with Jaccard ≥ `threshold`;
+    * doc_a < doc_b. Exact — spec-pinned against the brute-force join. */
+  def join(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val toks = docs.select(
+        col(idCol).as("sid"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tokCounts = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    // rank each doc's tokens rarest-first (ties by token string — any fixed
+    // total order preserves the prefix-filter guarantee) and keep the prefix
+    val prefix = toks
+      .select(col("sid"), size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
+      .join(tokCounts, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sid").orderBy(col("tf"), col("tok"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("sid", "tok")
+    val cand = prefix.toDF("a", "tok")
+      .join(prefix.toDF("b", "tok"), Seq("tok"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    cand
+      .join(toks.toDF("a", "toks_a"), "a")
+      .join(toks.toDF("b", "toks_b"), "b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
+      .filter(col("inter") > 0 && col("inter") / col("uni") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (col("inter") / col("uni")).as("jaccard"))
+  }
+}

@@ -539,6 +539,35 @@ object ExtensionBattery {
         .orderBy($"doc_id", $"frame_idx")
     },
 
+    // Set-similarity join with prefix filtering (PPJoin-shape): EXACT
+    // Jaccard-threshold pairs without all-pairs comparison — candidates
+    // must share a token in their rarest-first prefixes. Oracle is the
+    // brute-force quadratic join; result sets must be identical.
+    sql("q_setsim_join",
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct($toksSql) AS toks
+         |  FROM documents WHERE doc_id < 600 AND len($toksSql) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.toks, b.toks)) AS inter,
+         |    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+         |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id),
+         |sim AS (
+         |  SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+         |  FROM pairs WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.8)
+         |SELECT doc_a, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(jaccard), 4) AS avg_jac, round(max(jaccard), 4) AS max_jac
+         |FROM sim GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.ext.SetSimJoin.join(
+          Tables.documents(s, d).filter($"doc_id" < 600), "doc_id", "text", 0.8)
+        .groupBy($"doc_a")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg($"jaccard"), 4).as("avg_jac"),
+          round(max($"jaccard"), 4).as("max_jac"))
+        .orderBy($"doc_a")
+    },
+
     // Bigram-LM perplexity scoring (CCNet-shape quality filter): train an
     // add-1 smoothed bigram model on the corpus, score each doc by mean
     // ln P(w2|w1). Fully oracled — the whole model is relational algebra.

@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SetSimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForce(docs: org.apache.spark.sql.DataFrame, t: Double) = {
+    val toks = docs.select($"doc_id".as("id"),
+      array_distinct(TextAnalysis.tokens($"text")).as("tk"))
+      .filter(size($"tk") > 0)
+    toks.toDF("a", "ta").crossJoin(toks.toDF("b", "tb"))
+      .filter($"a" < $"b")
+      .withColumn("i", size(array_intersect($"ta", $"tb")))
+      .withColumn("u", size($"ta") + size($"tb") - $"i")
+      .filter($"i" > 0 && $"i" / $"u" >= t)
+      .select($"a", $"b")
+  }
+
+  test("prefix-filtered join equals brute force at several thresholds") {
+    // overlapping docs + noise; doc 4 is a permutation of doc 1 (J = 1.0)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "alpha beta unrelated words here entirely"),
+      (4L, "epsilon delta gamma beta alpha"),
+      (5L, "totally different content again"),
+      (6L, "more unrelated filler text"),
+      (7L, "alpha beta gamma delta epsilon eta")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val fast = SetSimJoin.join(docs, "doc_id", "text", t)
+        .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val slow = bruteForce(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == slow, s"threshold $t")
+    }
+  }
+
+  test("jaccard values are exact; identical sets score 1.0") {
+    val docs = Seq((1L, "x y z"), (2L, "z y x"), (3L, "x y w")).toDF("doc_id", "text")
+    val out = SetSimJoin.join(docs, "doc_id", "text", 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(math.abs(out((1L, 3L)) - 0.5) < 1e-12) // |{x,y}| / |{x,y,z,w}|
+    assert(math.abs(out((2L, 3L)) - 0.5) < 1e-12)
+  }
+
+  test("prefix candidate set is smaller than all pairs (the point of the filter)") {
+    // 30 docs in 3 disjoint vocabularies: cross-vocabulary pairs must be
+    // pruned before verification
+    val docs = (0 until 30).map { i =>
+      val vocab = i % 3
+      (i.toLong, s"v${vocab}w1 v${vocab}w2 v${vocab}w3 v${vocab}w${i / 3}")
+    }.toDF("doc_id", "text")
+    val out = SetSimJoin.join(docs, "doc_id", "text", 0.5)
+    val brute = bruteForce(docs, 0.5)
+    assert(out.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // every surviving pair shares a vocabulary
+    out.collect().foreach(r => assert(r.getLong(0) % 3 == r.getLong(1) % 3))
+  }
+}
