@@ -822,6 +822,26 @@ object BreadthBattery {
         .orderBy($"window_start")
     },
 
+    // DISTINCT aggregate over a sliding window frame — Spark has no
+    // count(DISTINCT) window form; size(collect_set() OVER frame) is the
+    // equivalent (set state bounded by the 6-row frame, so no blowup).
+    sql("q_window_count_distinct",
+      """SELECT user_id, event_id,
+        |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS INT) AS n_types_recent
+        |FROM events WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-5, Window.currentRow)
+      Tables.events(s, d)
+        .filter($"user_id" < 50)
+        .select($"user_id", $"event_id",
+          size(collect_set($"event_type").over(w)).as("n_types_recent"))
+        .orderBy($"user_id", $"event_id")
+    },
+
     // Dataset mixing: per-source sampling rates applied with a DETERMINISTIC
     // hash gate (md5 prefix vs a rate threshold) — the reproducible way to
     // re-weight corpus sources for a training mix. Rate class = source

@@ -539,6 +539,29 @@ object ExtensionBattery {
         .orderBy($"doc_id", $"frame_idx")
     },
 
+    // Deterministic per-group uniform sample via the bounded-heap top-k
+    // AGGREGATE over an md5 priority: reproducible "pick k docs per source"
+    // that shuffles k rows per partial instead of every row (the window
+    // row_number form shuffles the whole corpus).
+    sql("q_priority_sample",
+      """SELECT source, CAST(rn AS INT) AS rank, doc_id
+        |FROM (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT),
+        |        doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY source, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val priority = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+        .cast("double")
+      Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(graft.functions.TopKAggregate.top_k(-priority, $"doc_id", 5).as("top"))
+        .select($"source", posexplode($"top").as(Seq("pos", "e")))
+        .select($"source", ($"pos" + 1).cast("int").as("rank"), $"e.id".as("doc_id"))
+        .orderBy($"source", $"rank")
+    },
+
     // Set-similarity join with prefix filtering (PPJoin-shape): EXACT
     // Jaccard-threshold pairs without all-pairs comparison — candidates
     // must share a token in their rarest-first prefixes. Oracle is the

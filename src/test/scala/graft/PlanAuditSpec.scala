@@ -48,4 +48,25 @@ class PlanAuditSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // hive-partitioned fact (our bronze/gold layout) joined to a FILTERED
+    // dim on the partition column: Catalyst must inject a DynamicPruning
+    // subquery into the fact scan so only the dim-surviving dt partitions
+    // are read — the mechanism that turns a 8760-partition year scan into
+    // a handful at 100 TB when the filter arrives via a join.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    spark.range(1000)
+      .select(($"id" % 10).cast("string").as("dt"), $"id".as("v"))
+      .write.partitionBy("dt").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.range(10)
+      .select($"id".cast("string").as("d_dt"), ($"id" % 3).as("flag"))
+    val q = fact.join(dim, $"dt" === $"d_dt").filter($"flag" === 0)
+      .groupBy($"dt").agg(sum($"v").as("s"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery in fact scan:\n$plan")
+  }
 }
