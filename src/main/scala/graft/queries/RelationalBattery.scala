@@ -95,6 +95,39 @@ object RelationalBattery {
         .limit(10)
     },
 
+    // TPC-H Q5 shape: six-table star join (two broadcast dim chains + the
+    // local-supplier co-nation condition), year filter, revenue rollup.
+    // The nation/region chain broadcasts; customer↔supplier nation equality
+    // rides the lineitem-orders sort-merge join as a residual.
+    sql("q_local_supplier_volume",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.supplier(s, d),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
     // Left-semi join (EXISTS).
     sql("q_semi_join",
       """SELECT c_custkey, c_name FROM customer
