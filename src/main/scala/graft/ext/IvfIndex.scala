@@ -86,9 +86,19 @@ object IvfIndex {
     * table size): without this, each iteration's plan nests the previous
     * one's, and the final search re-derives the whole training chain every
     * time it touches the centroid frame. */
-  def train(vectors: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+  def train(vectors: DataFrame, k: Int, iters: Int = 3,
+      trainSampleN: Int = 4096): DataFrame = {
     val spark = vectors.sparkSession
+    // Lloyd's iterations run on a bounded DETERMINISTIC sample (lowest ids),
+    // not the full table: codebook quality needs a representative sample,
+    // not the corpus, and this turns `iters` full-table scans into sample
+    // scans — at 100 TB the difference between training in seconds and
+    // re-reading the table three times. Assignment of ALL vectors happens
+    // once, in [[build]]. nprobe=k ≡ brute-force still holds for ANY
+    // centroid set (spec-pinned), so sampling affects recall only through
+    // codebook quality, which the recall specs bound.
     val base = vectors.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .orderBy("id").limit(trainSampleN)
     def materialize(df: DataFrame): DataFrame =
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
