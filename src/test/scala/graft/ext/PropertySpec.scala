@@ -97,6 +97,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap equals the theta join on random intervals and bin widths") {
+    import org.apache.spark.sql.functions.col
+    val ivGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 15L)))
+    forSamples(Gen.zip(ivGen, ivGen, Gen.choose(1L, 40L)), n = 4) {
+      case (as, bs, w) =>
+        val a = as.zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+          .toDF("aid", "lo_a", "hi_a")
+        val b = bs.zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+          .toDF("bid", "lo_b", "hi_b")
+        val got = graft.ops.RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b", w)
+          .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val theta = a.join(b, col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+          .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length == theta.length, s"binWidth=$w: pair emitted 0 or >1 times")
+        assert(got.toSet == theta.toSet, s"binWidth=$w")
+    }
+  }
+
+  test("setsim prefix filter equals brute force on random token corpora") {
+    import org.apache.spark.sql.functions._
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    forSamples(Gen.zip(Gen.listOfN(12, docGen), Gen.oneOf(0.4, 0.6, 0.8)), n = 4) {
+      case (docLists, t) =>
+        val docs = docLists.zipWithIndex
+          .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+        val toks = docs.select($"doc_id".as("id"),
+          array_distinct(TextAnalysis.tokens($"text")).as("tk"))
+        val brute = toks.toDF("a", "ta").crossJoin(toks.toDF("b", "tb"))
+          .filter($"a" < $"b")
+          .withColumn("i", size(array_intersect($"ta", $"tb")))
+          .withColumn("u", size($"ta") + size($"tb") - $"i")
+          .filter($"i" > 0 && $"i" / $"u" >= t)
+          .select("a", "b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val fast = SetSimJoin.join(docs, "doc_id", "text", t)
+          .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(fast == brute, s"threshold $t on $docLists")
+    }
+  }
+
   test("ddb unwrap is total on arbitrary scalar tag maps and keeps every key") {
     val scalarGen: Gen[String] = Gen.oneOf(
       Gen.alphaNumStr.map(s => s"""{"S":"$s"}"""),
