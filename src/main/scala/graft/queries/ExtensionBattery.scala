@@ -23,6 +23,27 @@ object ExtensionBattery {
     s"len(list_intersect($toksSql, [$words]))"
   }
 
+  // shared by q_bm25_search (from-scratch) and q_bm25_indexed (through the
+  // materialized postings index): both paths must hash-match this oracle
+  private val bm25OracleSql =
+    """WITH tok AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+      |    FROM documents)
+      |  WHERE len(word) > 0),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |terms AS (SELECT unnest(['spark', 'query', 'data']) AS word)
+      |SELECT doc_id,
+      |  round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+      |    tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+      |FROM tf
+      |JOIN terms USING (word) JOIN df USING (word) JOIN dl USING (doc_id)
+      |CROSS JOIN stats
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace + BPE-ish regex tokenizers.
@@ -383,24 +404,7 @@ object ExtensionBattery {
     // BM25 ranked retrieval over the corpus for a fixed term set (k1=1.2,
     // b=0.75): tf on (doc, word), df on word, corpus stats broadcast — the
     // classic lexical-search scorer as three algebraic aggregates + joins.
-    sql("q_bm25_search",
-      """WITH tok AS (
-        |  SELECT doc_id, word FROM (
-        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
-        |    FROM documents)
-        |  WHERE len(word) > 0),
-        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
-        |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
-        |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-        |terms AS (SELECT unnest(['spark', 'query', 'data']) AS word)
-        |SELECT doc_id,
-        |  round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-        |    tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
-        |FROM tf
-        |JOIN terms USING (word) JOIN df USING (word) JOIN dl USING (doc_id)
-        |CROSS JOIN stats
-        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    sql("q_bm25_search", bm25OracleSql) { (s, d) =>
       import s.implicits._
       val tok = Tables.documents(s, d)
         .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("word"))
@@ -420,6 +424,17 @@ object ExtensionBattery {
         .agg(round(sum(score), 6).as("bm25"))
         .orderBy($"bm25".desc, $"doc_id")
         .limit(20)
+    },
+
+    // Same retrieval through the MATERIALIZED inverted index: postings
+    // built once (the index job), BM25 served from index-sized aggregates
+    // only. Hash-matches the identical oracle as q_bm25_search — the two
+    // paths are interchangeable, which is the point of an index.
+    sql("q_bm25_indexed", bm25OracleSql) { (s, d) =>
+      import s.implicits._
+      val postings = graft.ext.TextIndex.buildPostings(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.ext.TextIndex.searchBm25(postings, Seq("spark", "query", "data"), 20)
     },
 
     // Near-dup dedup END-TO-END: MinHash candidates → connected components
