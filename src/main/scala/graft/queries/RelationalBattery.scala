@@ -128,6 +128,61 @@ object RelationalBattery {
         .orderBy($"revenue".desc, $"n_name")
     },
 
+    // TPC-H Q14 shape: promo revenue share — conditional aggregation over a
+    // month-windowed fact joined to a broadcastable dimension.
+    sql("q_promo_revenue",
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-09-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .agg(round(lit(100.0) *
+          sum(when($"p_type" === "PROMO", $"l_extendedprice" * (lit(1) - $"l_discount"))
+            .otherwise(0)) /
+          sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("promo_pct"))
+    },
+
+    // TPC-H Q10 shape: returned-item revenue per customer in a quarter —
+    // fact-fact join + broadcast dims, grouped top-20.
+    sql("q_returned_items",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // revenue summed in DECIMAL: double sums are partition-order-dependent
+      // in the last bits, which flips round(,2) at cent boundaries between
+      // engines — decimal accumulation is exact and order-free
+      val rev = $"l_extendedprice".cast("decimal(18,4)") *
+        (lit(1) - $"l_discount".cast("decimal(18,4)"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-04-01").cast("timestamp")),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, d).filter($"l_returnflag" === "R"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(round(sum(rev), 2).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+
     // Left-semi join (EXISTS).
     sql("q_semi_join",
       """SELECT c_custkey, c_name FROM customer
