@@ -27,11 +27,13 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // dev knob: dump EVERY query's timing (sorted slowest-first) to a file
     // for perf triage; the driver-facing stdout line stays short
     sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>
       val full = results.toSeq.sortBy(-_._2)
-        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
     }
     // The driver captures only the tail of this process's output, so the
@@ -45,7 +47,6 @@ object Bench {
       "q_simhash_neardup", "q_cosine_topk", "q_cosine_topk_ivf",
       "q_cosine_neardup_lsh", "q_lang_id", "q_token_count",
       "q_ddb_unwrap", "q_load_verification")
-    def r3(v: Double): String = "%.3f".format(v)
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -97,12 +97,16 @@ object IvfIndex {
     // once, in [[build]]. nprobe=k ≡ brute-force still holds for ANY
     // centroid set (spec-pinned), so sampling affects recall only through
     // codebook quality, which the recall specs bound.
-    val base = vectors.select(col("id"), col("vec").cast("array<double>").as("vec"))
-      .orderBy("id").limit(trainSampleN)
     def materialize(df: DataFrame): DataFrame =
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
         df.schema)
+    // the sample is MATERIALIZED once — left lazy, every iteration's assign
+    // would re-run the full-table orderBy+limit scan, which is exactly what
+    // sampling is meant to avoid
+    val base = materialize(
+      vectors.select(col("id"), col("vec").cast("array<double>").as("vec"))
+        .orderBy("id").limit(trainSampleN))
     // deterministic init: the k lowest-id vectors, numbered at the driver
     // (k rows by construction — avoids even a k-row unpartitioned window,
     // which would log a global-window warning on every train)

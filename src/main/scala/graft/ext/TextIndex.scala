@@ -48,15 +48,22 @@ object TextIndex {
       b: Double = 0.75): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
+    val termDf = terms.toDF("word")
+    // only the query terms' postings participate from here on — at scale
+    // the postings table is partitioned/bucketed by word, so this join IS
+    // the index lookup
+    val hits = postings.join(broadcast(termDf), "word")
+    // N and avgdl are corpus-level (index-sized, term-independent); df is
+    // computed from the term-filtered postings only — identical values, a
+    // 3-term aggregate instead of a full-vocabulary shuffle
     val docLens = postings.select(col("doc_id"), col("dl")).distinct()
     val stats = docLens.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
-    val dfq = postings.groupBy(col("word"))
+    val dfq = hits.groupBy(col("word"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    val termDf = terms.toDF("word")
     val score = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
       col("tf") * (k1 + 1) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
-    postings.join(broadcast(termDf), "word")
+    hits
       .join(dfq, "word")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
@@ -79,7 +86,12 @@ object TextIndex {
       .select(col(idCol).as("doc_id")).distinct()
     val inserted = changes.filter(col("_change_type") === "insert")
       .select(col(idCol), col(textCol))
-    postings.join(deleted, Seq("doc_id"), "left_anti")
+    // anti-join out BOTH deleted and re-inserted ids: an upsert-as-append
+    // feed emits an insert for an id that already has postings, and keeping
+    // the stale rows would double-score the doc (maintained != rebuild)
+    val stale = deleted.unionByName(
+      inserted.select(col(idCol).as("doc_id"))).distinct()
+    postings.join(stale, Seq("doc_id"), "left_anti")
       .unionByName(buildPostings(inserted, idCol, textCol))
   }
 }

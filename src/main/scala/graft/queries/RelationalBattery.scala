@@ -100,7 +100,8 @@ object RelationalBattery {
     // The nation/region chain broadcasts; customer↔supplier nation equality
     // rides the lineitem-orders sort-merge join as a residual.
     sql("q_local_supplier_volume",
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -112,6 +113,10 @@ object RelationalBattery {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
       import s.implicits._
+      // decimal accumulation: per-nation groups sum a year of lineitems —
+      // the widest-exposure case of the round(,2) cent-boundary flake
+      val rev = $"l_extendedprice".cast("decimal(18,4)") *
+        (lit(1) - $"l_discount".cast("decimal(18,4)"))
       Tables.customer(s, d)
         .join(Tables.orders(s, d)
           .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
@@ -124,28 +129,34 @@ object RelationalBattery {
         .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
           $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
     },
 
     // TPC-H Q14 shape: promo revenue share — conditional aggregation over a
     // month-windowed fact joined to a broadcastable dimension.
     sql("q_promo_revenue",
-      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,4))) ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
       import s.implicits._
+      // both sums accumulate in DECIMAL (order-free, exact); only the final
+      // ratio is floating — same bits on both engines
+      val rev = $"l_extendedprice".cast("decimal(18,4)") *
+        (lit(1) - $"l_discount".cast("decimal(18,4)"))
       Tables.lineitem(s, d)
         .filter($"l_shipdate" >= lit("1996-09-01").cast("timestamp") &&
           $"l_shipdate" < lit("1996-10-01").cast("timestamp"))
         .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
         .agg(round(lit(100.0) *
-          sum(when($"p_type" === "PROMO", $"l_extendedprice" * (lit(1) - $"l_discount"))
-            .otherwise(0)) /
-          sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("promo_pct"))
+          sum(when($"p_type" === "PROMO", rev).otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("double") /
+          sum(rev).cast("double"), 4).as("promo_pct"))
     },
 
     // TPC-H Q10 shape: returned-item revenue per customer in a quarter —

@@ -268,10 +268,15 @@ object Snapshots {
     * time IS the commit time. */
   def versionAsOf(spark: SparkSession, table: String, timestampMs: Long): Long = {
     val f = fs(spark, table)
-    val vs = versions(spark, table)
-    require(vs.nonEmpty, s"no snapshots at $table")
-    val at = vs.filter(v =>
-      f.getFileStatus(manifestPath(table, v)).getModificationTime <= timestampMs)
+    require(f.exists(manifestDir(table)), s"no snapshots at $table")
+    // ONE listStatus carries every manifest's mtime — per-version
+    // getFileStatus would be thousands of sequential metadata RPCs on an
+    // object store
+    val at = f.listStatus(manifestDir(table)).toSeq
+      .filter(st => st.getPath.getName.matches("v\\d+\\.json") &&
+        st.getModificationTime <= timestampMs)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
     require(at.nonEmpty,
       s"no snapshot of $table existed at $timestampMs (first commit is later)")
     at.last

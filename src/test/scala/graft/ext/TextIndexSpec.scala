@@ -54,4 +54,16 @@ class TextIndexSpec extends SparkSpec {
     assert(canon(postings) == canon(rebuilt))
     assert(canon(postings).forall(_.head == 9L)) // only the overwrite survivor
   }
+
+  test("applyChanges replaces, not duplicates, a re-inserted doc_id (upsert-as-append feed)") {
+    val base = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    var postings = TextIndex.buildPostings(base, "doc_id", "text")
+    // the feed re-inserts doc 1 with new text and NO preceding delete
+    val feed = Seq((1L, "delta delta")).toDF("doc_id", "text")
+      .withColumn("_change_type", lit("insert"))
+    postings = TextIndex.applyChanges(postings, feed, "doc_id", "text")
+    val expect = TextIndex.buildPostings(
+      Seq((1L, "delta delta"), (2L, "gamma")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(canon(postings) == canon(expect)) // stale alpha/beta rows are gone
+  }
 }
