@@ -21,6 +21,7 @@ import graft.sources.BronzeReader
   *
   * Usage: graft.Etl --bronze <dir> --gold <dir> [--dt-filter yyyy-MM-dd]
   *        [--hour-filter HH] [--full] [--append] [--quarantine <dir>]
+  *        [--snapshot]
   */
 object Etl {
 
@@ -31,7 +32,9 @@ object Etl {
       hourFilter: Option[String] = None,
       full: Boolean = false,      // read the whole prefix (reference parity)
       idempotent: Boolean = true,
-      quarantine: Option[String] = None) // route malformed lines here (T8)
+      quarantine: Option[String] = None, // route malformed lines here (T8)
+      snapshot: Boolean = false)  // gold as a Snapshots table (atomic,
+                                  // time-traveling, CDF-consumable)
 
   /** One ETL run; returns the loaded frame's metrics as (rows, nullCity). */
   def run(spark: SparkSession, cfg: Config): Map[String, Any] = {
@@ -74,7 +77,16 @@ object Etl {
       sum(when(col("city").isNull, 1).otherwise(0)).as("null_city"),
       sum(when(size(col("validation_errors")) > 0, 1).otherwise(0)).as("tagged_rows")))
 
-    if (cfg.idempotent) LakeWriter.writeGoldIdempotent(observed, cfg.gold)
+    if (cfg.snapshot)
+      // snapshot gold: the run's partitions publish as ONE atomic version —
+      // dynamic overwrite keeps re-runs idempotent per partition, history
+      // stays time-travelable, and downstream incremental consumers read
+      // the run's delta via Snapshots.changes
+      graft.sinks.Snapshots.commitPartitioned(
+        observed, cfg.gold, Seq("dt", "hour"),
+        if (cfg.idempotent) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append)
+    else if (cfg.idempotent) LakeWriter.writeGoldIdempotent(observed, cfg.gold)
     else LakeWriter.writeGold(observed, cfg.gold)
     obs.get
   }
@@ -89,7 +101,8 @@ object Etl {
       hourFilter = arg("--hour-filter"),
       full = args.contains("--full"),
       idempotent = !args.contains("--append"),
-      quarantine = arg("--quarantine"))
+      quarantine = arg("--quarantine"),
+      snapshot = args.contains("--snapshot"))
     val spark = SessionFactory.builder(
       "graft-etl", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

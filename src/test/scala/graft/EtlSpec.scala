@@ -60,6 +60,33 @@ class EtlSpec extends SparkSpec {
     assert(out.filter(org.apache.spark.sql.functions.col("dt") === "2025-08-30").count() == 1)
   }
 
+  test("--snapshot gold: each run publishes one atomic version; re-run stays idempotent") {
+    import graft.sinks.Snapshots
+    val bronze = Files.createTempDirectory("graft-etl-bronze4").toString
+    val gold = Files.createTempDirectory("graft-etl-gold4").toString + "/weather"
+    writeBronzePartition(bronze, "2025-08-29", "14", Seq(
+      rec("Austin", "2025-08-29T14:05:00Z")))
+    writeBronzePartition(bronze, "2025-08-29", "15", Seq(
+      rec("Boston", "2025-08-29T15:01:00Z")))
+
+    val h14 = Etl.Config(bronze, gold,
+      dtFilter = Some("2025-08-29"), hourFilter = Some("14"), snapshot = true)
+    Etl.run(spark, h14)
+    Etl.run(spark, Etl.Config(bronze, gold,
+      dtFilter = Some("2025-08-29"), hourFilter = Some("15"), snapshot = true))
+    val now = Snapshots.read(spark, gold)
+    assert(now.count() == 2)
+    assert(Snapshots.versions(spark, gold) == Seq(1L, 2L))
+    // hour-15 run's change feed contains exactly its own rows
+    val delta = Snapshots.changes(spark, gold, 1L, 2L)
+    assert(delta.select("city").as[String].collect().toSeq == Seq("Boston"))
+    // re-running hour 14 overwrites ONLY its partition — still 2 rows
+    Etl.run(spark, h14)
+    assert(Snapshots.read(spark, gold).count() == 2)
+    // time travel to the first load still works
+    assert(Snapshots.read(spark, gold, Some(1L)).count() == 1)
+  }
+
   test("--quarantine routes malformed bronze lines and still loads the good rows") {
     val bronze = Files.createTempDirectory("graft-etl-bronze3").toString
     val gold = Files.createTempDirectory("graft-etl-gold3").toString + "/weather"
