@@ -553,6 +553,37 @@ object RelationalBattery {
         .orderBy($"user_id")
     },
 
+    // MULTISET set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+    // cardinalities (count-based semantics, not membership) — aggregated
+    // to per-user multiplicities so the oracle compare is order-free.
+    sql("q_except_all",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      ev.filter($"event_type" === "click").select($"user_id")
+        .exceptAll(ev.filter($"event_type" === "purchase").select($"user_id"))
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .orderBy($"user_id")
+    },
+
+    // Explicit null placement in sort order (NULLS FIRST / NULLS LAST) —
+    // engines default differently (Spark: nulls first ASC; DuckDB: nulls
+    // last), so the query pins both directions explicitly.
+    sql("q_null_ordering",
+      """SELECT event_id, nullif(value, 0.0) AS v
+        |FROM events WHERE user_id = 1
+        |ORDER BY nullif(value, 0.0) DESC NULLS LAST, event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"user_id" === 1)
+        .select($"event_id", nullif($"value", lit(0.0)).as("v"))
+        .orderBy($"v".desc_nulls_last, $"event_id")
+    },
+
     // Bounded top-k sketch aggregate (TypedImperativeAggregate): map-side
     // partial heaps shuffle k rows per (partition, group) instead of every
     // row like the window form. Oracle = the window form, exploded.
