@@ -14,19 +14,23 @@ object Bench {
       catch { case _: Throwable => () }
     }
     try sources.Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
-    // Two timed passes, per-query MINIMUM. Pass 1 doubles as the warm-up:
+    // Three timed passes, per-query MINIMUM. Pass 1 doubles as the warm-up:
     // the driver launches a fresh JVM, and the first execution of each
     // query shape absorbs one-time JIT/codegen/classloader cost (measured
-    // ~3× the steady-state battery); pass 2 is also insurance against JIT
-    // deoptimization / GC hiccups that can inflate a single query ~8×.
-    // The min reports the engine's repeatable cost.
+    // ~3× the steady-state battery); later passes are also insurance against
+    // JIT deoptimization / GC hiccups that can inflate a single query ~8×.
+    // The min-of-3 reports the engine's repeatable cost — round-over-round
+    // comparisons of UNCHANGED code showed ±11% noise with min-of-2, which
+    // would mask a real 10% regression.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results = passes.head.map { case (k, v) =>
+      k -> passes.flatMap(_.get(k)).min
+    }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // dev knob: dump EVERY query's timing (sorted slowest-first) to a file

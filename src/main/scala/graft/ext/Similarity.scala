@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an `array<float>` column.
@@ -39,22 +38,31 @@ object Similarity {
 
   /** Brute-force exact top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, cos, rank), rank 1..k per query.
-    * Ties broken by neighbor id for determinism. */
+    * Ties broken by neighbor id for determinism.
+    *
+    * Ranking uses the bounded top-k AGGREGATE, not a row_number window: the
+    * window form shuffles all |Q|·|C| scored rows to rank them; the aggregate
+    * keeps ≤ k pairs per (partition, query) partial map-side, so the shuffle
+    * carries k rows per partial. Rounding happens BEFORE ranking and ties
+    * break on the smaller neighbor id — identical ordering semantics, so the
+    * DuckDB window oracle still hash-matches bit-for-bit. */
   def bruteForceTopK(
       queries: DataFrame, // (id, vec)
       candidates: DataFrame, // (id, vec)
       k: Int,
       roundTo: Int = 6): DataFrame = {
+    val idType = candidates.schema("id").dataType
     val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("qv"))
     val c = candidates.select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.top_k(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").cast(idType).as("neighbor_id"),
+        col("e.v").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** splitmix64 finalizer — deterministic hash for hyperplane components. */

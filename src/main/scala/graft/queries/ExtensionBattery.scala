@@ -267,11 +267,17 @@ object ExtensionBattery {
     },
 
     // Embedding near-dup via random-hyperplane LSH buckets (scale path):
-    // candidates from band join only, never all-pairs. Rows-only.
+    // candidates from band join only, never all-pairs. 64-bit/8-band = 256
+    // buckets per band, so band buckets hold genuinely-close vectors only —
+    // candidate count stays ~linear in N, not N². minCos = 0.3 is this
+    // corpus's 99.9th-percentile pair cosine (the embeddings are near-random:
+    // max pair cos ≈ 0.51, median ≈ 0 — a 0.85 "true near-dup" threshold
+    // would return zero rows); high-threshold recall is pinned on a planted
+    // near-dup fixture in SimilaritySpec. Rows-only (engine hyperplanes).
     rowsOnly("q_cosine_neardup_lsh") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      Similarity.lshNearDupPairs(emb, minCos = -1.0, bits = 16, bands = 4)
+      Similarity.lshNearDupPairs(emb, minCos = 0.3, bits = 64, bands = 8)
         .orderBy($"cos".desc, $"id_a", $"id_b")
         .limit(200)
     },
@@ -308,32 +314,36 @@ object ExtensionBattery {
         .orderBy($"doc_id", $"chunk_idx")
     },
 
-    // Sequence packing: greedy fill of 512-token packs in doc_id order —
-    // pack id = floor(preceding cumulative tokens / budget), one running-sum
-    // window. (A global doc order means a single-partition window here; at
-    // 100 TB packing runs per shard — partition by a shard key first.)
+    // Sequence packing: greedy fill of 512-token packs in doc_id order
+    // WITHIN deterministic shards (doc_id % 64) — the running-sum window is
+    // partitioned by shard, so packing parallelizes across shards instead of
+    // funnelling the corpus through one single-task global sort. Global pack
+    // ids are disjoint by construction: shard * 2^40 + local pack index.
+    // Packs never span shards (the per-shard tail pack may run short — the
+    // standard trade every sharded packer makes).
     sql("q_pack_sequences",
-      """WITH t AS (SELECT doc_id,
+      """WITH t AS (SELECT doc_id, doc_id % 64 AS shard,
         |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tok
         |  FROM documents)
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-        |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id
-        |FROM (SELECT doc_id, n_tok,
-        |        sum(n_tok) OVER (ORDER BY doc_id
+        |  CAST(shard * 1099511627776 + floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id, shard, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM t)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy($"doc_id")
+      val w = Window.partitionBy($"shard").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
-        .select($"doc_id",
+        .select($"doc_id", ($"doc_id" % 64).as("shard"),
           size(filter(split(lower($"text"), "\\s+"), t => length(t) > 0))
             .cast("long").as("n_tok"))
         .withColumn("cum", sum($"n_tok").over(w))
         .select($"doc_id", $"n_tok",
-          floor(($"cum" - $"n_tok") / 512.0).cast("long").as("pack_id"))
+          ($"shard" * lit(1099511627776L) + floor(($"cum" - $"n_tok") / 512.0))
+            .cast("long").as("pack_id"))
         .orderBy($"doc_id")
     },
 

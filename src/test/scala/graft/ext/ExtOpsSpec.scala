@@ -189,6 +189,44 @@ class SimilaritySpec extends SparkSpec {
     assert(top.forall(_.getLong(1) != 0L))
   }
 
+  test("lshNearDupPairs recall ≥ 0.9 vs exact ground truth at the 0.85 design point") {
+    // Planted near-dup fixture: 40 deterministic base vectors (dim 16), each
+    // with a perturbed twin at cos ≈ 0.9+. Ground truth = ALL pairs with
+    // exact cos ≥ 0.85 (brute force); the registered 64-bit/8-band config
+    // must recover ≥ 90% of them. This pins the non-degenerate config the
+    // battery registers (q_cosine_neardup_lsh) at the threshold LSH is
+    // actually designed for — the synthetic embeddings corpus itself has no
+    // pairs above cos 0.52, so recall is provable only on a planted fixture.
+    val dim = 16
+    def base(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => (((i * 31 + j * 7) % 13) - 6).toFloat)
+    val rows =
+      (0 until 40).map(i => (i.toLong, base(i))) ++
+      (0 until 40).map { i => // twin: one coordinate nudged → cos ≥ ~0.97
+        val v = base(i).clone(); v(i % dim) += 3f; (100L + i, v)
+      }
+    val vecs = rows.toDF("id", "vec")
+    def cosExact(a: Array[Float], b: Array[Float]): Double = {
+      val (dot, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, x, y), (p, q)) => (d + p * q, x + p * p, y + q * q)
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = rows.toMap
+    val truth = (for {
+      (a, va) <- rows; (b, vb) <- rows if a < b
+      if cosExact(va, vb) >= 0.85
+    } yield (a, b)).toSet
+    assert(truth.size >= 30, s"fixture must plant near-dups, got ${truth.size}")
+    val found = Similarity.lshNearDupPairs(vecs, minCos = 0.85, bits = 64, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth.map(identity)) ||
+      found.forall { case (a, b) => cosExact(byId(a), byId(b)) >= 0.85 - 1e-9 },
+      "precision: every returned pair must verify at the threshold")
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (found ${found.size}/${truth.size})")
+  }
+
   test("lshNearDupPairs surfaces the exact-duplicate pair with cos 1.0") {
     val vecs = (0L to 20L).map { i =>
       val v = Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat - 6f)
