@@ -1,18 +1,28 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns with
-  * typed metadata, plus a partition-wise feature-extraction operator.
+  * typed metadata, plus partition-wise decode / feature-extract / resize /
+  * frame-sample operators.
   *
-  * The Spark-side plumbing (schema, batch shape, partition-wise execution) is
-  * real and tested; the actual codec is STUBBED behind `FakeCodec` — the
-  * image/audio libraries are not in this container. Swapping in a real codec
-  * means replacing ONE function body; the dataflow (mapPartitions over a
-  * typed Dataset, batched per partition, no driver round-trips) is exactly
-  * what a JNI/FFI decoder would need at 100 TB: decode cost scales with
-  * splits, and the binary column never moves through a shuffle.
+  * The codec is REAL for images: payloads whose magic bytes identify a
+  * PNG/BMP/GIF/JPEG container are decoded with JDK-builtin `javax.imageio`
+  * (no external libraries) — true width/height, true pixel luminance
+  * statistics. Payloads that are not a decodable image (audio/video
+  * containers have no JDK decoder) take a documented fallback: unknown
+  * dimensions (0×0) and a byte-level histogram, which is a real content
+  * fingerprint, not a pretend decode.
+  *
+  * The dataflow is what a 100 TB media pipeline needs regardless of codec:
+  * mapPartitions over a typed Dataset (decode cost scales with splits, rows
+  * streamed, no driver round-trips), and the binary column never moves
+  * through a shuffle.
   */
 object Multimodal {
 
@@ -23,29 +33,103 @@ object Multimodal {
       n_bytes: Int,
       width: Int,
       height: Int,
+      mean_lum: Double,
       features: Array[Float])
 
-  /** STUB codec: deterministic fake decode. A real implementation would hand
-    * `bytes` to an image/audio library; this one derives plausible metadata
-    * and a 16-bin byte histogram so the downstream schema and tests are real. */
-  object FakeCodec {
-    def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-      val n = if (bytes == null) 0 else bytes.length
-      val width = 64 + (n % 193)
-      val height = 64 + ((n / 7) % 129)
+  /** Image codec on JDK `javax.imageio` — container sniffed from magic bytes,
+    * then a real decode. Non-image payloads fall back to a byte histogram
+    * with 0×0 dimensions (dimensions genuinely unknown without a decoder). */
+  object Codec {
+    // ImageIO's default stream cache writes spill files per decode; decodes
+    // here are all in-memory byte arrays, so cache to heap instead.
+    ImageIO.setUseCache(false)
+
+    /** True when the payload starts with a PNG/BMP/GIF/JPEG magic number. */
+    def isImage(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 4 && {
+        val b = bytes
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte)
+      }
+
+    /** Decode → (width, height, mean luminance, 16-bin normalized histogram).
+      * Images: real pixel pass — luminance = (r+g+b)/3 per pixel, histogram
+      * over luminance/16. Non-images (or corrupt image bytes): width/height
+      * 0, mean/histogram over raw byte values — a content fingerprint. */
+    def decode(bytes: Array[Byte]): (Int, Int, Double, Array[Float]) = {
+      if (isImage(bytes)) {
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img != null) return decodeImage(img)
+      }
+      byteFingerprint(bytes)
+    }
+
+    private def decodeImage(img: BufferedImage): (Int, Int, Double, Array[Float]) = {
+      val (w, h) = (img.getWidth, img.getHeight)
       val hist = new Array[Float](16)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+          sum += lum
+          hist(math.min(15, (lum / 16.0).toInt)) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      var b = 0
+      while (b < 16) { hist(b) /= n.toFloat; b += 1 }
+      (w, h, sum / n, hist)
+    }
+
+    private def byteFingerprint(bytes: Array[Byte]): (Int, Int, Double, Array[Float]) = {
+      val n = if (bytes == null) 0 else bytes.length
+      val hist = new Array[Float](16)
+      var sum = 0.0
       if (n > 0) {
         var i = 0
-        while (i < n) { hist((bytes(i) & 0xFF) / 16) += 1f; i += 1 }
+        while (i < n) {
+          val v = bytes(i) & 0xFF
+          sum += v
+          hist(v / 16) += 1f
+          i += 1
+        }
         var b = 0
         while (b < 16) { hist(b) /= n.toFloat; b += 1 }
       }
-      (width, height, hist)
+      (0, 0, if (n > 0) sum / n else 0.0, hist)
+    }
+
+    /** Encode a solid-gray w×h image as real PNG bytes — the deterministic
+      * image generator behind [[withImageColumn]] and the decode fixtures.
+      * PNG is lossless, so decode returns exactly (w, h, gray). */
+    def syntheticPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = math.max(0, math.min(255, gray))
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
   }
 
-  /** Attach a media column: the documents table's text bytes play the media
-    * payload (deterministic stand-in for real image/audio bytes). */
+  /** Attach an opaque media column: the documents table's text bytes play an
+    * undecodable payload (deterministic stand-in for audio/video containers,
+    * which the JDK cannot decode) with a typed mime column. */
   def withMediaColumn(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
@@ -54,17 +138,31 @@ object Multimodal {
         .when(length(col("text")) % 3 === 1, "audio/wav")
         .otherwise("video/mp4").as("mime"))
 
+  /** Attach a REAL image column: one tiny PNG per document, dimensions and
+    * gray level closed-form in doc_id — so a full decode round-trip is
+    * oracle-checkable (width = 8 + id % 16, height = 8 + (id·3) % 16,
+    * mean luminance = id % 256). Encoding runs executor-side per partition. */
+  def withImageColumn(documents: DataFrame): DataFrame = {
+    val png = udf((id: Long) => Codec.syntheticPng(
+      (8 + id % 16).toInt, (8 + (id * 3) % 16).toInt, (id % 256).toInt))
+    documents.select(
+      col("doc_id"),
+      png(col("doc_id")).as("media"),
+      lit("image/png").as("mime"))
+  }
+
   /** Partition-wise decode/feature-extract — the Scala analog of
     * `mapInPandas`: one iterator pass per partition, rows streamed, no
-    * collect. */
+    * collect. Real image decode for image payloads, byte fingerprint
+    * otherwise (see [[Codec.decode]]). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select("doc_id", "media", "mime").as(Encoders.product[MediaRow])
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, feats) = FakeCodec.decode(r.media)
+          val (w, h, mean, feats) = Codec.decode(r.media)
           MediaFeatures(r.doc_id, r.mime,
-            if (r.media == null) 0 else r.media.length, w, h, feats)
+            if (r.media == null) 0 else r.media.length, w, h, mean, feats)
         }
       }
   }
@@ -72,24 +170,37 @@ object Multimodal {
   final case class ResizedMedia(
       doc_id: Long, mime: String, width: Int, height: Int, media: Array[Byte])
 
-  /** Resize plumbing: recompress each payload to a target box. The STUB
-    * "resampler" deterministically truncates/pads bytes proportionally to
-    * the pixel-count ratio — a real codec swap touches only the marked
-    * lines; schema, batching, and partition-wise shape are real. */
+  /** Resize decodable images into a target box (aspect preserved, never
+    * upscaled): real `Graphics2D` bilinear resample, re-encoded as PNG.
+    * Non-image payloads pass through unchanged with 0×0 dims — resizing an
+    * opaque container is undefined, and faking it would corrupt the payload. */
   def resize(media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     implicit val enc = Encoders.product[ResizedMedia]
     media.select("doc_id", "media", "mime").as(Encoders.product[MediaRow])
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, _) = FakeCodec.decode(r.media)
-          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          // STUB resample: byte count scales with pixel ratio
-          val n = if (r.media == null) 0
-            else math.max(1, (r.media.length * (nw.toLong * nh) / (w.toLong * h)).toInt)
-          val out = new Array[Byte](n)
-          if (r.media != null) System.arraycopy(r.media, 0, out, 0, math.min(n, r.media.length))
-          ResizedMedia(r.doc_id, r.mime, nw, nh, out)
+          val img = if (Codec.isImage(r.media))
+            try ImageIO.read(new ByteArrayInputStream(r.media))
+            catch { case _: java.io.IOException => null }
+          else null
+          if (img == null) ResizedMedia(r.doc_id, r.mime, 0, 0, r.media)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+            val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            if (nw == w && nh == h) ResizedMedia(r.doc_id, r.mime, w, h, r.media)
+            else {
+              val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+              val g2 = dst.createGraphics()
+              g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g2.drawImage(img, 0, 0, nw, nh, null)
+              g2.dispose()
+              val out = new ByteArrayOutputStream()
+              ImageIO.write(dst, "png", out)
+              ResizedMedia(r.doc_id, r.mime, nw, nh, out.toByteArray)
+            }
+          }
         }
       }
   }
@@ -97,10 +208,10 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling for video payloads: every `stride`-th fixed-size chunk
-    * of the payload plays a decoded frame (STUB chunker; a real demuxer
-    * swaps in here). One input row fans out to ≤ maxFrames rows — the
-    * Spark-side shape (flatMap inside mapPartitions, bounded output) is what
-    * a real video pipeline needs. */
+    * of the payload plays a decoded frame. The JDK has no video demuxer, so
+    * the chunker stands in at the marked line; the Spark-side shape (flatMap
+    * inside mapPartitions, bounded per-doc fan-out, binary never shuffled)
+    * is exactly what a JNI/FFI demuxer plugs into. */
   def sampleFrames(
       media: DataFrame,
       frameBytes: Int = 64,
@@ -111,7 +222,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.filter(_.mime == "video/mp4").flatMap { r =>
           val bytes = if (r.media == null) Array.emptyByteArray else r.media
-          val nChunks = bytes.length / frameBytes
+          val nChunks = bytes.length / frameBytes // demuxer boundary: real codec here
           (0 until nChunks by stride).take(maxFrames).zipWithIndex.map {
             case (chunk, idx) =>
               Frame(r.doc_id, idx,

@@ -525,8 +525,7 @@ object ExtensionBattery {
         .orderBy($"query_id", $"rank")
     },
 
-    // Multimodal: binary media column + typed metadata (oracled), the codec
-    // stub only affects q_media_features below.
+    // Multimodal: opaque binary media column + typed metadata (oracled).
     sql("q_multimodal_meta",
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -540,8 +539,27 @@ object ExtensionBattery {
         .orderBy($"doc_id")
     },
 
-    // Multimodal feature extraction through the partition-wise (mapPartitions)
-    // decode stub — plumbing is real, codec is fake → rows-only.
+    // REAL image decode round-trip, fully oracled: each doc gets a tiny
+    // synthetic PNG (dimensions and gray level closed-form in doc_id),
+    // executor-side javax.imageio decodes it back, and the oracle checks the
+    // decoded width/height/mean-luminance against the closed forms — a
+    // pixel-exact proof the codec path is a real decoder, not a stub.
+    sql("q_image_decode",
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+        |  round(CAST(doc_id % 256 AS DOUBLE), 2) AS mean_lum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.withImageColumn(Tables.documents(s, d)))
+        .toDF()
+        .select($"doc_id", $"width", $"height", round($"mean_lum", 2).as("mean_lum"))
+        .orderBy($"doc_id")
+    },
+
+    // Feature extraction over MIXED payloads (image mime on undecodable text
+    // bytes → the byte-fingerprint fallback path): plumbing + fallback are
+    // exercised end-to-end. Engine-side histogram layout → rows-only.
     rowsOnly("q_media_features") { (s, d) =>
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.withMediaColumn(Tables.documents(s, d)))
@@ -549,6 +567,7 @@ object ExtensionBattery {
         // feature vector serialized to a string: the driver row-sorts the
         // dump in pandas, which cannot order ndarray-valued cells
         .select($"doc_id", $"mime", $"n_bytes", $"width", $"height",
+          round($"mean_lum", 4).as("mean_lum"),
           array_join(transform($"features",
             x => format_string("%.5f", x.cast("double"))), ",").as("features"))
         .orderBy($"doc_id")

@@ -250,30 +250,53 @@ class MultimodalSpec extends SparkSpec {
     assert(m(1).getString(2) == "audio/wav")  // len 4 % 3 == 1
   }
 
-  test("extractFeatures: partition-wise decode yields histogram summing to 1") {
-    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
-    val f = Multimodal.extractFeatures(Multimodal.withMediaColumn(docs)).head()
-    assert(f.n_bytes == 11)
-    assert(f.width >= 64 && f.height >= 64)
-    assert(math.abs(f.features.sum - 1.0f) < 1e-5)
+  test("real PNG decode: width/height/mean/histogram are the encoded pixels") {
+    val png = Multimodal.Codec.syntheticPng(12, 9, 200)
+    assert(Multimodal.Codec.isImage(png))
+    val (w, h, mean, hist) = Multimodal.Codec.decode(png)
+    assert(w == 12 && h == 9)
+    assert(mean == 200.0) // PNG is lossless: solid gray decodes exactly
+    assert(hist(200 / 16) == 1.0f && hist.sum == 1.0f)
   }
 
-  test("decode is total on empty/null payloads") {
-    val (w, h, feats) = Multimodal.FakeCodec.decode(Array.emptyByteArray)
-    assert(w == 64 && h == 64 && feats.forall(_ == 0f))
-    val (w2, _, _) = Multimodal.FakeCodec.decode(null)
-    assert(w2 == 64)
+  test("decode through Spark: withImageColumn round-trips closed-form metadata") {
+    val docs = Seq((0L, "a"), (5L, "b"), (300L, "c")).toDF("doc_id", "text")
+    val f = Multimodal.extractFeatures(Multimodal.withImageColumn(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(0L, 5L, 300L)) {
+      assert(f(id).width == 8 + id % 16)
+      assert(f(id).height == 8 + (id * 3) % 16)
+      assert(f(id).mean_lum == (id % 256).toDouble)
+    }
   }
 
-  test("resize caps dimensions at the box and preserves aspect ratio") {
-    val docs = Seq((1L, "x" * 400)).toDF("doc_id", "text") // big fake image
-    val r = Multimodal.resize(Multimodal.withMediaColumn(docs), 32, 32).head()
-    assert(r.width <= 32 && r.height <= 32)
-    assert(r.media.nonEmpty && r.media.length <= 400)
-    // no-op when already inside the box
-    val small = Multimodal.resize(Multimodal.withMediaColumn(docs), 4096, 4096).head()
-    val (w0, h0, _) = Multimodal.FakeCodec.decode("x".repeat(400).getBytes("UTF-8"))
-    assert(small.width == w0 && small.height == h0)
+  test("non-image payloads: unknown dims, byte fingerprint, total on empty/null") {
+    val (w, h, mean, feats) = Multimodal.Codec.decode("hello world".getBytes("UTF-8"))
+    assert(w == 0 && h == 0) // genuinely unknown without a decoder
+    assert(mean > 0 && math.abs(feats.sum - 1.0f) < 1e-5)
+    val (we, _, me, fe) = Multimodal.Codec.decode(Array.emptyByteArray)
+    assert(we == 0 && me == 0.0 && fe.forall(_ == 0f))
+    val (wn, _, _, _) = Multimodal.Codec.decode(null)
+    assert(wn == 0)
+  }
+
+  test("resize: real bilinear resample caps the box, preserves aspect, re-decodes") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val big = Multimodal.withImageColumn(docs) // 9×11 for doc 1
+      .select(col("doc_id"),
+        // swap in a larger synthetic image to make the resize non-trivial
+        udf(() => Multimodal.Codec.syntheticPng(64, 32, 77)).apply().as("media"),
+        col("mime"))
+    val r = Multimodal.resize(big, 16, 16).head()
+    assert(r.width == 16 && r.height == 8) // aspect 2:1 preserved
+    val (w2, h2, mean2, _) = Multimodal.Codec.decode(r.media)
+    assert(w2 == 16 && h2 == 8 && mean2 == 77.0) // solid gray survives resample
+    // no-op when already inside the box: payload passes through byte-identical
+    val small = Multimodal.resize(Multimodal.withImageColumn(docs), 4096, 4096).head()
+    assert(small.width == 9 && small.height == 11)
+    // opaque payloads pass through unchanged (resizing them is undefined)
+    val opaque = Multimodal.resize(Multimodal.withMediaColumn(docs), 16, 16).head()
+    assert(opaque.width == 0 && new String(opaque.media, "UTF-8") == "x")
   }
 
   test("frame sampling: video-only fan-out, bounded frames, fixed chunk size") {
