@@ -49,7 +49,7 @@ object Bench {
       "q_window_topk", "q_rollup", "q_sessionize", "q_asof_join",
       "q_range_join", "q_dedup_exact", "q_minhash_neardup",
       "q_simhash_neardup", "q_cosine_topk", "q_cosine_topk_ivf",
-      "q_cosine_neardup_lsh", "q_lang_id", "q_token_count",
+      "q_cosine_topk_ivf_indexed", "q_cosine_neardup_lsh", "q_lang_id", "q_token_count",
       "q_ddb_unwrap", "q_load_verification")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")

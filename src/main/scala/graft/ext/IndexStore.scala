@@ -1,0 +1,43 @@
+package graft.ext
+
+import java.io.{FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Driver-side persistence for trained index MODELS (PQ/OPQ codebooks, IVF
+  * centroids, rotations): the small artifacts of an ANN build job. The bulky
+  * artifacts (encoded codes, inverted lists) are snapshot TABLES
+  * ([[graft.sinks.Snapshots]]); models are kilobytes — one atomic file each
+  * (write-temp + rename, same publish discipline as a manifest). On a real
+  * deployment this is one object-store PUT next to the table.
+  *
+  * A model file is written only AFTER its code table commits, so its
+  * presence marks a complete index: load-or-build bootstraps race-free.
+  */
+object IndexStore {
+
+  def save[T <: java.io.Serializable](path: String, value: T): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    val tmp = Paths.get(path + ".tmp")
+    val out = new ObjectOutputStream(new FileOutputStream(tmp.toFile))
+    try out.writeObject(value) finally out.close()
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def load[T](path: String): Option[T] = {
+    if (!Files.exists(Paths.get(path))) None
+    else {
+      val in = new ObjectInputStream(new FileInputStream(path))
+      try Some(in.readObject().asInstanceOf[T]) finally in.close()
+    }
+  }
+
+  /** Stable artifact location for (index kind, source dir, geometry) — a
+    * geometry change is a different index, never an in-place retrain. */
+  def indexDir(kind: String, sfDir: String, geometry: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-index/$kind-$key-$geometry"
+  }
+}

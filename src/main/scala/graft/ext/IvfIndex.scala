@@ -169,7 +169,10 @@ object IvfIndex {
         col("e.v").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** One-call convenience: train + build + search over a single table. */
+  /** One-call convenience: train + build + search over a single table.
+    * Demonstration path — production queries go through [[buildIndex]] once
+    * and [[searchIndexed]] per query batch, so index construction never sits
+    * in the query path. */
   def topK(
       spark: SparkSession,
       vectors: DataFrame,
@@ -179,5 +182,68 @@ object IvfIndex {
       nprobe: Int): DataFrame = {
     val centroids = train(vectors, nClusters)
     search(queries, build(vectors, centroids), centroids, k, nprobe)
+  }
+
+  /** BUILD JOB: train centroids and materialize the inverted lists ONCE as a
+    * snapshot table hive-partitioned by `cluster_id` (plus a k-row centroids
+    * snapshot). This is the indexing job a 100 TB deployment runs offline /
+    * incrementally (see `StreamingOps.startIndexMaintenance`); queries then
+    * probe via [[searchIndexed]] and touch only `nprobe` partitions.
+    * Idempotent: an existing committed index is left untouched unless
+    * `overwrite`. Returns true when a build actually ran. */
+  def buildIndex(
+      vectors: DataFrame,
+      indexDir: String,
+      nClusters: Int,
+      overwrite: Boolean = false): Boolean = {
+    val spark = vectors.sparkSession
+    val exists = graft.sinks.Snapshots.versions(spark, s"$indexDir/lists").nonEmpty
+    if (exists && !overwrite) false
+    else {
+      val centroids = train(vectors, nClusters)
+      graft.sinks.Snapshots.commit(centroids, s"$indexDir/centroids",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      // dynamic partition overwrite: every cluster is present in a full
+      // rebuild, so all partitions are replaced; an incremental refresh
+      // would commit only re-assigned clusters
+      graft.sinks.Snapshots.commitPartitioned(build(vectors, centroids),
+        s"$indexDir/lists", Seq("cluster_id"), org.apache.spark.sql.SaveMode.Overwrite)
+      true
+    }
+  }
+
+  /** SEARCH-ONLY path against a [[buildIndex]]-persisted index: the probed
+    * cluster set is resolved first (≤ |Q|·nprobe ids — queries are the small
+    * side of ANN serving by construction), then the inverted lists are read
+    * with a manifest-level partition filter, so only the probed partitions'
+    * files are LISTED, let alone scanned. Ranking reuses [[search]]. */
+  def searchIndexed(
+      spark: SparkSession,
+      queries: DataFrame, // (id, vec)
+      indexDir: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = graft.sinks.Snapshots.read(spark, s"$indexDir/centroids")
+    val q = queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qv"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("_c").desc, col("cluster_id"))
+    val probed: Set[String] = q.crossJoin(broadcast(centroids))
+      .withColumn("_c", cos(col("qv"), col("centroid")))
+      .withColumn("_rn", row_number().over(probeW))
+      .filter(col("_rn") <= nprobe)
+      .select(col("cluster_id").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val lists = graft.sinks.Snapshots.read(spark, s"$indexDir/lists",
+        partitionFilter = spec => spec.get("cluster_id").exists(probed))
+      .select(col("id"), col("vec"), col("cluster_id").cast("int").as("cluster_id"))
+    search(queries, lists, centroids, k, nprobe)
+  }
+
+  /** Stable on-disk location for a table's index artifacts, keyed by the
+    * source dir and the index geometry (a geometry change is a new index). */
+  def indexDir(sfDir: String, nClusters: Int): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-index/ivf-$key-k$nClusters"
   }
 }

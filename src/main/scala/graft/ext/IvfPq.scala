@@ -121,4 +121,51 @@ object IvfPq {
       .select(col("query_id"), col("e.id").as("neighbor_id"),
         (-col("e.v")).as("adist"), (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** BUILD JOB: train coarse+residual quantizers, materialize the code table
+    * once hive-partitioned by `cluster_id` — so a probe reads nprobe/nlist
+    * of the files (manifest-level pruning, no LIST over unprobed lists). */
+  def buildIndex(
+      vectors: DataFrame,
+      dir: String,
+      nlist: Int = 16,
+      m: Int = 16,
+      k: Int = 256,
+      sampleN: Int = 10000): Model =
+    IndexStore.load[Model](s"$dir/model.bin").getOrElse {
+      val model = train(vectors, nlist, m, k, sampleN)
+      graft.sinks.Snapshots.commitPartitioned(encode(vectors, model),
+        s"$dir/lists", Seq("cluster_id"), org.apache.spark.sql.SaveMode.Overwrite)
+      IndexStore.save(s"$dir/model.bin", model)
+      model
+    }
+
+  /** SEARCH-ONLY path: the probed cluster set resolves driver-side from the
+    * (bounded) query batch, the code table is read through a manifest-level
+    * partition filter, then ADC-scored. No training in the query path. */
+  def searchIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      dir: String,
+      topK: Int,
+      nprobe: Int): DataFrame = {
+    val model = IndexStore.load[Model](s"$dir/model.bin")
+      .getOrElse(throw new IllegalStateException(s"no IVFPQ index at $dir — run buildIndex"))
+    val probeUdf = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      model.centroids.indices.map { c =>
+        var dd = 0.0
+        var i = 0
+        while (i < arr.length) { val t = arr(i) - model.centroids(c)(i); dd += t * t; i += 1 }
+        (c, dd)
+      }.sortBy { case (c, dd) => (dd, c) }.take(nprobe).map(_._1)
+    })
+    val probed: Set[String] = queries
+      .select(explode(probeUdf(col("vec").cast("array<double>"))).as("c"))
+      .distinct().collect().map(_.get(0).toString).toSet
+    val codes = graft.sinks.Snapshots.read(spark, s"$dir/lists",
+        partitionFilter = spec => spec.get("cluster_id").exists(probed))
+      .select(col("id"), col("cluster_id").cast("int").as("cluster_id"), col("code"))
+    search(queries, codes, model, topK, nprobe)
+  }
 }

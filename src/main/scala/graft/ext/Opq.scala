@@ -178,4 +178,33 @@ object Opq {
       model: Model,
       topK: Int): DataFrame =
     PqIndex.search(rotated(queries, model.rotation), encoded, model.codebooks, topK)
+
+  /** BUILD JOB: train rotation + codebooks, materialize rotated codes once
+    * (codes first, model last — model presence marks a complete index). */
+  def buildIndex(
+      vectors: DataFrame,
+      dir: String,
+      m: Int = 8,
+      k: Int = 16,
+      sampleN: Int = 10000,
+      iters: Int = 5): Model =
+    IndexStore.load[Model](s"$dir/model.bin").getOrElse {
+      val model = train(vectors, m, k, sampleN, iters)
+      graft.sinks.Snapshots.commit(encode(vectors, model), s"$dir/codes",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      IndexStore.save(s"$dir/model.bin", model)
+      model
+    }
+
+  /** SEARCH-ONLY path: load rotation + codebooks, rotate the queries, scan
+    * the persisted codes. No training in the query path. */
+  def searchIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      dir: String,
+      topK: Int): DataFrame = {
+    val model = IndexStore.load[Model](s"$dir/model.bin")
+      .getOrElse(throw new IllegalStateException(s"no OPQ index at $dir — run buildIndex"))
+    search(queries, graft.sinks.Snapshots.read(spark, s"$dir/codes"), model, topK)
+  }
 }

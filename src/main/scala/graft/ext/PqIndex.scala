@@ -132,6 +132,39 @@ object PqIndex {
     t
   }
 
+  /** BUILD JOB: train codebooks and materialize the code table ONCE (codes
+    * snapshot first, then the model file — its presence marks a complete
+    * index). Load-or-build: an existing index is reused, so queries through
+    * [[searchIndexed]] never re-train. */
+  def buildIndex(
+      vectors: DataFrame,
+      dir: String,
+      m: Int = 8,
+      k: Int = 16,
+      sampleN: Int = 10000,
+      iters: Int = 5): Array[Array[Array[Double]]] =
+    IndexStore.load[Array[Array[Array[Double]]]](s"$dir/model.bin").getOrElse {
+      val books = train(vectors, m, k, sampleN, iters)
+      graft.sinks.Snapshots.commit(encode(vectors, books), s"$dir/codes",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      IndexStore.save(s"$dir/model.bin", books)
+      books
+    }
+
+  /** SEARCH-ONLY path against a [[buildIndex]]-persisted index: load the
+    * codebooks (kilobytes), scan the m-byte codes. ADC is a full-scan method
+    * by design — the win is the 8·d/m code compression, not pruning (IVF+PQ
+    * composes both). No training in the query path. */
+  def searchIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      dir: String,
+      topK: Int): DataFrame = {
+    val books = IndexStore.load[Array[Array[Array[Double]]]](s"$dir/model.bin")
+      .getOrElse(throw new IllegalStateException(s"no PQ index at $dir — run buildIndex"))
+    search(queries, graft.sinks.Snapshots.read(spark, s"$dir/codes"), books, topK)
+  }
+
   /** Approximate top-k by ADC distance (ascending). Output:
     * (query_id, neighbor_id, adist, rank) — ranked with the bounded top-k
     * aggregate, so the shuffle carries ≤ topK rows per partial. */

@@ -266,6 +266,20 @@ object ExtensionBattery {
         .orderBy($"query_id", $"rank")
     },
 
+    // The PRODUCTION serving shape: index built once as a cluster_id-
+    // partitioned snapshot table (idempotent build job — a no-op when the
+    // index exists), query probes nprobe lists through a manifest-level
+    // partition filter. Only the probed partitions' files are listed or
+    // scanned — the 100 TB path where the corpus never re-trains per query.
+    rowsOnly("q_cosine_topk_ivf_indexed") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val dir = IvfIndex.indexDir(d, nClusters = 16)
+      IvfIndex.buildIndex(emb, dir, nClusters = 16)
+      IvfIndex.searchIndexed(s, emb.filter($"id" < 10), dir, k = 5, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    },
+
     // Embedding near-dup via random-hyperplane LSH buckets (scale path):
     // candidates from band join only, never all-pairs. 64-bit/8-band = 256
     // buckets per band, so band buckets hold genuinely-close vectors only —
@@ -473,9 +487,11 @@ object ExtensionBattery {
     rowsOnly("q_pq_topk") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      val books = graft.ext.PqIndex.train(emb, m = 16, k = 256, sampleN = 2000, iters = 5)
-      graft.ext.PqIndex.search(
-          emb.filter($"id" < 5), graft.ext.PqIndex.encode(emb, books), books, topK = 10)
+      // build-once (idempotent no-op when the index exists), search-only
+      // steady state: training/encoding never sits in the query path
+      val dir = graft.ext.IndexStore.indexDir("pq", d, "m16k256")
+      graft.ext.PqIndex.buildIndex(emb, dir, m = 16, k = 256, sampleN = 2000, iters = 5)
+      graft.ext.PqIndex.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10)
         .orderBy($"query_id", $"rank")
     },
 
@@ -486,9 +502,9 @@ object ExtensionBattery {
     rowsOnly("q_opq_topk") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      val model = graft.ext.Opq.train(emb, m = 16, k = 256, sampleN = 2000, iters = 5)
-      graft.ext.Opq.search(
-          emb.filter($"id" < 5), graft.ext.Opq.encode(emb, model), model, topK = 10)
+      val dir = graft.ext.IndexStore.indexDir("opq", d, "m16k256")
+      graft.ext.Opq.buildIndex(emb, dir, m = 16, k = 256, sampleN = 2000, iters = 5)
+      graft.ext.Opq.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10)
         .orderBy($"query_id", $"rank")
     },
 
@@ -497,10 +513,9 @@ object ExtensionBattery {
     rowsOnly("q_ivfpq_topk") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      val model = graft.ext.IvfPq.train(emb, nlist = 16, m = 16, k = 256, sampleN = 2000)
-      graft.ext.IvfPq.search(
-          emb.filter($"id" < 5), graft.ext.IvfPq.encode(emb, model),
-          model, topK = 10, nprobe = 4)
+      val dir = graft.ext.IndexStore.indexDir("ivfpq", d, "n16m16k256")
+      graft.ext.IvfPq.buildIndex(emb, dir, nlist = 16, m = 16, k = 256, sampleN = 2000)
+      graft.ext.IvfPq.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10, nprobe = 4)
         .orderBy($"query_id", $"rank")
     },
 

@@ -49,6 +49,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("indexed IVF search scans ONLY the probed cluster partitions") {
+    import graft.ext.IvfIndex
+    // 4 well-separated axis blobs → 4 clusters; a query inside blob 0 with
+    // nprobe=1 must read exactly one cluster partition from the index.
+    val dim = 8
+    val vecs = (0 until 64).map { i =>
+      val v = new Array[Float](dim)
+      v(i % 4) = 10f; v(4 + i % 4) = (i / 4).toFloat % 3
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-audit").toString + "/idx"
+    assert(IvfIndex.buildIndex(vecs, dir, nClusters = 4))
+    assert(!IvfIndex.buildIndex(vecs, dir, nClusters = 4)) // idempotent
+    val res = IvfIndex.searchIndexed(spark, vecs.filter($"id" === 0L), dir, k = 3, nprobe = 1)
+    assert(res.count() == 3)
+    // every scanned index file sits under exactly one cluster_id=... partition
+    val listFiles = res.inputFiles.filter(_.contains("cluster_id="))
+    assert(listFiles.nonEmpty, "index scan found no partitioned files")
+    val clusters = listFiles.map(_.split("cluster_id=")(1).split("/")(0)).distinct
+    assert(clusters.length == 1,
+      s"nprobe=1 must touch one cluster partition, scanned: ${clusters.mkString(",")}")
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // hive-partitioned fact (our bronze/gold layout) joined to a FILTERED
     // dim on the partition column: Catalyst must inject a DynamicPruning

@@ -58,4 +58,21 @@ class IvfPqSpec extends SparkSpec {
     val recall = (exactTop10 intersect got).size.toDouble / exactTop10.size
     assert(recall >= 0.4, s"nprobe=1 recall@10 = $recall")
   }
+  test("persisted index: searchIndexed ≡ in-path search; probe prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString + "/idx"
+    val model = IvfPq.buildIndex(emb, dir, nlist = 8, m = 8, k = 16, sampleN = 300)
+    val queries = emb.filter($"id" < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val inline = IvfPq.search(queries, IvfPq.encode(emb, model), model, topK = 5, nprobe = 2)
+    val indexed = IvfPq.searchIndexed(spark, queries, dir, topK = 5, nprobe = 2)
+    assert(key(indexed) == key(inline))
+    // manifest-level pruning: the scan must touch at most |probed| <= 3*2
+    // cluster partitions out of 8 (and never all of them)
+    val scanned = indexed.inputFiles.filter(_.contains("cluster_id="))
+      .map(_.split("cluster_id=")(1).split("/")(0)).distinct
+    assert(scanned.nonEmpty && scanned.length < 8,
+      s"probe scanned all partitions: ${scanned.mkString(",")}")
+  }
 }

@@ -94,4 +94,15 @@ class OpqSpec extends SparkSpec {
     assert(recallOpq > recallPq, s"OPQ $recallOpq vs PQ $recallPq")
     assert(recallOpq >= 0.5, s"OPQ recall@10 on skewed data = $recallOpq")
   }
+  test("persisted index: searchIndexed ≡ in-path rotate+encode+search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq-idx").toString + "/idx"
+    val model = Opq.buildIndex(emb, dir, m = 8, k = 16, sampleN = 200, iters = 3)
+    val queries = emb.filter($"id" < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val inline = Opq.search(queries, Opq.encode(emb, model), model, topK = 5)
+    val indexed = Opq.searchIndexed(spark, queries, dir, topK = 5)
+    assert(key(indexed) == key(inline))
+  }
 }

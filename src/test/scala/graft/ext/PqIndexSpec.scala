@@ -22,6 +22,22 @@ class PqIndexSpec extends SparkSpec {
       enc2.map(_.getAs[Array[Byte]]("code").toSeq).toSeq)
   }
 
+  test("persisted index: searchIndexed ≡ in-path train+encode+search, build idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString + "/idx"
+    val books = PqIndex.buildIndex(emb, dir, m = 8, k = 16, sampleN = 200, iters = 3)
+    // second build loads the SAME model instead of retraining
+    val reloaded = PqIndex.buildIndex(emb, dir, m = 8, k = 16, sampleN = 200, iters = 3)
+    assert(books.flatten.flatten.toSeq == reloaded.flatten.flatten.toSeq)
+    val queries = emb.filter($"id" < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"neighbor_id", $"adist", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val inline = PqIndex.search(queries, PqIndex.encode(emb, books), books, topK = 5)
+    val indexed = PqIndex.searchIndexed(spark, queries, dir, topK = 5)
+    assert(key(indexed) == key(inline))
+  }
+
   test("ADC ranking recalls most exact-L2 neighbors (recall@10)") {
     val books = PqIndex.train(emb, m = 16, k = 256, sampleN = 2000, iters = 5)
     val queries = emb.filter($"id" < 5)
