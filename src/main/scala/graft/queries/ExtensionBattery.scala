@@ -461,16 +461,44 @@ object ExtensionBattery {
       graft.ext.TextIndex.searchBm25(postings, Seq("spark", "query", "data"), 20)
     },
 
-    // Near-dup dedup END-TO-END: MinHash candidates → connected components
-    // → drop every non-canonical cluster member (canonical = min doc_id) —
-    // the full pipeline a 100 TB corpus dedup runs. Engine-hash based →
-    // rows-only; per-language kept-counts keep the output stable.
-    rowsOnly("q_neardup_keep_canonical") { (s, d) =>
+    // Near-dup dedup END-TO-END, fully oracled: exact Jaccard pairs from the
+    // prefix-filtered set-similarity join (never all-pairs) → connected
+    // components → drop every non-canonical cluster member (canonical = min
+    // doc_id) — the full pipeline a 100 TB corpus dedup runs. The DuckDB
+    // oracle recomputes the pairs quadratically and min-labels components
+    // with a recursive CTE seeded ONLY at local-minimum nodes (the component
+    // min is always one, so min-over-reachable-seeds is exact while the
+    // recursion stays linear in cluster size, not quadratic). Bounded to
+    // doc_id < 600 like q_setsim_join — the corpus is so near-dup-dense
+    // that the quadratic oracle is the limiting side.
+    sql("q_neardup_keep_canonical",
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct($toksSql) AS toks
+         |  FROM documents WHERE doc_id < 600 AND len($toksSql) > 0),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.toks, b.toks)) > 0
+         |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |seeds AS (SELECT src AS id FROM edges GROUP BY src HAVING min(dst) > src),
+         |reach AS (
+         |  WITH RECURSIVE r(id, anc) AS (
+         |    SELECT id, id FROM seeds
+         |    UNION
+         |    SELECT e.dst, r.anc FROM edges e JOIN r ON r.id = e.src)
+         |  SELECT id, min(anc) AS component FROM r GROUP BY id),
+         |dropped AS (SELECT id AS doc_id FROM reach WHERE id <> component)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents
+         |WHERE doc_id < 600 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val pairs = MinHash.candidatePairs(docs, "doc_id", "text",
-          k = 64, bands = 16, shingleN = 3)
-        .filter($"est_jaccard" >= 0.5)
+      val docs = Tables.documents(s, d).filter($"doc_id" < 600)
+      val pairs = graft.ext.SetSimJoin.join(docs, "doc_id", "text", 0.8)
       val comp = graft.ext.Components.connectedComponents(
         pairs, srcCol = "doc_a", dstCol = "doc_b")
       val dropIds = comp.filter($"id" =!= $"component").select($"id".as("doc_id"))

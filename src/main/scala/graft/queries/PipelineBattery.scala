@@ -351,5 +351,30 @@ object PipelineBattery {
         .orderBy($"event_id")
         .limit(500)
     },
+
+    // Warehouse (JDBC) gold load round-trip — the transport leg of the
+    // reference's gold table: pre-action DDL + idempotent DELETE, parallel
+    // JDBC append, post-action statistics refresh, then the verification
+    // read back THROUGH the warehouse. Embedded Derby stands in for the
+    // warehouse engine; the oracle is the gold aggregate itself, so the
+    // write→read loop must be lossless (types, values, row count).
+    sql("q_warehouse_roundtrip",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val gold = Tables.documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg($"n_chars"), 2).as("avg_chars"))
+      val url = "jdbc:derby:memory:graftwh;create=true"
+      graft.sinks.WarehouseJdbc.load(gold, url, "gold_doc_stats",
+        preactions = Seq(
+          """CREATE TABLE gold_doc_stats ("lang" VARCHAR(16), "n_docs" BIGINT, "avg_chars" DOUBLE)""",
+          "DELETE FROM gold_doc_stats"), // idempotent re-load (README.md:219)
+        postactions = Seq(
+          "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS('APP', 'GOLD_DOC_STATS', NULL)"),
+        tolerableSqlStates = Set("X0Y32", "42X05", "42Y55"))
+      graft.sinks.WarehouseJdbc.read(s, url, "gold_doc_stats")
+        .orderBy($"lang")
+    },
   )
 }
