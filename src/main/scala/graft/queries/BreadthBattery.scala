@@ -99,6 +99,28 @@ object BreadthBattery {
         .orderBy($"l_returnflag")
     },
 
+    // Modal value per group with a DETERMINISTIC tie rule (smallest modal
+    // value wins) — Spark's native mode() and DuckDB's mode() both leave
+    // ties unspecified, so the portable form is count → windowed max →
+    // min-among-modes, which the oracle states identically.
+    sql("q_mode",
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, round(min(l_quantity), 2) AS mode_qty,
+        |  CAST(max(cnt) AS BIGINT) AS mode_n
+        |FROM (SELECT *, max(cnt) OVER (PARTITION BY l_returnflag) AS mx FROM c) t
+        |WHERE cnt = mx GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("cnt"))
+      c.withColumn("mx", max($"cnt").over(Window.partitionBy($"l_returnflag")))
+        .filter($"cnt" === $"mx")
+        .groupBy($"l_returnflag")
+        .agg(round(min($"l_quantity"), 2).as("mode_qty"), max($"cnt").as("mode_n"))
+        .orderBy($"l_returnflag")
+    },
+
     // Corpus profile per language — the doc-pipeline shape of the same
     // exact-percentile machinery.
     sql("q_doc_profile",

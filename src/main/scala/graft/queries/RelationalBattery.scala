@@ -133,6 +133,100 @@ object RelationalBattery {
         .orderBy($"revenue".desc, $"n_name")
     },
 
+    // TPC-H Q7 shape: bilateral volume shipping — revenue flowing between
+    // two nations by ship year. The OR'd nation-pair predicate rides the
+    // fact joins as a residual after both nation dims (filtered to the two
+    // names, broadcast) prune supplier/customer rows.
+    sql("q_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year, l_extendedprice, l_discount
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val rev = $"l_extendedprice".cast("decimal(18,4)") *
+        (lit(1) - $"l_discount".cast("decimal(18,4)"))
+      val nations = Tables.nation(s, d).filter($"n_name".isin("NATION_1", "NATION_2"))
+      val n1 = nations.select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      val n2 = nations.select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+      Tables.supplier(s, d)
+        .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+        .join(Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1998-01-01").cast("timestamp")),
+          $"s_suppkey" === $"l_suppkey")
+        .join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(s, d), $"c_custkey" === $"o_custkey")
+        .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+        .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("int").as("l_year"))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+
+    // TPC-H Q8 shape: national market share — one nation's slice of a
+    // region's PROMO-part revenue by order year. Two nation roles (customer
+    // nation bounds the region; supplier nation labels the share), part and
+    // region dims broadcast.
+    sql("q_market_share",
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val volume = $"l_extendedprice".cast("decimal(18,4)") *
+        (lit(1) - $"l_discount".cast("decimal(18,4)"))
+      val custNation = Tables.nation(s, d)
+        .select($"n_nationkey".as("c_nk"), $"n_regionkey".as("c_rk"))
+      val suppNation = Tables.nation(s, d)
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter($"p_type" === "PROMO")),
+          $"p_partkey" === $"l_partkey")
+        .join(Tables.supplier(s, d), $"s_suppkey" === $"l_suppkey")
+        .join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(s, d), $"c_custkey" === $"o_custkey")
+        .join(broadcast(custNation), $"c_nationkey" === $"c_nk")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"c_rk" === $"r_regionkey")
+        .join(broadcast(suppNation), $"s_nationkey" === $"s_nk")
+        .select(year($"o_orderdate").cast("int").as("o_year"),
+          volume.as("volume"), $"nation")
+        .groupBy($"o_year")
+        .agg(round(
+          sum(when($"nation" === "NATION_1", $"volume").otherwise(0)).cast("double") /
+          sum($"volume").cast("double"), 6).as("mkt_share"))
+        .orderBy($"o_year")
+    },
+
     // TPC-H Q14 shape: promo revenue share — conditional aggregation over a
     // month-windowed fact joined to a broadcastable dimension.
     sql("q_promo_revenue",
