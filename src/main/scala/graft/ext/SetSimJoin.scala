@@ -51,10 +51,18 @@ object SetSimJoin {
       .withColumn("rn", row_number().over(
         Window.partitionBy("sid").orderBy(col("tf"), col("tok"))))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("sid", "tok")
-    val cand = prefix.toDF("a", "tok")
-      .join(prefix.toDF("b", "tok"), Seq("tok"))
-      .filter(col("a") < col("b"))
+      .select("sid", "sz", "tok")
+    // LENGTH FILTER (exact, PPJoin-standard): J(a,b) ≥ t forces
+    // t·max(|a|,|b|) ≤ inter ≤ min(|a|,|b|) — prune size-mismatched
+    // candidates BEFORE the distinct and the payload join, where they are
+    // two small ints instead of two token arrays. The 1e-9 slack absorbs
+    // double rounding in t·max so an exactly-at-threshold pair (e.g. sizes
+    // 8 and 10 at t = 0.8) can never be dropped.
+    val cand = prefix.toDF("a", "sz_a", "tok")
+      .join(prefix.toDF("b", "sz_b", "tok"), Seq("tok"))
+      .filter(col("a") < col("b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
       .select("a", "b")
       .distinct()
     cand
