@@ -42,8 +42,13 @@ object Components {
       .distinct()
       .localCheckpoint()
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed each node with min(self, min direct neighbor) — this IS the
+    // label state after a first propagation round against identity labels,
+    // computed as one aggregate instead of a join round (round 1 would
+    // otherwise join sym against labels that are known to be the identity)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("label"))
       .localCheckpoint()
 
     var changed = 1L
