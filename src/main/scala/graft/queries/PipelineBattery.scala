@@ -376,5 +376,26 @@ object PipelineBattery {
       graft.sinks.WarehouseJdbc.read(s, url, "gold_doc_stats")
         .orderBy($"lang")
     },
+
+    // ORC sink/source round-trip (the second columnar format Spark ships
+    // natively): gold aggregate written as ORC, read back through the ORC
+    // reader. The oracle is the aggregate itself, so the loop must preserve
+    // types and values exactly — decimal-free columns chosen deliberately
+    // (ORC and parquet share Spark's internal row representation; the
+    // format boundary is where truncation bugs would live).
+    sql("q_orc_roundtrip",
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val gold = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-orc-$key"
+      gold.write.mode("overwrite").orc(dir)
+      s.read.orc(dir).orderBy($"l_returnflag", $"l_linestatus")
+    },
   )
 }
