@@ -90,16 +90,21 @@ object StreamingOps {
 
   /** Streaming vector-index maintenance: each micro-batch of (id, vec)
     * rows is encoded against a FIXED trained model (coarse assignment +
-    * PQ residual codes — both map-only) and appended to the inverted-list
-    * table partitioned by `cluster_id`. Searches read only their probed
-    * partitions, so index freshness costs one partitioned append per
-    * batch and never a rebuild. Retraining the model is an offline
-    * decision (codebook drift), not a streaming one. */
+    * PQ residual codes — both map-only) and committed to the index's
+    * inverted-list SNAPSHOT table (`<indexDir>/lists`, partitioned by
+    * `cluster_id`) — the same layout [[graft.ext.IvfPq.buildIndex]] writes
+    * and [[graft.ext.IvfPq.searchIndexed]] probe-prunes, so searches serve
+    * a streaming-maintained index with no code change. Commits carry the
+    * (appId, batchId) txn watermark: a replayed micro-batch no-ops, making
+    * index freshness exactly-once at one atomic snapshot version per batch.
+    * Retraining the model is an offline decision (codebook drift), not a
+    * streaming one. */
   def startIndexMaintenance(
       stream: DataFrame, // (id, vec)
       model: graft.ext.IvfPq.Model,
-      indexPath: String,
+      indexDir: String,
       checkpointDir: String,
+      appId: String = "graft-index-maintenance",
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -107,12 +112,14 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          graft.ext.IvfPq.encode(batch.toDF(), model)
-            .write.mode("append")
-            .partitionBy("cluster_id")
-            .parquet(indexPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sinks.Snapshots.commitPartitioned(
+            graft.ext.IvfPq.encode(batch.toDF(), model),
+            s"$indexDir/lists", Seq("cluster_id"),
+            org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))
+          ()
+        }
       }
       .start()
 

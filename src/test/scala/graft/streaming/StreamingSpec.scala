@@ -174,18 +174,18 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.contains((7L, 2L))) // the merged two-event session emitted
   }
 
-  test("streaming index maintenance: appended vectors become searchable") {
+  test("streaming index maintenance: appended vectors become searchable via searchIndexed") {
     implicit val sqlCtx = spark.sqlContext
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
-    val model = graft.ext.IvfPq.train(emb, nlist = 4, m = 16, k = 256, sampleN = 500)
     val dir = java.nio.file.Files.createTempDirectory("graft-vidx").toString
     val idx = s"$dir/index"
-    // base index from the first 400 vectors
-    graft.ext.IvfPq.encode(emb.filter($"id" < 400), model)
-      .write.partitionBy("cluster_id").parquet(idx)
+    // base index (train + encode + snapshot commit) from the first 400 vectors
+    val model = graft.ext.IvfPq.buildIndex(
+      emb.filter($"id" < 400), idx, nlist = 4, m = 16, k = 256, sampleN = 500)
 
-    // stream the remaining vectors in as a micro-batch
+    // stream the remaining vectors into the SAME snapshot table the
+    // search-only path reads
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
     val q = StreamingOps.startIndexMaintenance(
       mem.toDF().toDF("id", "vec"), model, idx, s"$dir/ckpt",
@@ -196,13 +196,13 @@ class StreamingOpsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val lists = spark.read.parquet(idx)
-    assert(lists.count() == 500) // base + streamed
-    // a streamed vector is its own nearest neighbor through the index
-    val probe = emb.filter($"id" === 450L)
-    val hits = graft.ext.IvfPq.search(probe, lists, model, topK = 500, nprobe = 4)
+    val lists = graft.sinks.Snapshots.read(spark, s"$idx/lists")
+    assert(lists.count() == 500) // base + streamed, one atomic version each
+    // a streamed vector is searchable through the UNCHANGED search-only path
+    val hits = graft.ext.IvfPq.searchIndexed(
+        spark, emb.filter($"id" === 450L), idx, topK = 500, nprobe = 4)
       .filter($"neighbor_id" >= 400).count()
-    assert(hits > 0) // streamed vectors are searchable
+    assert(hits > 0)
   }
 
   test("snapshot sink: micro-batches commit atomically; replayed batch is exactly-once") {
