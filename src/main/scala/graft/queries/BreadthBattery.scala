@@ -99,6 +99,31 @@ object BreadthBattery {
         .orderBy($"l_returnflag")
     },
 
+    // NTILE curriculum bins: equal-frequency quartiles of document length
+    // WITHIN each language (the per-difficulty buckets a curriculum-ordered
+    // training run samples from). The window partitions by lang — ntile
+    // never sees a global order, so the bucketing parallelizes per language;
+    // the (n_chars, doc_id) order key makes tile assignment deterministic
+    // under length ties.
+    sql("q_ntile_curriculum",
+      """SELECT lang, CAST(quartile AS INT) AS quartile, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM (SELECT lang, n_chars,
+        |        NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+      Tables.documents(s, d)
+        .select($"lang", $"n_chars", ntile(4).over(w).as("quartile"))
+        .groupBy($"lang", $"quartile")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+        .orderBy($"lang", $"quartile")
+    },
+
     // Modal value per group with a DETERMINISTIC tie rule (smallest modal
     // value wins) — Spark's native mode() and DuckDB's mode() both leave
     // ties unspecified, so the portable form is count → windowed max →

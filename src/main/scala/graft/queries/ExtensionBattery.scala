@@ -361,6 +361,35 @@ object ExtensionBattery {
         .orderBy($"doc_id")
     },
 
+    // Token-budget sampling: per-language greedy selection in deterministic
+    // priority order (md5 of doc_id stands in for a quality rank) until each
+    // language's cumulative token count hits the budget — the mixture-
+    // balancing pass every multilingual corpus build runs. The running sum
+    // windows per language, so the selection parallelizes across languages
+    // (and at 100 TB, across a (lang, shard) composite key).
+    sql("q_token_budget_sample",
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS INT) AS n_tok,
+         |    md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM (SELECT lang, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY lang ORDER BY pri, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t) WHERE cum <= 2000
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"lang").orderBy($"pri", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", TextAnalysis.tokenCount($"text").as("n_tok"),
+          md5($"doc_id".cast("string")).as("pri"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .filter($"cum" <= 2000)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+        .orderBy($"lang")
+    },
+
     // Benchmark decontamination: flag corpus docs sharing ≥ 3 distinct
     // token 3-grams with an eval set (here: doc_id < 10) — the n-gram
     // overlap check every training corpus runs against its benchmarks.

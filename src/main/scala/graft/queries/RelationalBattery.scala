@@ -288,6 +288,177 @@ object RelationalBattery {
         .limit(20)
     },
 
+    // TPC-H Q4 shape: order-priority checking — correlated EXISTS against
+    // lineitem (planned as a left-semi join; the l_shipdate > o_orderdate
+    // condition rides the join as a residual), then priority counts. The
+    // testdata has no commit/receipt dates, so "late" = shipped more than
+    // 60 days after the order date.
+    sql("q_order_priority_check",
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-07-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-10-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate"),
+          $"l_orderkey" === $"o_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // TPC-H Q9 shape: product-type profit by supplier nation × order year.
+    // (No partsupp table in the testdata, so profit = revenue without the
+    // supplycost term.) Part filter pushed into a broadcast dim; supplier →
+    // nation chain broadcast; lineitem ⋈ orders is the one fact shuffle.
+    sql("q_product_profit",
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val rev = $"l_extendedprice".cast("decimal(18,4)") *
+        (lit(1) - $"l_discount".cast("decimal(18,4)"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter($"p_name".contains("red"))),
+          $"p_partkey" === $"l_partkey")
+        .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"l_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"n_nationkey" === $"s_nationkey")
+        .join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("int").as("o_year"))
+        .agg(round(sum(rev), 2).cast("double").as("profit"))
+        .orderBy($"nation", $"o_year")
+    },
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    // (so zero-order customers count with c_count = 0) with an extra join
+    // predicate that cannot be pushed below the outer join, two stacked
+    // aggregations.
+    sql("q_cust_order_dist",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d).select($"c_custkey")
+        .join(Tables.orders(s, d).filter($"o_orderpriority" =!= "1-URGENT")
+            .select($"o_custkey", $"o_orderkey"),
+          $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+
+    // TPC-H Q18 shape: large-volume customers — IN over a GROUP BY/HAVING
+    // subquery (planned as a left-semi join against the pre-aggregated
+    // lineitem), then the full three-table join re-aggregates quantity.
+    // sum(l_quantity) is exact in double (integral values), so the >
+    // threshold never flips between engines.
+    sql("q_large_volume_cust",
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bigOrders = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey".as("big_ok"))
+        .agg(sum($"l_quantity").as("qty"))
+        .filter($"qty" > 250)
+        .select($"big_ok")
+      Tables.orders(s, d)
+        .join(bigOrders, $"o_orderkey" === $"big_ok", "left_semi")
+        .join(broadcast(Tables.customer(s, d)), $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .agg(sum($"l_quantity").cast("double").as("total_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    },
+
+    // TPC-H Q21 shape: correlated EXISTS + NOT EXISTS self-joins on the fact
+    // table — suppliers who were the sole supplier on multi-line orders.
+    // EXISTS(other line, same order) plans as a left-semi self-join;
+    // NOT EXISTS(other supplier, same order) as a left-anti; both shuffle on
+    // the same l_orderkey key so AQE can reuse the exchange.
+    sql("q_sole_supplier",
+      """SELECT s_suppkey, s_name, count(DISTINCT l1.l_orderkey) AS n_solo_orders
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_linenumber <> l1.l_linenumber)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1, 2 ORDER BY n_solo_orders DESC, s_suppkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val l1 = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey", $"l_linenumber")
+      val l2 = l1.toDF("ok2", "sk2", "ln2")
+      val l3 = l1.toDF("ok3", "sk3", "ln3")
+      l1
+        .join(l2, $"ok2" === $"l_orderkey" && $"ln2" =!= $"l_linenumber", "left_semi")
+        .join(l3, $"ok3" === $"l_orderkey" && $"sk3" =!= $"l_suppkey", "left_anti")
+        .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"l_suppkey")
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(countDistinct($"l_orderkey").as("n_solo_orders"))
+        .orderBy($"n_solo_orders".desc, $"s_suppkey")
+    },
+
+    // TPC-H Q22 shape: above-average-balance customers gone inactive —
+    // scalar aggregate subquery (broadcast single row) + anti join against
+    // recent orders. The threshold compares c_acctbal · n against an exact
+    // DECIMAL sum, so no float-boundary row can flip between engines.
+    sql("q_inactive_rich_cust",
+      """WITH stats AS (SELECT count(*) AS n_pos,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT CAST(c_custkey % 5 AS INT) AS seg, count(*) AS n_cust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+        |FROM customer, stats
+        |WHERE c_acctbal * n_pos > total_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val stats = cust.filter($"c_acctbal" > 0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum($"c_acctbal".cast("decimal(18,4)")).cast("double").as("total_pos"))
+      cust
+        .crossJoin(broadcast(stats))
+        .filter($"c_acctbal" * $"n_pos" > $"total_pos")
+        .join(Tables.orders(s, d)
+            .filter($"o_orderdate" >= lit("2000-06-01").cast("timestamp"))
+            .select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy(($"c_custkey" % 5).cast("int").as("seg"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum($"c_acctbal".cast("decimal(18,4)")), 2).cast("double").as("total_bal"))
+        .orderBy($"seg")
+    },
+
     // Left-semi join (EXISTS).
     sql("q_semi_join",
       """SELECT c_custkey, c_name FROM customer
