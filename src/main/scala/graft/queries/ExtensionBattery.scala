@@ -576,6 +576,25 @@ object ExtensionBattery {
         .orderBy($"query_id", $"rank")
     },
 
+    // Mergeable distinct-count sketches (DataSketches HLL): one sketch per
+    // language partial, then a register-wise UNION across partials for the
+    // corpus-wide estimate — the two-level pattern that replaces a global
+    // count(DISTINCT) shuffle at 100 TB (per-shard sketches are a few KB
+    // each regardless of shard size; the union is a driver-light second
+    // agg). Sketch bytes are engine-specific → rows-only; the estimate's
+    // accuracy vs exact distinct is pinned in ExtOpsSpec.
+    rowsOnly("q_hll_mergeable") { (s, d) =>
+      import s.implicits._
+      val perLang = Tables.documents(s, d)
+        .groupBy($"lang")
+        .agg(hll_sketch_agg(xxhash64($"text"), 14).as("sk"))
+      val langRows = perLang.select($"lang", hll_sketch_estimate($"sk").as("est_distinct"))
+      val allRow = perLang
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_distinct"))
+        .select(lit("ALL").as("lang"), $"est_distinct")
+      langRows.unionByName(allRow).orderBy($"lang")
+    },
+
     // Int8-quantized brute-force top-k: 4× smaller vectors, integer dot
     // products, identical ranking machinery — recall vs exact pinned in
     // QuantizeSpec. Rows-only (quantized scores are engine-specific).

@@ -237,6 +237,18 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.exists { case (a, b, c) => a == 5L && b == 100L && c == 1.0 })
   }
+
+  test("HLL sketch union estimate within 3% of exact distinct (lgK=14)") {
+    import org.apache.spark.sql.functions._
+    // 3 shards × 2000 values with cross-shard overlap: exact distinct = 4000
+    val df = spark.range(6000)
+      .select((col("id") % 3).as("shard"), (col("id") % 4000).as("v"))
+    val perShard = df.groupBy($"shard").agg(hll_sketch_agg($"v", 14).as("sk"))
+    val est = perShard
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .as[Long].head()
+    assert(math.abs(est - 4000L) <= 120, s"estimate $est off exact 4000 by >3%")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
