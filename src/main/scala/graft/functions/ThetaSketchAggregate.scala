@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Theta sketch aggregate — mergeable distinct-value sketches that, unlike
+  * HLL, support set INTERSECTION and DIFFERENCE estimates after the fact.
+  * That is the corpus-planning primitive at 100 TB: sketch each shard /
+  * source / partition once (a few KB each, exact below 2^lgK distinct
+  * values), then answer "how many documents do sources A and B share?" for
+  * every pair from the sketches alone — no re-scan, no pairwise join of the
+  * raw data.
+  *
+  * Same `TypedImperativeAggregate` tier as [[TopKAggregate]] (mutable
+  * out-of-codegen buffer with partial/final merge): the buffer is a theta
+  * `Union`; partials serialize as compact sketch bytes, so a shuffle carries
+  * kilobytes per (partition, group) regardless of input size.
+  *
+  * Output: compact sketch bytes (`BinaryType`). Combine with
+  * [[ThetaSketch.estimate]] / [[ThetaSketch.intersectionEstimate]] /
+  * [[ThetaSketch.aNotBEstimate]] — tiny pure functions usable driver-side
+  * or in a UDF over the (small) sketch rows.
+  */
+case class ThetaSketchAggregate(
+    child: Expression,
+    lgK: Int = 14,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      case s: UTF8String => buf.update(s.toString)
+      case l: java.lang.Long => buf.update(l.longValue())
+      case i: java.lang.Integer => buf.update(i.longValue())
+      case d: java.lang.Double => buf.update(d.doubleValue())
+      case b: Array[Byte] => buf.update(b)
+      case other => buf.update(other.toString)
+    }
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = {
+    a.union(b.getResult)
+    a
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArrayCompressed
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArrayCompressed
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaSketchAggregate =
+    copy(child = newChildren(0))
+  override def prettyName: String = "theta_sketch"
+}
+
+object ThetaSketch {
+
+  /** Column form: `theta_sketch_agg($"v")` → binary compact sketch. */
+  def theta_sketch_agg(value: Column, lgK: Int = 14): Column =
+    SqlBridge.column(ThetaSketchAggregate(
+      SqlBridge.expression(value), lgK).toAggregateExpression())
+
+  private def wrap(bytes: Array[Byte]): CompactSketch =
+    Sketches.wrapCompactSketch(Memory.wrap(bytes))
+
+  /** Distinct-count estimate of one sketch (exact while the sketch has seen
+    * fewer than 2^lgK distinct values). */
+  def estimate(bytes: Array[Byte]): Double = wrap(bytes).getEstimate
+
+  /** Estimated |A ∩ B|. */
+  def intersectionEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val ix = SetOperation.builder().buildIntersection()
+    ix.intersect(wrap(a))
+    ix.intersect(wrap(b))
+    ix.getResult.getEstimate
+  }
+
+  /** Estimated |A \ B|. */
+  def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Double =
+    SetOperation.builder().buildANotB().aNotB(wrap(a), wrap(b)).getEstimate
+
+  /** Estimated |A ∪ B|. */
+  def unionEstimate(a: Array[Byte], b: Array[Byte], lgK: Int = 14): Double = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(wrap(a)); u.union(wrap(b))
+    u.getResult.getEstimate
+  }
+}

@@ -595,6 +595,38 @@ object ExtensionBattery {
       langRows.unionByName(allRow).orderBy($"lang")
     },
 
+    // Theta sketches: the mergeable-sketch tier that supports set
+    // INTERSECTION after aggregation (HLL cannot) — sketch the distinct
+    // customer set of each order status once, then estimate every pairwise
+    // overlap from the sketches alone: no re-scan, no pairwise self-join of
+    // the raw fact table. FULLY ORACLED: below 2^lgK=16384 distinct values
+    // per group a theta sketch is exact, and the correctness SFs keep
+    // distinct customers per status under that bound (~1.4k at sf0.01,
+    // ~14.5k at sf0.1) — the estimate IS the exact intersection count. At
+    // 100 TB the same plan returns ±1.6% estimates at fixed KB cost.
+    sql("q_theta_overlap",
+      """WITH st AS (SELECT DISTINCT o_orderstatus AS status, o_custkey AS c
+        |            FROM orders)
+        |SELECT a.status AS status_a, b.status AS status_b,
+        |  CAST(count(*) AS DOUBLE) AS est_shared_customers
+        |FROM st a JOIN st b ON a.c = b.c AND a.status < b.status
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.ThetaSketch
+      val sk = Tables.orders(s, d)
+        .groupBy($"o_orderstatus".as("status"))
+        .agg(ThetaSketch.theta_sketch_agg($"o_custkey").as("sk"))
+      val ix = udf((x: Array[Byte], y: Array[Byte]) =>
+        ThetaSketch.intersectionEstimate(x, y))
+      // pairs side is |statuses|² rows of KB sketches — broadcast-trivial
+      sk.toDF("status_a", "sk_a")
+        .crossJoin(broadcast(sk.toDF("status_b", "sk_b")))
+        .filter($"status_a" < $"status_b")
+        .select($"status_a", $"status_b",
+          ix($"sk_a", $"sk_b").as("est_shared_customers"))
+        .orderBy($"status_a", $"status_b")
+    },
+
     // Int8-quantized brute-force top-k: 4× smaller vectors, integer dot
     // products, identical ranking machinery — recall vs exact pinned in
     // QuantizeSpec. Rows-only (quantized scores are engine-specific).

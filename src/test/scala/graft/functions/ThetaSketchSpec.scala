@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ThetaSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import ThetaSketch._
+
+  test("exact mode: estimate, intersection, aNotB equal true set counts") {
+    // two groups over 0..999 with a known 500-element overlap, well under 2^14
+    val df = spark.range(1500).select(
+      when($"id" < 1000, "a").otherwise("b").as("g"),
+      when($"id" < 1000, $"id").otherwise($"id" - 500).as("v"))
+    val sk = df.groupBy($"g").agg(theta_sketch_agg($"v").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    assert(estimate(sk("a")) == 1000.0)
+    assert(estimate(sk("b")) == 500.0)   // values 1000..1499 minus 500 → 500..999
+    assert(intersectionEstimate(sk("a"), sk("b")) == 500.0)
+    assert(aNotBEstimate(sk("a"), sk("b")) == 500.0)
+    assert(unionEstimate(sk("a"), sk("b")) == 1000.0)
+  }
+
+  test("estimation mode: 100k distinct within 5%; merge is partitioning-invariant") {
+    val n = 100000L
+    val df = spark.range(n).select(lit("g").as("g"), $"id".as("v"))
+    def est(parts: Int): Double = {
+      val bytes = df.repartition(parts)
+        .groupBy($"g").agg(theta_sketch_agg($"v", 12).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      estimate(bytes)
+    }
+    val e4 = est(4)
+    assert(math.abs(e4 - n) / n < 0.05, s"estimate $e4 off $n by >5%")
+    // same input through a different partitioning merges to a close estimate
+    // (theta unions are order-insensitive up to retained-set trimming)
+    val e16 = est(16)
+    assert(math.abs(e16 - n) / n < 0.05, s"estimate $e16 off $n by >5%")
+  }
+
+  test("string and long updates of equal logical sets do not collide to zero") {
+    val df = spark.range(100).select(lit("g").as("g"), $"id".cast("string").as("v"))
+    val bytes = df.groupBy($"g").agg(theta_sketch_agg($"v").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(estimate(bytes) == 100.0)
+  }
+}
