@@ -81,6 +81,20 @@ case class ThetaSketchAggregate(
   override def prettyName: String = "theta_sketch"
 }
 
+/** Scalar companion for SQL: `theta_estimate(sketch_bytes)` → distinct-count
+  * estimate. Interpreted eval (CodegenFallback) is fine here — estimate rows
+  * are one-per-group, never the hot path. */
+case class ThetaEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    ThetaSketch.estimate(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimate =
+    copy(child = newChild)
+  override def prettyName: String = "theta_estimate"
+}
+
 object ThetaSketch {
 
   /** Column form: `theta_sketch_agg($"v")` → binary compact sketch. */

@@ -158,11 +158,60 @@ case class AsOfJoinExec(
 }
 
 /** Extension-point registration (`SparkSession.builder.withExtensions(new
-  * GraftExtensions)`), the production wiring. */
+  * GraftExtensions)`), the production wiring: the as-of planner strategy +
+  * pushdown rule, and the custom expression/aggregate surface as SQL
+  * functions (so `spark.sql("SELECT cosine_similarity(a, b) ...")` works
+  * without touching the Scala API). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
+
+    e.injectFunction((FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
+        "cosine_similarity"),
+      (exprs: Seq[Expression]) => graft.functions.CosineSimilarity(
+        Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))))
+
+    e.injectFunction((FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[graft.functions.TopKAggregate].getName, "top_k"),
+      (exprs: Seq[Expression]) => graft.functions.TopKAggregate(
+        Cast(exprs(0), DoubleType), Cast(exprs(1), LongType),
+        litInt(exprs(2), "top_k k"))))
+
+    e.injectFunction((FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSketchAggregate].getName,
+        "theta_sketch"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaSketchAggregate(
+        exprs.head,
+        if (exprs.size > 1) litInt(exprs(1), "theta_sketch lgK") else 14)))
+
+    e.injectFunction((FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[graft.functions.ThetaEstimate].getName,
+        "theta_estimate"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaEstimate(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchAggregate].getName,
+        "kll_sketch"),
+      (exprs: Seq[Expression]) => graft.functions.KllSketchAggregate(
+        Cast(exprs.head, DoubleType),
+        if (exprs.size > 1) litInt(exprs(1), "kll_sketch k") else 200)))
+
+    e.injectFunction((FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantile].getName,
+        "kll_quantile"),
+      (exprs: Seq[Expression]) => graft.functions.KllQuantile(
+        exprs(0), Cast(exprs(1), DoubleType))))
   }
 }
 

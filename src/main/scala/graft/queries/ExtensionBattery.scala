@@ -627,6 +627,27 @@ object ExtensionBattery {
         .orderBy($"status_a", $"status_b")
     },
 
+    // KLL quantile sketches: mergeable percentiles with a proven rank-error
+    // bound — exact percentile() sorts every group's values through the
+    // shuffle; the sketch ships O(k log n) doubles per partial. Estimates
+    // are sketch-internal (rows-only); accuracy vs exact percentiles is
+    // pinned within the formal error bound in KllSketchSpec.
+    rowsOnly("q_kll_quantiles") { (s, d) =>
+      import s.implicits._
+      import graft.functions.KllSketch
+      val qs = udf((b: Array[Byte]) =>
+        KllSketch.quantiles(b, Array(0.25, 0.5, 0.9)))
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(KllSketch.kll_sketch_agg($"l_extendedprice").as("sk"))
+        .select($"l_returnflag", qs($"sk").as("q"))
+        .select($"l_returnflag",
+          round($"q"(0), 4).as("p25_est"),
+          round($"q"(1), 4).as("p50_est"),
+          round($"q"(2), 4).as("p90_est"))
+        .orderBy($"l_returnflag")
+    },
+
     // Int8-quantized brute-force top-k: 4× smaller vectors, integer dot
     // products, identical ranking machinery — recall vs exact pinned in
     // QuantizeSpec. Rows-only (quantized scores are engine-specific).

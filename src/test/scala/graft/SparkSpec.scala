@@ -12,6 +12,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
+      .withExtensions(new plans.GraftExtensions) // production wiring under test
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
