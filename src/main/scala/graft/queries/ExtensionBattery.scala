@@ -627,6 +627,28 @@ object ExtensionBattery {
         .orderBy($"status_a", $"status_b")
     },
 
+    // Frequent-items sketch (Misra-Gries): mergeable heavy hitters. The
+    // exact form shuffles one row per distinct item; the sketch ships a
+    // bounded map per partial. FULLY ORACLED: while distinct items fit the
+    // map (≤ 0.75·maxMapSize — suppliers: ~200 at sf0.01, ~2k at sf0.1 vs
+    // 4096), maxError is 0 and estimates ARE the exact counts; at 100 TB
+    // the same plan degrades gracefully to ±N/maxMapSize bounds with the
+    // NO_FALSE_NEGATIVES guarantee (spec-pinned under forced purging).
+    sql("q_freq_topk",
+      """SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS est_count
+        |FROM lineitem GROUP BY 1
+        |ORDER BY est_count DESC, suppkey LIMIT 10""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.FreqSketch
+      val items = udf((b: Array[Byte]) => FreqSketch.frequentItems(b))
+      Tables.lineitem(s, d)
+        .agg(FreqSketch.freq_sketch_agg($"l_suppkey", 4096).as("sk"))
+        .select(explode(items($"sk")).as("r"))
+        .select($"r._1".as("suppkey"), $"r._2".as("est_count"))
+        .orderBy($"est_count".desc, $"suppkey")
+        .limit(10)
+    },
+
     // KLL quantile sketches: mergeable percentiles with a proven rank-error
     // bound — exact percentile() sorts every group's values through the
     // shuffle; the sketch ships O(k log n) doubles per partial. Estimates
