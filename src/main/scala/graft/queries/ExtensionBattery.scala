@@ -627,6 +627,28 @@ object ExtensionBattery {
         .orderBy($"status_a", $"status_b")
     },
 
+    // Theta A-NOT-B: how much of the corpus survives decontamination against
+    // an eval set — answered from two independently-built sketches, no join
+    // of the raw tables. Same exact-regime oracle argument as
+    // q_theta_overlap (distinct texts ≤ 2^lgK at the correctness SFs).
+    // At 100 TB: benchmark sketches are built once and shipped as KBs to
+    // every corpus scan.
+    sql("q_theta_decontaminate",
+      """SELECT CAST((SELECT count(DISTINCT text) FROM documents
+        |    WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 10))
+        |  AS DOUBLE) AS est_clean_docs""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.ThetaSketch
+      val docs = Tables.documents(s, d)
+      val corpus = docs.agg(ThetaSketch.theta_sketch_agg($"text").as("sk_corpus"))
+      val eval_ = docs.filter($"doc_id" < 10)
+        .agg(ThetaSketch.theta_sketch_agg($"text").as("sk_eval"))
+      val anb = udf((a: Array[Byte], b: Array[Byte]) =>
+        ThetaSketch.aNotBEstimate(a, b))
+      corpus.crossJoin(broadcast(eval_))
+        .select(anb($"sk_corpus", $"sk_eval").as("est_clean_docs"))
+    },
+
     // Frequent-items sketch (Misra-Gries): mergeable heavy hitters. The
     // exact form shuffles one row per distinct item; the sketch ships a
     // bounded map per partial. FULLY ORACLED: while distinct items fit the
