@@ -627,6 +627,32 @@ object ExtensionBattery {
         .orderBy($"status_a", $"status_b")
     },
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    // key = u^(1/w) with u a deterministic md5-derived uniform, take the
+    // top-k keys — the quality-weighted doc selection pass, fully oracled
+    // because both engines derive the same u (13 hex chars = 52 mantissa
+    // bits) and the same IEEE pow. Top-k by computed key plans as
+    // TakeOrderedAndProject: per-partition heaps, no global sort — THE
+    // distributed weighted sampler at 100 TB.
+    sql("q_weighted_sample",
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |    pow(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |          AS BIGINT) AS DOUBLE) / 4503599627370496.0,
+        |        1.0 / n_chars) AS k
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars
+        |FROM t ORDER BY k DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val u = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0) // 2^52
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"n_chars",
+          pow(u, lit(1.0) / $"n_chars").as("k"))
+        .orderBy($"k".desc, $"doc_id")
+        .limit(50)
+        .select($"doc_id", $"lang", $"n_chars")
+    },
+
     // Theta A-NOT-B: how much of the corpus survives decontamination against
     // an eval set — answered from two independently-built sketches, no join
     // of the raw tables. Same exact-regime oracle argument as

@@ -459,6 +459,83 @@ object RelationalBattery {
         .orderBy($"seg")
     },
 
+    // TPC-H Q6 shape: the forecasting-revenue-change scan — one table, three
+    // pushed-down predicates, one DECIMAL product sum. The whole query is a
+    // single codegen'd scan stage; at 100 TB it is bandwidth-bound with
+    // zero shuffle beyond the final partial-sum merge.
+    sql("q_forecast_revenue",
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice".cast("decimal(18,4)") *
+            $"l_discount".cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+    },
+
+    // TPC-H Q15 shape: top supplier — aggregate once, then equality against
+    // a scalar MAX subquery over the same aggregate. The revenue is an
+    // exact DECIMAL sum rounded once, so the double equality never flips
+    // between engines.
+    sql("q_top_supplier",
+      """WITH rev AS (SELECT l_suppkey AS suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val rev = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey".as("suppkey"))
+        .agg(round(sum($"l_extendedprice".cast("decimal(18,4)") *
+            (lit(1) - $"l_discount".cast("decimal(18,4)"))), 2)
+          .cast("double").as("total_rev"))
+      val best = rev.agg(max($"total_rev").as("best_rev"))
+      rev.crossJoin(broadcast(best))
+        .filter($"total_rev" === $"best_rev")
+        .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"suppkey")
+        .select($"s_suppkey", $"s_name", $"total_rev")
+        .orderBy($"s_suppkey")
+    },
+
+    // TPC-H Q17 shape: small-quantity-order revenue — per-part average
+    // quantity as a correlated threshold (planned as an aggregate + rejoin
+    // on partkey). avg(l_quantity) divides an exact integral-double sum by
+    // an exact count, so the 0.2·avg threshold is bit-identical on both
+    // engines and no boundary row flips.
+    sql("q_small_qty_revenue",
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+        |    AS DOUBLE) AS avg_yearly
+        |FROM lineitem,
+        |  (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+        |   FROM lineitem GROUP BY 1) t
+        |WHERE l_partkey = pk AND l_quantity < lim""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lims = Tables.lineitem(s, d)
+        .groupBy($"l_partkey".as("pk"))
+        .agg((lit(0.2) * avg($"l_quantity")).as("lim"))
+      Tables.lineitem(s, d)
+        .join(lims, $"l_partkey" === $"pk")
+        .filter($"l_quantity" < $"lim")
+        .agg(round(sum($"l_extendedprice".cast("decimal(18,4)")).cast("double")
+          / 7.0, 2).as("avg_yearly"))
+    },
+
     // Left-semi join (EXISTS).
     sql("q_semi_join",
       """SELECT c_custkey, c_name FROM customer
