@@ -536,6 +536,68 @@ object RelationalBattery {
           / 7.0, 2).as("avg_yearly"))
     },
 
+    // TPC-H Q19 shape: discounted revenue under a DISJUNCTION of conjunctive
+    // branches spanning both join sides. Catalyst extracts the common
+    // p_partkey equi-key, pushes the part-only disjunct slices into the
+    // broadcast dim scan, and leaves the cross-side residual on the join —
+    // the disjunctive-pushdown stress test. (No container/shipinstruct
+    // columns in the testdata; brand × size × quantity stands in.)
+    sql("q_discounted_revenue",
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val rev = $"l_extendedprice".cast("decimal(18,4)") *
+        (lit(1) - $"l_discount".cast("decimal(18,4)"))
+      val branch1 = $"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+        $"l_quantity".between(1, 11)
+      val branch2 = $"p_brand" === "Brand#2" && $"p_size".between(1, 25) &&
+        $"l_quantity".between(10, 20)
+      val branch3 = $"p_brand" === "Brand#3" && $"p_size".between(1, 35) &&
+        $"l_quantity".between(20, 30)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), $"p_partkey" === $"l_partkey")
+        .filter(branch1 || branch2 || branch3)
+        .agg(round(sum(rev), 2).cast("double").as("revenue"))
+    },
+
+    // TPC-H Q20 shape: potential-excess suppliers — a nested semi-join
+    // chain (supplier ⋉ (lineitem ⋈ part aggregated with HAVING)). The part
+    // filter broadcasts into the fact scan; the quantity threshold applies
+    // on the pre-aggregated supplier totals; the outer IN plans as a
+    // left-semi join. (No partsupp availqty in the testdata — the absolute
+    // shipped-quantity threshold stands in.)
+    sql("q_excess_suppliers",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 400)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val heavy = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).filter($"p_name".contains("red"))),
+          $"p_partkey" === $"l_partkey")
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_quantity").as("qty"))
+        .filter($"qty" > 400)
+        .select($"l_suppkey")
+      Tables.supplier(s, d)
+        .join(heavy, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    },
+
     // Left-semi join (EXISTS).
     sql("q_semi_join",
       """SELECT c_custkey, c_name FROM customer
