@@ -92,4 +92,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"no DPP subquery in fact scan:\n$plan")
   }
+
+  test("Q6 scan shape: all three predicates pushed, single codegen stage, no join") {
+    val q = graft.SparkEntry.queries("q_forecast_revenue")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the plan printer truncates long PushedFilters lists — assert on the
+    // leading pushed entries plus the full residual Filter condition
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"Q6 predicates not pushed:\n$plan")
+    assert(plan.contains("l_quantity#") && plan.contains("< 24.0"),
+      s"quantity predicate missing from the scan stage:\n$plan")
+    assert(!plan.contains("Join"), s"Q6 must be a joinless scan:\n$plan")
+  }
+
+  test("Q19 disjunction: part slices pushed into the broadcast dim, residual on join") {
+    val q = graft.SparkEntry.queries("q_discounted_revenue")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$plan")
+    // the p_brand IN (…) disjunct union must reach the part scan as a
+    // pushed Or/In filter rather than riding the join as a full residual
+    assert(plan.contains("EqualTo(p_brand"),
+      s"brand disjunction not pushed to part scan:\n$plan")
+  }
+
+  test("Q20 nested semi-join chain plans the outer IN as a semi join") {
+    val q = graft.SparkEntry.queries("q_excess_suppliers")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"outer IN not planned as semi join:\n$plan")
+  }
 }
