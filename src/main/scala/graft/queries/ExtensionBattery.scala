@@ -627,6 +627,26 @@ object ExtensionBattery {
         .orderBy($"status_a", $"status_b")
     },
 
+    // Edit-distance similarity join (Ed-Join shape): rarest-gram prefix
+    // filter → length filter → exact levenshtein verify, never the all-pairs
+    // product. The quadratic DuckDB theta join IS the oracle (bounded to
+    // doc_id < 300 so the oracle side stays tractable); fixture texts are
+    // ≥ 48 chars ≥ (k+1)·q = 33, inside the operator's completeness bound.
+    sql("q_edit_join",
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE abs(len(a.text) - len(b.text)) <= 10
+        |  AND levenshtein(a.text, b.text) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.ext.EditJoin.join(
+          Tables.documents(s, d).filter($"doc_id" < 300), "doc_id", "text", maxDist = 10)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"dist")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
     // key = u^(1/w) with u a deterministic md5-derived uniform, take the
     // top-k keys — the quality-weighted doc selection pass, fully oracled

@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EditJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic base strings + planted small edits
+  private def fixture = {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh"
+    val bases = (0 until 20).map(_ =>
+      (0 until 60).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = bases.zipWithIndex.flatMap { case (s, i) =>
+      val edited = s.updated(rnd.nextInt(s.length), 'z') // 1 substitution
+      val far = s.reverse // unrelated shape
+      Seq((i * 3L, s), (i * 3L + 1, edited), (i * 3L + 2, far))
+    }
+    rows.toDF("id", "s")
+  }
+
+  private def brute(maxDist: Int) = {
+    val df = fixture
+    val a = df.toDF("id_a", "s_a")
+    val b = df.toDF("id_b", "s_b")
+    a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", levenshtein($"s_a", $"s_b").as("dist"))
+      .filter($"dist" <= maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("matches brute force exactly at maxDist 2 (strings ≥ (k+1)·q)") {
+    val got = EditJoin.join(fixture, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = brute(2)
+    assert(expect.nonEmpty, "fixture must plant at least one close pair")
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("distance values are exact and bounded by maxDist") {
+    val rows = EditJoin.join(fixture, "id", "s", maxDist = 4).collect()
+    assert(rows.forall(_.getInt(2) <= 4))
+    // each planted single-substitution pair appears with dist exactly 1
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 3 == 0)
+    assert(planted.nonEmpty && planted.forall(_.getInt(2) == 1))
+  }
+}
