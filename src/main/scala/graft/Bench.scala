@@ -50,7 +50,8 @@ object Bench {
       "q_range_join", "q_dedup_exact", "q_minhash_neardup",
       "q_simhash_neardup", "q_cosine_topk", "q_cosine_topk_ivf",
       "q_cosine_topk_ivf_indexed", "q_cosine_neardup_lsh", "q_lang_id", "q_token_count",
-      "q_ddb_unwrap", "q_load_verification")
+      "q_ddb_unwrap", "q_load_verification", "q_theta_overlap", "q_freq_topk",
+      "q_edit_join")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -56,9 +56,11 @@ object EditJoin {
       .groupBy("id", "gram").count().drop("count") // distinct (id, gram)
 
     // one global rarity order: gram frequency asc, gram asc (total order so
-    // both sides of a pair rank identically)
-    val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    val ranked = grams.join(freq, "gram")
+    // both sides of a pair rank identically). Frequency via count-over-
+    // window instead of aggregate + rejoin: one shuffle on gram, one on id,
+    // instead of three.
+    val ranked = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))))
       .filter(col("rn") <= prefixLen)
