@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * observability for the cost-hardening contract: real dup graphs
+    * (pairs/triples) converge in 1-2 rounds, and pointer jumping bounds
+    * chains at O(log diameter), so a high round count flags a pathological
+    * graph before it becomes a runaway bench entry. */
+  @volatile var lastRounds: Int = 0
+
   /** edges: two long-typed columns (src, dst), undirected (either
     * orientation). Returns (id, component): every node that appears in an
     * edge, labeled with the smallest node id in its component. */
@@ -75,6 +82,7 @@ object Components {
       changed = stepped.filter(col("label") =!= col("old_label")).count()
       labels = stepped.select("id", "label")
       i += 1
+      lastRounds = i
     }
     if (changed > 0)
       throw new IllegalStateException(

@@ -20,19 +20,25 @@ import org.apache.spark.sql.functions._
   *  3. exact verify: Spark's codegen'd `levenshtein` on the deduped
   *     candidate pairs.
   *
-  * At 100 TB: gram frequencies are one aggregate over the corpus (re-usable
-  * as a broadcast/bucketed table), the prefix join shuffles ids+grams only,
+  * At 100 TB: gram frequencies are one aggregate over the corpus (partial
+  * aggregation reduces per-key BEFORE the exchange, so a hot gram like
+  * "the" never concentrates its posting list in one task; re-usable as a
+  * broadcast/bucketed table), the prefix join shuffles ids+grams only,
   * and the verify touches candidate pairs — linear-ish for realistic
   * near-dup densities. Same candidates-then-verify discipline as
   * [[SetSimJoin]] / [[MinHash]].
   *
-  * COMPLETENESS precondition: a pair is guaranteed to share a q-gram only
-  * when both strings have more than maxDist·q grams, i.e. length ≥
-  * (maxDist+1)·q. Shorter strings keep their full gram set as the prefix
-  * (the rn ≤ prefixLen cut never drops below the whole set), but two tiny
-  * strings with zero common grams (e.g. "aaa" vs "bbb" at maxDist 10) are
-  * legitimately unreachable by any gram join — route sub-(maxDist+1)·q
-  * strings through a direct short-bucket pass if they matter.
+  * COMPLETENESS: the q-gram pigeonhole guarantee (one edit destroys ≤ q
+  * grams, so strings within maxDist share a rarest-prefix gram) needs both
+  * strings to carry > maxDist·q grams, i.e. length ≥ (maxDist+1)·q. Pairs
+  * where either side is shorter go through a SECOND, direct pass: every
+  * string shorter than (maxDist+1)·q + maxDist (a short string's partner
+  * can exceed it by at most maxDist chars) is length-bucketed with bucket
+  * width maxDist+1; each string lands in its own bucket and probes every
+  * bucket overlapping [len−maxDist, len+maxDist] (≤ 3 buckets), so every
+  * |Δlen| ≤ maxDist pair meets without a cross join. Candidates from both
+  * passes are unioned, deduped, and levenshtein-verified together, making
+  * the operator exact for ALL string lengths.
   */
 object EditJoin {
 
@@ -56,21 +62,41 @@ object EditJoin {
       .groupBy("id", "gram").count().drop("count") // distinct (id, gram)
 
     // one global rarity order: gram frequency asc, gram asc (total order so
-    // both sides of a pair rank identically). Frequency via count-over-
-    // window instead of aggregate + rejoin: one shuffle on gram, one on id,
-    // instead of three.
-    val ranked = grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // both sides of a pair rank identically). Frequency via aggregate +
+    // rejoin, NOT count-over-window: partial aggregation collapses each
+    // gram's count map-side, so a stop-word-frequency gram costs one long
+    // per partition instead of materializing its whole posting list in a
+    // single window partition; the rejoin on gram is AQE-skew-splittable.
+    val gramFreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val ranked = grams.join(gramFreq, "gram")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))))
       .filter(col("rn") <= prefixLen)
       .select(col("id"), col("gram"))
 
-    val cand = ranked.toDF("id_a", "gram")
+    val gramCand = ranked.toDF("id_a", "gram")
       .join(ranked.toDF("id_b", "gram"), "gram")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+
+    // Direct pass for strings below the pigeonhole bound: bucket width
+    // maxDist+1; own-bucket ⋈ probed-buckets covers every |Δlen| ≤ maxDist
+    // pair among strings short enough to pair with a sub-bound string.
+    val shortMax = (maxDist + 1) * q + maxDist
+    val shorts = base.filter(length(col("s")) < shortMax)
+      .select(col("id"), length(col("s")).as("len"))
+    val w = maxDist + 1
+    val ownBucket = shorts.select(col("id").as("id_a"),
+      floor(col("len") / w).as("bk"))
+    val probed = shorts.select(col("id").as("id_b"),
+      explode(sequence(
+        floor((col("len") - maxDist) / w),
+        floor((col("len") + maxDist) / w))).as("bk"))
+    val shortCand = ownBucket.join(probed, "bk")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+
+    val cand = gramCand.union(shortCand).distinct()
 
     cand
       .join(base.toDF("id_a", "s_a"), "id_a")

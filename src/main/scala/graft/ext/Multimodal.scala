@@ -108,6 +108,54 @@ object Multimodal {
       (0, 0, if (n > 0) sum / n else 0.0, hist)
     }
 
+    /** Encode a sequence of solid-gray frames as a real multi-frame
+      * (animated) GIF via the JDK's gif `ImageWriter` sequence API — the
+      * deterministic container behind [[withGifColumn]]. A solid-gray frame
+      * is a single palette entry, so the lossy-looking palette quantization
+      * is exact here and decode returns each frame's gray verbatim. */
+    def syntheticGif(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        grays.foreach { gray =>
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = math.max(0, math.min(255, gray))
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally {
+        ios.close()
+        writer.dispose()
+      }
+      out.toByteArray
+    }
+
+    /** Mean luminance of one decoded frame ((r+g+b)/3 per pixel). */
+    def meanLuminance(img: BufferedImage): Double = {
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+      sum / (img.getWidth.toLong * img.getHeight)
+    }
+
     /** Encode a solid-gray w×h image as real PNG bytes — the deterministic
       * image generator behind [[withImageColumn]] and the decode fixtures.
       * PNG is lossless, so decode returns exactly (w, h, gray). */
@@ -200,6 +248,59 @@ object Multimodal {
               ImageIO.write(dst, "png", out)
               ResizedMedia(r.doc_id, r.mime, nw, nh, out.toByteArray)
             }
+          }
+        }
+      }
+  }
+
+  /** Attach a REAL multi-frame container: one tiny animated GIF per
+    * document, every property closed-form in doc_id — frame count
+    * 1 + id % 6, dims (8 + id % 8) × (6 + id % 5), frame i's gray
+    * (id·7 + i·31) % 256 — so a full demux round-trip is oracle-checkable
+    * per frame. Encoding runs executor-side per partition. */
+  def withGifColumn(documents: DataFrame): DataFrame = {
+    val gif = udf((id: Long) => Codec.syntheticGif(
+      (8 + id % 8).toInt, (6 + id % 5).toInt,
+      (0 until (1 + id % 6).toInt).map(i => ((id * 7 + i * 31) % 256).toInt)))
+    documents.select(
+      col("doc_id"),
+      gif(col("doc_id")).as("media"),
+      lit("image/gif").as("mime"))
+  }
+
+  final case class GifFrame(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, mean_lum: Double)
+
+  /** REAL frame demux for GIF containers: the JDK gif `ImageReader` walks
+    * the image sequence (`getNumImages`), decodes every `stride`-th frame up
+    * to `maxFrames`, and emits true per-frame dimensions + pixel luminance.
+    * Same dataflow contract as [[sampleFrames]] — flatMap inside
+    * mapPartitions, bounded per-doc fan-out, binary never shuffled — but
+    * with a real codec end-to-end, which is what makes it hash-oracle-able
+    * against the closed forms of [[withGifColumn]]. */
+  def demuxGifFrames(
+      media: DataFrame,
+      stride: Int = 2,
+      maxFrames: Int = 4): Dataset[GifFrame] = {
+    implicit val enc = Encoders.product[GifFrame]
+    media.select("doc_id", "media", "mime").as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.filter(r => r.media != null && Codec.isImage(r.media) &&
+            r.media(0) == 'G').flatMap { r =>
+          val reader = ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.media))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).take(maxFrames).zipWithIndex.map {
+              case (orig, j) =>
+                val img = reader.read(orig)
+                GifFrame(r.doc_id, j, img.getWidth, img.getHeight,
+                  Codec.meanLuminance(img))
+            }
+          } finally {
+            iis.close()
+            reader.dispose()
           }
         }
       }

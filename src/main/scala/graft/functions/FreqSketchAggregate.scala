@@ -84,4 +84,16 @@ object FreqSketch {
     * never overflowed — estimates are exact in that regime). */
   def maxError(bytes: Array[Byte]): Long =
     LongsSketch.getInstance(Memory.wrap(bytes)).getMaximumError
+
+  /** [[frequentItems]] with an exact-regime GUARD: estimates are exact
+    * counts only while maxError == 0 (the bounded map never purged). Hash-
+    * oracled queries use this so a scale-factor bump fails loudly instead
+    * of silently flipping approximate and hash-mismatching the oracle. */
+  def frequentItemsExact(bytes: Array[Byte]): Seq[(Long, Long, Long, Long)] = {
+    val err = maxError(bytes)
+    require(err == 0,
+      s"frequent-items sketch left the exact regime (maxError=$err); raise " +
+      "maxMapSize above the distinct-item count or use frequentItems()")
+    frequentItems(bytes)
+  }
 }

@@ -101,6 +101,21 @@ object KllSketch {
     ranks.map(sk.getQuantile)
   }
 
+  /** Quantiles with an exact-regime GUARD: while the sketch has never
+    * compacted (all n values retained, n ≤ k) its quantiles are exact order
+    * statistics, `percentile_disc` semantics — hash-oracle-able. Past that
+    * regime this THROWS instead of silently returning approximations that
+    * would fail a value-hash oracle non-obviously (e.g. after a scale-factor
+    * bump). Use [[quantiles]] for the approximate path. */
+  def exactQuantiles(bytes: Array[Byte], ranks: Array[Double]): Array[Double] = {
+    val sk = wrap(bytes)
+    require(sk.getNumRetained == sk.getN,
+      s"KLL sketch left the exact regime (n=${sk.getN}, retained=" +
+      s"${sk.getNumRetained}); raise k above the group size or use the " +
+      "approximate quantiles() path")
+    ranks.map(sk.getQuantile)
+  }
+
   /** The sketch's guaranteed normalized rank error (one-sided). */
   def rankError(bytes: Array[Byte]): Double =
     wrap(bytes).getNormalizedRankError(false)

@@ -43,15 +43,32 @@ case class ThetaSketchAggregate(
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
 
+  // Hashing contract (cross-type intersections depend on it): all integral
+  // types — and decimals that are exact whole numbers within long range —
+  // hash via update(Long), so an Int column and a Decimal(10,2) column
+  // holding the same ids intersect correctly; Float widens to Double.
+  // Unknown types THROW instead of falling back to toString, which would
+  // silently hash to a disjoint key space and make every cross-type
+  // intersection estimate ~0.
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
     if (v != null) v match {
       case s: UTF8String => buf.update(s.toString)
       case l: java.lang.Long => buf.update(l.longValue())
       case i: java.lang.Integer => buf.update(i.longValue())
+      case sh: java.lang.Short => buf.update(sh.longValue())
+      case by: java.lang.Byte => buf.update(by.longValue())
       case d: java.lang.Double => buf.update(d.doubleValue())
+      case f: java.lang.Float => buf.update(f.doubleValue())
+      case dec: Decimal =>
+        val bd = dec.toJavaBigDecimal.stripTrailingZeros()
+        if (bd.scale <= 0 && bd.precision() - bd.scale <= 18)
+          buf.update(bd.longValueExact())
+        else buf.update(bd.doubleValue())
       case b: Array[Byte] => buf.update(b)
-      case other => buf.update(other.toString)
+      case other => throw new UnsupportedOperationException(
+        s"theta_sketch: unhashable input type ${other.getClass.getName}; " +
+        "supported: string, integral, float/double, decimal, binary")
     }
     buf
   }
@@ -120,6 +137,28 @@ object ThetaSketch {
   /** Estimated |A \ B|. */
   def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Double =
     SetOperation.builder().buildANotB().aNotB(wrap(a), wrap(b)).getEstimate
+
+  /** GUARD for hash-oracled queries: theta sketches are exact (estimate ==
+    * true distinct count) only while theta == 1, i.e. under 2^lgK distinct
+    * values seen. Queries whose oracle compares exact values must call this
+    * on every input sketch so a scale-factor bump fails LOUDLY here instead
+    * of as a non-obvious hash mismatch downstream. */
+  def requireExact(bytes: Array[Byte]): Array[Byte] = {
+    val sk = wrap(bytes)
+    require(!sk.isEstimationMode,
+      s"theta sketch left the exact regime (theta=${sk.getTheta}, retained=" +
+      s"${sk.getRetainedEntries}); raise lgK or use the estimate path")
+    bytes
+  }
+
+  /** Exact-regime |A ∩ B| — [[requireExact]] on both inputs, then the
+    * intersection (which is itself exact when both inputs are). */
+  def exactIntersection(a: Array[Byte], b: Array[Byte]): Double =
+    intersectionEstimate(requireExact(a), requireExact(b))
+
+  /** Exact-regime |A \ B|. */
+  def exactANotB(a: Array[Byte], b: Array[Byte]): Double =
+    aNotBEstimate(requireExact(a), requireExact(b))
 
   /** Estimated |A ∪ B|. */
   def unionEstimate(a: Array[Byte], b: Array[Byte], lgK: Int = 14): Double = {

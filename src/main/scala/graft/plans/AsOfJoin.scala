@@ -172,6 +172,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.eval().asInstanceOf[Number].intValue()
   }
 
+  // Every SQL builder validates arity BEFORE indexing exprs: a call like
+  // `top_k(v)` must fail with the standard WRONG_NUM_ARGS AnalysisException
+  // (function name + accepted counts), not an IndexOutOfBoundsException.
+  private def arity(fn: String, exprs: Seq[Expression], accepted: Int*): Unit =
+    if (!accepted.contains(exprs.length))
+      SqlBridge.wrongNumArgs(fn, accepted, exprs.length)
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
@@ -179,39 +186,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
         "cosine_similarity"),
-      (exprs: Seq[Expression]) => graft.functions.CosineSimilarity(
-        Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))))
+      (exprs: Seq[Expression]) => {
+        arity("cosine_similarity", exprs, 2)
+        graft.functions.CosineSimilarity(
+          Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))
+      }))
 
     e.injectFunction((FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[graft.functions.TopKAggregate].getName, "top_k"),
-      (exprs: Seq[Expression]) => graft.functions.TopKAggregate(
-        Cast(exprs(0), DoubleType), Cast(exprs(1), LongType),
-        litInt(exprs(2), "top_k k"))))
+      (exprs: Seq[Expression]) => {
+        arity("top_k", exprs, 3)
+        graft.functions.TopKAggregate(
+          Cast(exprs(0), DoubleType), Cast(exprs(1), LongType),
+          litInt(exprs(2), "top_k k"))
+      }))
 
     e.injectFunction((FunctionIdentifier("theta_sketch"),
       new ExpressionInfo(classOf[graft.functions.ThetaSketchAggregate].getName,
         "theta_sketch"),
-      (exprs: Seq[Expression]) => graft.functions.ThetaSketchAggregate(
-        exprs.head,
-        if (exprs.size > 1) litInt(exprs(1), "theta_sketch lgK") else 14)))
+      (exprs: Seq[Expression]) => {
+        arity("theta_sketch", exprs, 1, 2)
+        graft.functions.ThetaSketchAggregate(
+          exprs.head,
+          if (exprs.size > 1) litInt(exprs(1), "theta_sketch lgK") else 14)
+      }))
 
     e.injectFunction((FunctionIdentifier("theta_estimate"),
       new ExpressionInfo(classOf[graft.functions.ThetaEstimate].getName,
         "theta_estimate"),
-      (exprs: Seq[Expression]) => graft.functions.ThetaEstimate(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("theta_estimate", exprs, 1)
+        graft.functions.ThetaEstimate(exprs.head)
+      }))
 
     e.injectFunction((FunctionIdentifier("kll_sketch"),
       new ExpressionInfo(classOf[graft.functions.KllSketchAggregate].getName,
         "kll_sketch"),
-      (exprs: Seq[Expression]) => graft.functions.KllSketchAggregate(
-        Cast(exprs.head, DoubleType),
-        if (exprs.size > 1) litInt(exprs(1), "kll_sketch k") else 200)))
+      (exprs: Seq[Expression]) => {
+        arity("kll_sketch", exprs, 1, 2)
+        graft.functions.KllSketchAggregate(
+          Cast(exprs.head, DoubleType),
+          if (exprs.size > 1) litInt(exprs(1), "kll_sketch k") else 200)
+      }))
 
     e.injectFunction((FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName,
         "kll_quantile"),
-      (exprs: Seq[Expression]) => graft.functions.KllQuantile(
-        exprs(0), Cast(exprs(1), DoubleType))))
+      (exprs: Seq[Expression]) => {
+        arity("kll_quantile", exprs, 2)
+        graft.functions.KllQuantile(
+          exprs(0), Cast(exprs(1), DoubleType))
+      }))
   }
 }
 

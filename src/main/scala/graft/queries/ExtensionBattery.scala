@@ -613,11 +613,16 @@ object ExtensionBattery {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       import s.implicits._
       import graft.functions.ThetaSketch
+      // lgK=16: exact until 65k distinct customers per status (~sf0.45) —
+      // thick headroom over the default 14's 16k (~sf0.11), at 512KB/group
       val sk = Tables.orders(s, d)
         .groupBy($"o_orderstatus".as("status"))
-        .agg(ThetaSketch.theta_sketch_agg($"o_custkey").as("sk"))
+        .agg(ThetaSketch.theta_sketch_agg($"o_custkey", lgK = 16).as("sk"))
+      // exactIntersection GUARDS the exact-regime precondition (theta == 1
+      // on both inputs): a scale bump past 2^lgK distinct customers fails
+      // loudly here, never as a silent oracle hash mismatch.
       val ix = udf((x: Array[Byte], y: Array[Byte]) =>
-        ThetaSketch.intersectionEstimate(x, y))
+        ThetaSketch.exactIntersection(x, y))
       // pairs side is |statuses|² rows of KB sketches — broadcast-trivial
       sk.toDF("status_a", "sk_a")
         .crossJoin(broadcast(sk.toDF("status_b", "sk_b")))
@@ -686,11 +691,14 @@ object ExtensionBattery {
       import s.implicits._
       import graft.functions.ThetaSketch
       val docs = Tables.documents(s, d)
-      val corpus = docs.agg(ThetaSketch.theta_sketch_agg($"text").as("sk_corpus"))
+      // lgK=16: exact until 65k distinct texts (sf1-scale corpus headroom)
+      val corpus = docs.agg(ThetaSketch.theta_sketch_agg($"text", lgK = 16).as("sk_corpus"))
       val eval_ = docs.filter($"doc_id" < 10)
-        .agg(ThetaSketch.theta_sketch_agg($"text").as("sk_eval"))
+        .agg(ThetaSketch.theta_sketch_agg($"text", lgK = 16).as("sk_eval"))
+      // guarded exact-regime A\B — same loud-failure contract as
+      // q_theta_overlap's exactIntersection
       val anb = udf((a: Array[Byte], b: Array[Byte]) =>
-        ThetaSketch.aNotBEstimate(a, b))
+        ThetaSketch.exactANotB(a, b))
       corpus.crossJoin(broadcast(eval_))
         .select(anb($"sk_corpus", $"sk_eval").as("est_clean_docs"))
     },
@@ -708,9 +716,14 @@ object ExtensionBattery {
         |ORDER BY est_count DESC, suppkey LIMIT 10""".stripMargin) { (s, d) =>
       import s.implicits._
       import graft.functions.FreqSketch
-      val items = udf((b: Array[Byte]) => FreqSketch.frequentItems(b))
+      // frequentItemsExact GUARDS maxError == 0 (map never purged): estimates
+      // are exact counts or the query fails loudly — never a silent flip to
+      // approximate under a scale bump.
+      val items = udf((b: Array[Byte]) => FreqSketch.frequentItemsExact(b))
+      // maxMapSize 32768: exact (maxError 0) until ~24k distinct suppliers
+      // (~sf2.4) vs 4096's ~3k (~sf0.3) — 512KB per partial, still sketch-tier
       Tables.lineitem(s, d)
-        .agg(FreqSketch.freq_sketch_agg($"l_suppkey", 4096).as("sk"))
+        .agg(FreqSketch.freq_sketch_agg($"l_suppkey", 32768).as("sk"))
         .select(explode(items($"sk")).as("r"))
         .select($"r._1".as("suppkey"), $"r._2".as("est_count"))
         .orderBy($"est_count".desc, $"suppkey")
@@ -719,23 +732,33 @@ object ExtensionBattery {
 
     // KLL quantile sketches: mergeable percentiles with a proven rank-error
     // bound — exact percentile() sorts every group's values through the
-    // shuffle; the sketch ships O(k log n) doubles per partial. Estimates
-    // are sketch-internal (rows-only); accuracy vs exact percentiles is
-    // pinned within the formal error bound in KllSketchSpec.
-    rowsOnly("q_kll_quantiles") { (s, d) =>
+    // shuffle; the sketch ships O(k) doubles per partial. FULLY ORACLED in
+    // the exact regime: per (returnflag, ship-month) group sizes are ~240
+    // at sf0.01 and ~28k at sf1, all under k=65535, so the sketch never
+    // compacts and its INCLUSIVE quantiles ARE percentile_disc order
+    // statistics; exactQuantiles GUARDS that precondition (throws past it —
+    // no silent flip to approximate under a scale bump). The approximate
+    // regime's rank-error bound stays pinned in KllSketchSpec.
+    sql("q_kll_quantiles",
+      """SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25_est,
+        |  round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_est,
+        |  round(percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_est
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       import s.implicits._
       import graft.functions.KllSketch
       val qs = udf((b: Array[Byte]) =>
-        KllSketch.quantiles(b, Array(0.25, 0.5, 0.9)))
+        KllSketch.exactQuantiles(b, Array(0.25, 0.5, 0.9)))
       Tables.lineitem(s, d)
-        .groupBy($"l_returnflag")
-        .agg(KllSketch.kll_sketch_agg($"l_extendedprice").as("sk"))
-        .select($"l_returnflag", qs($"sk").as("q"))
-        .select($"l_returnflag",
+        .groupBy($"l_returnflag",
+          date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+        .agg(KllSketch.kll_sketch_agg($"l_extendedprice", 65535).as("sk"))
+        .select($"l_returnflag", $"ship_month", qs($"sk").as("q"))
+        .select($"l_returnflag", $"ship_month",
           round($"q"(0), 4).as("p25_est"),
           round($"q"(1), 4).as("p50_est"),
           round($"q"(2), 4).as("p90_est"))
-        .orderBy($"l_returnflag")
+        .orderBy($"l_returnflag", $"ship_month")
     },
 
     // Int8-quantized brute-force top-k: 4× smaller vectors, integer dot
@@ -814,6 +837,29 @@ object ExtensionBattery {
       Multimodal.sampleFrames(Multimodal.withMediaColumn(Tables.documents(s, d)))
         .toDF()
         .select($"doc_id", $"frame_idx", length($"frame").as("frame_bytes"))
+        .orderBy($"doc_id", $"frame_idx")
+    },
+
+    // REAL multi-frame demux, fully oracled (q_image_decode pattern, one
+    // level up: container → frames): each doc gets a tiny animated GIF with
+    // frame count, dims, and per-frame gray all closed-form in doc_id;
+    // executor-side ImageIO demuxes the sequence and decodes every sampled
+    // frame (stride 2), and the oracle checks count, dims, and luminance
+    // against the closed forms — pixel-exact proof the demux is a real
+    // codec walk, not a chunker.
+    sql("q_gif_frames",
+      """SELECT d.doc_id, CAST(s.j AS INT) AS frame_idx,
+        |  CAST(8 + d.doc_id % 8 AS INT) AS width,
+        |  CAST(6 + d.doc_id % 5 AS INT) AS height,
+        |  round(CAST((d.doc_id * 7 + s.j * 62) % 256 AS DOUBLE), 2) AS mean_lum
+        |FROM documents d, range(4) s(j)
+        |WHERE s.j * 2 < 1 + d.doc_id % 6
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Multimodal.demuxGifFrames(Multimodal.withGifColumn(Tables.documents(s, d)))
+        .toDF()
+        .select($"doc_id", $"frame_idx", $"width", $"height",
+          round($"mean_lum", 2).as("mean_lum"))
         .orderBy($"doc_id", $"frame_idx")
     },
 

@@ -20,4 +20,11 @@ object SqlBridge {
 
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Standard WRONG_NUM_ARGS AnalysisException, as built-in functions raise
+    * it — callers get a clean analysis error instead of an
+    * IndexOutOfBoundsException from `exprs(i)`. */
+  def wrongNumArgs(fn: String, expected: Seq[Any], actual: Int): Nothing =
+    throw org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(fn, expected, actual)
 }

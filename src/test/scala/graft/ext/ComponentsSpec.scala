@@ -36,6 +36,15 @@ class ComponentsSpec extends SparkSpec {
     val got = Components.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n && got.values.toSet == Set(1L))
+    assert(Components.lastRounds <= 17,
+      s"expected O(log n) convergence, took ${Components.lastRounds} rounds")
+  }
+
+  test("round count is recorded and small for typical dup-pair graphs") {
+    val edges = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    Components.connectedComponents(edges).collect()
+    assert(Components.lastRounds >= 1 && Components.lastRounds <= 2,
+      s"pair clusters must converge immediately, took ${Components.lastRounds}")
   }
 
   test("self-loops and duplicate/reversed edges are harmless") {

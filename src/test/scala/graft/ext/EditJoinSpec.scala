@@ -45,4 +45,38 @@ class EditJoinSpec extends SparkSpec {
     val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 3 == 0)
     assert(planted.nonEmpty && planted.forall(_.getInt(2) == 1))
   }
+
+  test("short strings below the pigeonhole bound are not silently dropped") {
+    // maxDist=10, q=3 ⇒ guarantee needs length ≥ 33. These are all shorter,
+    // and several pairs share ZERO q-grams (e.g. "aaaaaa" vs "bbbbbb"), so a
+    // gram-prefix join alone can never emit them — brute force is the law.
+    val df = Seq(
+      (1L, "aaaaaa"), (2L, "bbbbbb"), (3L, "aaaab"), (4L, ""),
+      (5L, "zzzz"), (6L, "kitten"), (7L, "sitting"), (8L, "x"),
+      (9L, "abcdefghijklmnop"), (10L, "abcdefghijklmnoq")
+    ).toDF("id", "s")
+    val maxDist = 10
+    val got = EditJoin.join(df, "id", "s", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = df.toDF("id_a", "s_a"); val b = df.toDF("id_b", "s_b")
+    val expect = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", levenshtein($"s_a", $"s_b").as("dist"))
+      .filter($"dist" <= maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expect.exists { case (x, y, _) => Set(x, y) == Set(1L, 2L) },
+      "fixture must contain a zero-shared-gram pair the gram join misses")
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("no Window is partitioned by the gram column (skew audit)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = EditJoin.join(fixture, "id", "s", maxDist = 2)
+      .queryExecution.optimizedPlan
+    val gramWindows = plan.collect {
+      case w: LWindow if w.partitionSpec.exists(_.references.exists(
+        _.name.toLowerCase == "gram")) => w
+    }
+    assert(gramWindows.isEmpty,
+      "gram-frequency must come from groupBy+rejoin, not a Window over gram")
+  }
 }

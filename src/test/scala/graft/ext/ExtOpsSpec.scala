@@ -322,4 +322,28 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame.length == 64))
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
   }
+
+  test("gif demux: real multi-frame decode matches closed forms per frame") {
+    // doc 5: 6 frames (1 + 5 % 6), 13×6, grays (35 + 31i) % 256;
+    // doc 2: 3 frames, 10×8, grays (14 + 31i) % 256
+    val docs = Seq((5L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val got = Multimodal.demuxGifFrames(Multimodal.withGifColumn(docs))
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    // stride 2 over 6 frames → sampled original indices 0, 2, 4
+    assert(got.keySet == Set((5L, 0), (5L, 1), (5L, 2), (2L, 0), (2L, 1)))
+    val f51 = got((5L, 1)) // original frame 2
+    assert(f51.width == 13 && f51.height == 6)
+    assert(f51.mean_lum == ((5 * 7 + 2 * 31) % 256).toDouble)
+    val f21 = got((2L, 1)) // original frame 2 of doc 2
+    assert(f21.width == 10 && f21.height == 8)
+    assert(f21.mean_lum == ((2 * 7 + 2 * 31) % 256).toDouble)
+  }
+
+  test("gif demux skips non-gif payloads and a single-frame gif yields one row") {
+    val docs = Seq((6L, "z")).toDF("doc_id", "text") // 1 + 6 % 6 = 1 frame
+    val one = Multimodal.demuxGifFrames(Multimodal.withGifColumn(docs)).collect()
+    assert(one.length == 1 && one.head.frame_idx == 0)
+    val none = Multimodal.demuxGifFrames(Multimodal.withMediaColumn(docs)).collect()
+    assert(none.isEmpty) // text bytes are not a GIF container
+  }
 }

@@ -38,6 +38,28 @@ class ThetaSketchSpec extends SparkSpec {
     assert(math.abs(e16 - n) / n < 0.05, s"estimate $e16 off $n by >5%")
   }
 
+  test("Int column vs Decimal column of the same ids intersect exactly") {
+    // pre-fix, Decimal fell through to toString hashing → intersection ~0
+    val ints = spark.range(1000).select(lit("i").as("g"), $"id".cast("int").as("v"))
+    val decs = spark.range(500, 1500).select(lit("d").as("g"),
+      $"id".cast("decimal(12,2)").as("v"))
+    def sketch(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.groupBy($"g").agg(theta_sketch_agg($"v").as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+    assert(intersectionEstimate(sketch(ints), sketch(decs)) == 500.0)
+  }
+
+  test("unhashable input type throws instead of silently toString-hashing") {
+    val df = spark.range(3).select(lit("g").as("g"), array($"id").as("v"))
+    val e = intercept[Exception] {
+      df.groupBy($"g").agg(theta_sketch_agg($"v").as("sk")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("unhashable")))
+  }
+
   test("string and long updates of equal logical sets do not collide to zero") {
     val df = spark.range(100).select(lit("g").as("g"), $"id".cast("string").as("v"))
     val bytes = df.groupBy($"g").agg(theta_sketch_agg($"v").as("sk"))

@@ -45,4 +45,16 @@ class SqlFunctionsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(rows(0L) == 334.0 && rows(1L) == 333.0 && rows(2L) == 333.0)
   }
+
+  test("wrong arity raises a clean AnalysisException, not IndexOutOfBounds") {
+    import org.apache.spark.sql.AnalysisException
+    Seq("SELECT top_k(1.0) AS t",
+        "SELECT cosine_similarity(array(1.0)) AS c",
+        "SELECT kll_quantile(x'00') AS q",
+        "SELECT theta_sketch() AS s").foreach { q =>
+      val e = intercept[AnalysisException](spark.sql(q).collect())
+      assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"),
+        s"$q -> ${e.getCondition}: ${e.getMessage}")
+    }
+  }
 }

@@ -230,6 +230,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(graft.sinks.Snapshots.read(spark, table).count() == 3) // no dup rows
   }
 
+  test("crash replay: die after table commit, before checkpoint; restart is exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-crashreplay").toString
+    val table = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q1 = StreamingOps.startSnapshotSink(
+      mem.toDF().toDF("k", "v"), table, ckpt, appId = "ingest-cr",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((1L, "a"), (2L, "b"))
+    q1.processAllAvailable()
+    mem.addData((3L, "c"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(graft.sinks.Snapshots.read(spark, table).count() == 3)
+    val versionsBefore = graft.sinks.Snapshots.versions(spark, table)
+    val txnBefore = graft.sinks.Snapshots.lastTxn(spark, table, "ingest-cr")
+    // Simulate the worst-case crash window: the table commit for the last
+    // micro-batch LANDED, but the engine died before recording batch
+    // completion — delete the newest entry of the checkpoint's commit log,
+    // which is exactly the state a real kill at that instant leaves behind.
+    val commitsDir = new java.io.File(s"$ckpt/commits")
+    val newest = commitsDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    val crc = new java.io.File(commitsDir, s".${newest.getName}.crc")
+    assert(newest.delete(), "failed to simulate the crash")
+    if (crc.exists()) crc.delete() // checksum sibling dies with its file
+    // Restart from the checkpoint: the engine REPLAYS the un-acknowledged
+    // batch through foreachBatch; the manifest txn watermark must no-op it.
+    val q2 = StreamingOps.startSnapshotSink(
+      mem.toDF().toDF("k", "v"), table, ckpt, appId = "ingest-cr",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(graft.sinks.Snapshots.read(spark, table).count() == 3,
+      "replayed batch must not append duplicate rows")
+    assert(graft.sinks.Snapshots.versions(spark, table) == versionsBefore,
+      "replayed batch must not publish a new snapshot version")
+    assert(graft.sinks.Snapshots.lastTxn(spark, table, "ingest-cr") == txnBefore)
+  }
+
   test("dedupWithinWatermark drops retry-duplicates in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Timestamp)]
