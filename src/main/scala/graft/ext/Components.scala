@@ -36,18 +36,32 @@ object Components {
 
   /** edges: two long-typed columns (src, dst), undirected (either
     * orientation). Returns (id, component): every node that appears in an
-    * edge, labeled with the smallest node id in its component. */
+    * edge, labeled with the smallest node id in its component.
+    *
+    * HYBRID execution: the symmetrized-deduped edge list is already
+    * materialized (localCheckpoint) to truncate lineage, so its count is
+    * free — when it fits `maxLocalEdges` the labels come from a driver-side
+    * union-find over that bounded edge set (one job instead of 4+ per
+    * propagation round; the same bounded-collect discipline as the ANN
+    * index builds). Past the gate — the genuine 100 TB dup-graph case —
+    * the distributed min-label propagation below takes over unchanged.
+    * Dup graphs are edges among NEAR-DUPLICATES only, orders of magnitude
+    * smaller than the corpus, so the gate is sized generously (2^21 edges
+    * ≈ 32 MB of longs) and the local path serves most real runs too. */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      maxLocalEdges: Long = 1L << 21): DataFrame = {
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+
+    if (sym.count() <= maxLocalEdges) return localComponents(sym)
 
     // seed each node with min(self, min direct neighbor) — this IS the
     // label state after a first propagation round against identity labels,
@@ -89,5 +103,45 @@ object Components {
         s"connectedComponents: not converged after $maxIters rounds " +
           s"($changed labels still moving) — raise maxIters")
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Driver-side union-find (path compression + union by rank) over a
+    * BOUNDED edge set — exact same contract as the distributed path,
+    * component = min member id. */
+  private def localComponents(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (la, lb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (la < lb) parent(ra) = rb
+        else if (la > lb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = la + 1 }
+      }
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    sym.select("src", "dst").collect().foreach { r => // bounded by the gate
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      nodes += s; nodes += d
+      union(s, d)
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
+    lastRounds = 0 // no propagation rounds ran
+    nodes.iterator.map(n => (n, minOfRoot(find(n)))).toSeq
+      .toDF("id", "component")
   }
 }

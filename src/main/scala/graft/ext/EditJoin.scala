@@ -53,13 +53,14 @@ object EditJoin {
 
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
-    // positional q-grams; strings shorter than q contribute themselves as
-    // a single gram so short strings still generate candidates
+    // q-grams; strings shorter than q contribute themselves as a single
+    // gram so short strings still generate candidates. Dedup happens
+    // INSIDE the row with array_distinct before the explode — a map-side
+    // projection instead of a corpus-wide (id, gram) shuffle.
     val grams = base.select(col("id"),
-        explode(when(length(col("s")) < q, array(col("s")))
-          .otherwise(expr(s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))")))
+        explode(array_distinct(when(length(col("s")) < q, array(col("s")))
+          .otherwise(expr(s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))"))))
           .as("gram"))
-      .groupBy("id", "gram").count().drop("count") // distinct (id, gram)
 
     // one global rarity order: gram frequency asc, gram asc (total order so
     // both sides of a pair rank identically). Frequency via aggregate +
@@ -98,12 +99,16 @@ object EditJoin {
 
     val cand = gramCand.union(shortCand).distinct()
 
+    // thresholded levenshtein: banded O(maxDist·n) with early termination
+    // (returns -1 past the bound) instead of the full O(n·m) matrix — the
+    // verify is the arithmetic hot spot, so the band is a ~len/maxDist×
+    // saving per candidate pair
     cand
       .join(base.toDF("id_a", "s_a"), "id_a")
       .join(base.toDF("id_b", "s_b"), "id_b")
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("s_a"), col("s_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 }

@@ -22,7 +22,7 @@ class ComponentsSpec extends SparkSpec {
   test("long path needs multiple propagation rounds and still converges") {
     val n = 12
     val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
-    val got = Components.connectedComponents(edges)
+    val got = Components.connectedComponents(edges, maxLocalEdges = 0) // force distributed
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n)
     assert(got.values.toSet == Set(1L)) // one component, labeled by min id
@@ -33,7 +33,7 @@ class ComponentsSpec extends SparkSpec {
     // the default maxIters = 20 is ample (≈ 2·log2(300) ≈ 17 worst case)
     val n = 300
     val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
-    val got = Components.connectedComponents(edges)
+    val got = Components.connectedComponents(edges, maxLocalEdges = 0) // force distributed
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n && got.values.toSet == Set(1L))
     assert(Components.lastRounds <= 17,
@@ -42,9 +42,24 @@ class ComponentsSpec extends SparkSpec {
 
   test("round count is recorded and small for typical dup-pair graphs") {
     val edges = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
-    Components.connectedComponents(edges).collect()
+    Components.connectedComponents(edges, maxLocalEdges = 0).collect() // distributed
     assert(Components.lastRounds >= 1 && Components.lastRounds <= 2,
       s"pair clusters must converge immediately, took ${Components.lastRounds}")
+  }
+
+  test("local union-find path (under the edge gate) matches the distributed path") {
+    val rnd = new scala.util.Random(11)
+    // random sparse graph: 120 nodes, 90 edges -> many nontrivial components
+    val edges = (0 until 90)
+      .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("src", "dst")
+    val local = Components.connectedComponents(edges) // under gate -> local
+    assert(Components.lastRounds == 0, "expected the bounded local path")
+    val dist = Components.connectedComponents(edges, maxLocalEdges = 0)
+    assert(Components.lastRounds >= 1, "expected the distributed path")
+    val lm = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dm = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == dm)
   }
 
   test("self-loops and duplicate/reversed edges are harmless") {
