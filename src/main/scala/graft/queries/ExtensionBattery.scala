@@ -426,6 +426,51 @@ object ExtensionBattery {
         .orderBy($"doc_id")
     },
 
+    // Cross-document duplicated-span signal (the exact-substring-dedup
+    // first pass of Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better"): for every token position, is the 8-gram
+    // starting there present in ≥ 2 DISTINCT documents? Per doc: how many
+    // positions, what fraction. Scale shape: explode 8-grams, per-gram
+    // distinct-doc count via groupBy (partial-aggregated, skew-safe — the
+    // same discipline as the EditJoin gram frequencies), rejoin on gram;
+    // gram keys ≈ uniform strings so the shuffle balances. The rewrite
+    // step (cutting the spans out) is a trivial map over the flagged
+    // positions; the JOIN is the 100 TB-hard part and is what's exercised.
+    sql("q_dup_ngram_spans",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:(i+7)], ' ') AS gram
+        |  FROM tok, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1)
+        |SELECT g.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_positions,
+        |  CAST(count(*) FILTER (WHERE df.n_docs >= 2) AS BIGINT) AS n_dup,
+        |  round(CAST(count(*) FILTER (WHERE df.n_docs >= 2) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM grams g JOIN df USING (gram)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .withColumn("toks", filter(split(lower($"text"), "\\s+"), w => length(w) > 0))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => array_join(slice($"toks", i, lit(8)), " "))).as("gram"))
+      val gramDocs = grams.groupBy($"gram")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+      grams.join(gramDocs, "gram")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_positions"),
+          count(when($"n_docs" >= 2, 1)).as("n_dup"))
+        .select($"doc_id", $"n_positions", $"n_dup",
+          round($"n_dup".cast("double") / $"n_positions", 6).as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+
     // Repetition quality signals (Gopher/C4-style): top-term share and
     // distinct-token ratio per doc — two algebraic aggregates over the
     // per-(doc, word) counts.
