@@ -11,10 +11,9 @@ import org.apache.spark.sql.SparkSession
   *     (every ~20 s) while a pass is still running, so the tail always
   *     holds the most recent complete measurement set;
   *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 360 s of
-  *     timed work) bounds the run: later passes start only if the previous
-  *     pass is estimated to fit, and an in-flight pass aborts cleanly at
-  *     the deadline — the running per-query minimum is still valid because
-  *     a min over any subset of completed measurements is a measurement;
+  *     timed work) bounds the run: an in-flight pass aborts cleanly at the
+  *     deadline — the running per-query minimum is still valid because a
+  *     min over any subset of completed measurements is a measurement;
   *   - the process exits 0 as long as at least the partial pass ran.
   *
   * Per-query MINIMUM across however many passes fit the budget: pass 1
@@ -66,14 +65,15 @@ object Bench {
     // Stable order so a truncated pass 1 covers a deterministic prefix.
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
     var lastEmit = 0.0
-    var lastPassDur = 0.0
     var pass = 0
     var outOfTime = false
-    while (pass < 3 && !outOfTime &&
-           // start pass 2/3 only if the previous pass is likely to fit
-           (pass == 0 || elapsed() + lastPassDur * 1.1 < budgetSec)) {
+    // Always start the next pass if budget remains: pass 1 is cold (~2-3×
+    // steady state), so predicting pass 2 from it would skip warm passes
+    // that easily fit. The per-query deadline check below aborts an
+    // in-flight pass cleanly, and a min over the measurements completed so
+    // far is still a valid measurement — so over-starting costs nothing.
+    while (pass < 3 && !outOfTime) {
       pass += 1
-      val passStart = elapsed()
       var aborted = false
       val it = queryList.iterator
       while (it.hasNext && !aborted) {
@@ -85,7 +85,6 @@ object Bench {
         if (elapsed() > budgetSec) { aborted = true; outOfTime = true }
         else if (elapsed() - lastEmit > 20.0) { emit(pass, complete = false); lastEmit = elapsed() }
       }
-      lastPassDur = elapsed() - passStart
       emit(pass, complete = !aborted)
       lastEmit = elapsed()
     }

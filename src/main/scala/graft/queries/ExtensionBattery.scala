@@ -877,7 +877,20 @@ object ExtensionBattery {
 
     // Frame sampling over the video subset: bounded per-doc fan-out through
     // the stub demuxer — rows-only.
-    rowsOnly("q_media_frames") { (s, d) =>
+    // The sampled-frame LAYOUT is closed-form in the payload size (video
+    // docs: every 4th 64-byte chunk, ≤ 8 frames), so the driver-visible
+    // projection is fully oracled; the frame bytes themselves stay
+    // engine-side (the stub demuxer boundary, see sampleFrames).
+    sql("q_media_frames",
+      """WITH v AS (
+        |  SELECT doc_id, octet_length(encode(text)) // 64 AS nchunks
+        |  FROM documents WHERE length(text) % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, CAST(r.j AS INT) AS frame_idx
+        |  FROM v, range(8) r(j)
+        |  WHERE r.j * 4 < nchunks)
+        |SELECT doc_id, frame_idx, CAST(64 AS INT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
       import s.implicits._
       Multimodal.sampleFrames(Multimodal.withMediaColumn(Tables.documents(s, d)))
         .toDF()
