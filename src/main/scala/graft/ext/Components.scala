@@ -46,14 +46,15 @@ object Components {
     * index builds). Past the gate — the genuine 100 TB dup-graph case —
     * the distributed min-label propagation below takes over unchanged.
     * Dup graphs are edges among NEAR-DUPLICATES only, orders of magnitude
-    * smaller than the corpus, so the gate is sized generously (2^21 edges
-    * ≈ 32 MB of longs) and the local path serves most real runs too. */
+    * smaller than the corpus, so the gate is sized generously (2^20 edges
+    * ≈ 125 MB of collected rows — bounded for any reasonable driver) and
+    * the local path serves most real runs too. */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIters: Int = 20,
-      maxLocalEdges: Long = 1L << 21): DataFrame = {
+      maxLocalEdges: Long = 1L << 20): DataFrame = {
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))

@@ -138,6 +138,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("edit join equals brute force on random strings straddling the pigeonhole bound") {
+    // lengths 0..20 at maxDist 3, q 3: most strings sit BELOW (k+1)·q = 12,
+    // exercising the short-bucket direct pass against the gram path
+    val strGen = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    forSamples(Gen.listOfN(14, strGen), n = 4) { strs =>
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val maxDist = 3
+      val got = EditJoin.join(df, "id", "s", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val a = df.toDF("id_a", "s_a"); val b = df.toDF("id_b", "s_b")
+      val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          org.apache.spark.sql.functions.levenshtein($"s_a", $"s_b").as("d"))
+        .filter($"d" <= maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"strings=$strs missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("ddb unwrap is total on arbitrary scalar tag maps and keeps every key") {
     val scalarGen: Gen[String] = Gen.oneOf(
       Gen.alphaNumStr.map(s => s"""{"S":"$s"}"""),
