@@ -41,6 +41,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("gram-frequency aggregates partial-aggregate before the exchange") {
+    // the skew-safety contract behind EditJoin and q_dup_ngram_spans: a hot
+    // gram ("the") must collapse map-side to one partial row per partition,
+    // never ship its whole posting list through the exchange to one task
+    val docs = Seq((1L, "a b c a b"), (2L, "b c d"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val grams = docs
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("gram"))
+    val q = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // two HashAggregates (partial below, final above) around the exchange
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2 && plan.contains("partial_count"),
+      s"expected partial+final hash aggregation around the shuffle:\n$plan")
+    // and the production plans keep that shape: no Window over a gram column
+    // battery-wide (WindowAuditSpec pins it across every registered query)
+  }
+
   test("dimension join broadcasts; no shuffle lands on the fact side scan") {
     val q = Tables.orders(spark, sf)
       .join(broadcast(Tables.customer(spark, sf)), $"o_custkey" === $"c_custkey")
