@@ -218,6 +218,51 @@ object ExtensionBattery {
         .orderBy($"query_id", $"rank")
     },
 
+    // Embedding-cosine near-dup dedup END-TO-END, fully oracled: exact
+    // cosine pairs on a bounded slice (vec_id < 300, broadcast side) →
+    // connected components → drop non-canonical members → survivors per
+    // label. The quadratic pass is the ORACLE-TRACTABLE baseline; the
+    // corpus-scale path is the LSH-bucketed q_cosine_neardup_lsh (same
+    // verify threshold), whose recall is spec-pinned against this kind of
+    // exact ground truth. Rounding before the threshold keeps the two
+    // engines' float boundaries aligned (the q_cosine_topk discipline).
+    sql("q_embed_neardup_canonical",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |           FROM embeddings WHERE vec_id < 300),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |seeds AS (SELECT src AS id FROM edges GROUP BY src HAVING min(dst) > src),
+        |reach AS (
+        |  WITH RECURSIVE r(id, anc) AS (
+        |    SELECT id, id FROM seeds
+        |    UNION
+        |    SELECT e2.dst, r.anc FROM edges e2 JOIN r ON r.id = e2.src)
+        |  SELECT id, min(anc) AS component FROM r GROUP BY id),
+        |dropped AS (SELECT id FROM reach WHERE id <> component)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM e WHERE vec_id NOT IN (SELECT id FROM dropped)
+        |GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).filter($"vec_id" < 300)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"), $"label")
+      val pairs = emb.select($"vec_id".as("id_a"), $"v".as("va"))
+        .crossJoin(broadcast(emb.select($"vec_id".as("id_b"), $"v".as("vb"))))
+        .filter($"id_a" < $"id_b")
+        .filter(round(Similarity.cosine($"va", $"vb"), 6) >= 0.3)
+        .select($"id_a", $"id_b")
+      val comp = graft.ext.Components.connectedComponents(pairs, "id_a", "id_b")
+      val dropIds = comp.filter($"id" =!= $"component")
+        .select($"id".as("vec_id"))
+      emb.join(dropIds, Seq("vec_id"), "left_anti")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy($"label")
+    },
+
     // Typed Aggregator (custom UDAF tier): per-label embedding centroid in
     // one two-phase hash aggregate — the shuffle carries one (dim+1)-double
     // buffer per (partition, label), never the vectors. Oracled on three
