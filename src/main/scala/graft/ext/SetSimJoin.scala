@@ -74,4 +74,55 @@ object SetSimJoin {
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (col("inter") / col("uni")).as("jaccard"))
   }
+
+  /** DELTA-vs-CORPUS form (R-S PPJoin): all (delta doc, corpus doc) pairs
+    * with Jaccard ≥ `threshold` — the daily-ingest dedup shape, where a
+    * small delta is checked against the standing corpus WITHOUT re-running
+    * the corpus self-join. Token rarity comes from CORPUS statistics alone
+    * (the stable side; at 100 TB that aggregate is computed once per
+    * maintenance cycle and reused across deltas). Delta tokens absent from
+    * the corpus coalesce to frequency 0 = rarest: both sides still rank
+    * under one total (frequency, token) order, so the prefix-filter
+    * guarantee holds for cross pairs; corpus-absent tokens can never match
+    * a corpus token anyway, so ranking them first only shrinks the
+    * candidate set. Output: (delta_id, corpus_id, jaccard). Exact —
+    * spec-pinned against the brute-force cross join. */
+  def joinDelta(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    def toks(df: DataFrame) = df.select(
+        col(idCol).as("sid"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val ctoks = toks(corpus)
+    val dtoks = toks(delta)
+    val tokCounts = ctoks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    def prefix(t: DataFrame) = t
+      .select(col("sid"), size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
+      .join(tokCounts, Seq("tok"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sid").orderBy(col("tf"), col("tok"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("sid", "sz", "tok")
+    val cand = prefix(dtoks).toDF("a", "sz_a", "tok")
+      .join(prefix(ctoks).toDF("b", "sz_b", "tok"), Seq("tok"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+      .select("a", "b")
+      .distinct()
+    cand
+      .join(dtoks.toDF("a", "toks_a"), "a")
+      .join(ctoks.toDF("b", "toks_b"), "b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
+      .filter(col("inter") > 0 && col("inter") / col("uni") >= threshold)
+      .select(col("a").as("delta_id"), col("b").as("corpus_id"),
+        (col("inter") / col("uni")).as("jaccard"))
+  }
 }

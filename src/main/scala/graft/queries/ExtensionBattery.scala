@@ -1018,6 +1018,32 @@ object ExtensionBattery {
         .orderBy($"doc_a")
     },
 
+    // INCREMENTAL near-dup: a small delta (doc_id 450-499) checked against
+    // the standing corpus (doc_id < 450) through the R-S prefix join —
+    // the daily-ingest dedup shape, corpus statistics reused, no corpus
+    // self-join. Fully oracled against the quadratic delta×corpus join.
+    sql("q_incremental_neardup",
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct($toksSql) AS toks
+         |  FROM documents WHERE doc_id < 500 AND len($toksSql) > 0),
+         |pairs AS (
+         |  SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+         |    len(list_intersect(d.toks, c.toks)) AS inter,
+         |    len(d.toks) + len(c.toks) - len(list_intersect(d.toks, c.toks)) AS uni
+         |  FROM tok d JOIN tok c ON d.doc_id >= 450 AND c.doc_id < 450)
+         |SELECT delta_id, corpus_id,
+         |  round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+         |FROM pairs WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.8
+         |ORDER BY delta_id, corpus_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 500)
+      graft.ext.SetSimJoin.joinDelta(
+          docs.filter($"doc_id" < 450), docs.filter($"doc_id" >= 450),
+          "doc_id", "text", 0.8)
+        .select($"delta_id", $"corpus_id", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"delta_id", $"corpus_id")
+    },
+
     // Bigram-LM perplexity scoring (CCNet-shape quality filter): train an
     // add-1 smoothed bigram model on the corpus, score each doc by mean
     // ln P(w2|w1). Fully oracled — the whole model is relational algebra.

@@ -47,6 +47,32 @@ class SetSimJoinSpec extends SparkSpec {
     assert(math.abs(out((2L, 3L)) - 0.5) < 1e-12)
   }
 
+  test("joinDelta equals the brute-force delta×corpus join, incl. corpus-absent tokens") {
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "p q r s"), (4L, "m n o")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "a b c d"),     // exact dup of 1
+      (11L, "p q r s t"),   // near 3
+      (12L, "zz yy xx"),    // all tokens absent from corpus → no pairs
+      (13L, "m n o zz")     // one corpus-absent token, still near 4
+    ).toDF("doc_id", "text")
+    Seq(0.5, 0.75, 0.8).foreach { t =>
+      val fast = SetSimJoin.joinDelta(corpus, delta, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val d = delta.toDF("delta_id", "dt"); val c = corpus.toDF("corpus_id", "ct")
+      val brute = d.crossJoin(c)
+        .select($"delta_id", $"corpus_id",
+          array_distinct(split(lower($"dt"), "\\s+")).as("ta"),
+          array_distinct(split(lower($"ct"), "\\s+")).as("tb"))
+        .withColumn("inter", size(array_intersect($"ta", $"tb")))
+        .withColumn("uni", size($"ta") + size($"tb") - $"inter")
+        .filter($"inter" > 0 && $"inter" / $"uni" >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == brute, s"threshold $t: missing=${brute -- fast} extra=${fast -- brute}")
+    }
+  }
+
   test("prefix candidate set is smaller than all pairs (the point of the filter)") {
     // 30 docs in 3 disjoint vocabularies: cross-vocabulary pairs must be
     // pruned before verification
