@@ -33,11 +33,18 @@ object Bench {
     val spark = SessionFactory.builder("graft-bench", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: one cheap scan per table primes parquet readers + classloading.
+    // Budget-checked: this host shows multi-minute windows where the
+    // hypervisor cuts the VM's CPU ~4-50x (verified: an independent
+    // single-thread spin loop collapses concurrently with Spark stalls), so
+    // even "cheap" warmup scans can eat minutes — never let them push total
+    // wall past the driver's kill window.
     Seq("lineitem", "orders", "customer", "documents", "embeddings").foreach { t =>
-      try sources.Tables.table(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      if (elapsed() < budgetSec * 0.2)
+        try sources.Tables.table(spark, sfDir, t).count()
+        catch { case _: Throwable => () }
     }
-    try sources.Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
+    if (elapsed() < budgetSec * 0.2)
+      try sources.Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -75,7 +82,14 @@ object Bench {
     while (pass < 3 && !outOfTime) {
       pass += 1
       var aborted = false
-      val it = queryList.iterator
+      // Warm passes re-measure slowest-first: the reported total is a sum of
+      // per-query minima, so when the budget truncates a warm pass the
+      // queries whose cold measurement is most inflated (one-time codegen /
+      // JIT / GC spikes) get repaired first.
+      val passOrder =
+        if (pass == 1) queryList
+        else queryList.sortBy { case (name, _) => -best.getOrElse(name, Double.MaxValue) }
+      val it = passOrder.iterator
       while (it.hasNext && !aborted) {
         val (name, fn) = it.next()
         val q0 = System.nanoTime()

@@ -5,7 +5,8 @@ package graft
 object BenchProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SessionFactory.builder("graft-probe", 8).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = SessionFactory.builder("graft-probe", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val queryList = if (args.isEmpty) all else all.filter(q => args.contains(q._1))
