@@ -504,9 +504,16 @@ object ExtensionBattery {
         .select($"doc_id", explode(
           transform(sequence(lit(1), size($"toks") - 7),
             i => array_join(slice($"toks", i, lit(8)), " "))).as("gram"))
-      val gramDocs = grams.groupBy($"gram")
+      // Only grams repeated ACROSS documents matter downstream, and they are
+      // a small fraction of all grams — filtering before the join lets AQE
+      // broadcast the dup-gram table, so the 10M-row gram stream is joined
+      // map-side and shuffles once (the countDistinct) instead of three
+      // times. A left join against the filtered table counts identically to
+      // the inner join against the unfiltered one.
+      val dupGrams = grams.groupBy($"gram")
         .agg(countDistinct($"doc_id").as("n_docs"))
-      grams.join(gramDocs, "gram")
+        .filter($"n_docs" >= 2)
+      grams.join(dupGrams, Seq("gram"), "left")
         .groupBy($"doc_id")
         .agg(
           count(lit(1)).as("n_positions"),

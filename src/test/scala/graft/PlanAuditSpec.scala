@@ -60,6 +60,18 @@ class PlanAuditSpec extends SparkSpec {
     // battery-wide (WindowAuditSpec pins it across every registered query)
   }
 
+  test("dup-gram span join broadcasts the filtered dup-gram side") {
+    // q_dup_ngram_spans filters the gram-frequency table to n_docs >= 2
+    // before joining it back to the full gram stream; the filtered side is
+    // small, so AQE must turn the join map-side (broadcast) — the full gram
+    // stream shuffles once for the countDistinct, never for the join.
+    val q = SparkEntry.queries("q_dup_ngram_spans")(spark, sf)
+    q.collect() // finalize the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dup-gram join did not broadcast:\n$plan")
+  }
+
   test("dimension join broadcasts; no shuffle lands on the fact side scan") {
     val q = Tables.orders(spark, sf)
       .join(broadcast(Tables.customer(spark, sf)), $"o_custkey" === $"c_custkey")
