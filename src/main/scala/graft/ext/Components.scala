@@ -31,7 +31,12 @@ object Components {
     * observability for the cost-hardening contract: real dup graphs
     * (pairs/triples) converge in 1-2 rounds, and pointer jumping bounds
     * chains at O(log diameter), so a high round count flags a pathological
-    * graph before it becomes a runaway bench entry. */
+    * graph before it becomes a runaway bench entry.
+    *
+    * SINGLE-THREADED-DRIVER assumption: this is process-global last-call
+    * state; concurrent connectedComponents calls interleave writes, so read
+    * it only when calls are serialized (the batch-pipeline and test shape).
+    * Concurrent callers needing the count should wrap the call site. */
   @volatile var lastRounds: Int = 0
 
   /** edges: two long-typed columns (src, dst), undirected (either
@@ -131,10 +136,13 @@ object Components {
       }
     }
     val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
-    sym.select("src", "dst").collect().foreach { r => // bounded by the gate
-      val (s, d) = (r.getLong(0), r.getLong(1))
-      nodes += s; nodes += d
-      union(s, d)
+    // bounded by the gate; primitive-typed Dataset collect — a (Long, Long)
+    // tuple is ~48 bytes vs a few hundred per boxed Row, so the gate's worst
+    // case stays tens of MB on the driver instead of 100+
+    sym.select(col("src"), col("dst")).as[(Long, Long)].collect().foreach {
+      case (s, d) =>
+        nodes += s; nodes += d
+        union(s, d)
     }
     val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
     nodes.foreach { n =>

@@ -44,13 +44,17 @@ object SetSimJoin {
     val tokCounts = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
     // rank each doc's tokens rarest-first (ties by token string — any fixed
-    // total order preserves the prefix-filter guarantee) and keep the prefix
+    // total order preserves the prefix-filter guarantee) and keep the prefix.
+    // The 1e-9 slack inside ceil mirrors the size filter below: the exact
+    // bound is ⌈t·sz⌉, but the double product can round a whole number up
+    // (t = 9/11, sz = 77 → 63.0000…01 → ceil 64), which would shorten the
+    // prefix below the completeness bound and drop an at-threshold pair.
     val prefix = toks
       .select(col("sid"), size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
       .join(tokCounts, "tok")
       .withColumn("rn", row_number().over(
         Window.partitionBy("sid").orderBy(col("tf"), col("tok"))))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select("sid", "sz", "tok")
     // LENGTH FILTER (exact, PPJoin-standard): J(a,b) ≥ t forces
     // t·max(|a|,|b|) ≤ inter ≤ min(|a|,|b|) — prune size-mismatched
@@ -108,7 +112,9 @@ object SetSimJoin {
       .withColumn("tf", coalesce(col("tf"), lit(0L)))
       .withColumn("rn", row_number().over(
         Window.partitionBy("sid").orderBy(col("tf"), col("tok"))))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      // same 1e-9 ceil slack as `join`: keep the prefix at (not below) the
+      // completeness bound when t·sz rounds above its exact integer value
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select("sid", "sz", "tok")
     val cand = prefix(dtoks).toDF("a", "sz_a", "tok")
       .join(prefix(ctoks).toDF("b", "sz_b", "tok"), Seq("tok"))

@@ -47,6 +47,9 @@ case class ThetaSketchAggregate(
   // types — and decimals that are exact whole numbers within long range —
   // hash via update(Long), so an Int column and a Decimal(10,2) column
   // holding the same ids intersect correctly; Float widens to Double.
+  // Double/Float are a SEPARATE key space from the integral one (update(5.0)
+  // and update(5L) hash differently in the sketch library) — a double column
+  // never intersects a long/decimal column even on equal whole values.
   // Unknown types THROW instead of falling back to toString, which would
   // silently hash to a disjoint key space and make every cross-type
   // intersection estimate ~0.
@@ -61,10 +64,12 @@ case class ThetaSketchAggregate(
       case d: java.lang.Double => buf.update(d.doubleValue())
       case f: java.lang.Float => buf.update(f.doubleValue())
       case dec: Decimal =>
+        // longValueExact covers EVERY long-range whole number — a digit-count
+        // pre-check undercounts (5e18 has 19 integer digits yet fits a long,
+        // and must land in the integral key space to intersect a Long column)
         val bd = dec.toJavaBigDecimal.stripTrailingZeros()
-        if (bd.scale <= 0 && bd.precision() - bd.scale <= 18)
-          buf.update(bd.longValueExact())
-        else buf.update(bd.doubleValue())
+        try buf.update(bd.longValueExact())
+        catch { case _: ArithmeticException => buf.update(bd.doubleValue()) }
       case b: Array[Byte] => buf.update(b)
       case other => throw new UnsupportedOperationException(
         s"theta_sketch: unhashable input type ${other.getClass.getName}; " +

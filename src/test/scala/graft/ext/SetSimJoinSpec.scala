@@ -73,6 +73,34 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
+  test("at-threshold pair survives double rounding of the prefix bound") {
+    // t = 9/11, |a| = 77: t·77 = 63.00000000000001 in doubles, so an
+    // unslacked ceil gives 64 and shortens a's prefix to 14 — one below the
+    // completeness bound of 15. The fixture pins the ONLY shared prefix
+    // token at rank exactly 15 of a: a's 14 rarest tokens (freq 1) are
+    // unique to a, rank 15 is the first shared token. b ⊂ a with |b| = 63,
+    // so J = 63/77 = 9/11 — exactly at threshold. Without the 1e-9 slack
+    // inside ceil (mirroring the size filter's) this pair is silently lost.
+    val uniq = (1 to 14).map(i => f"u$i%02d")
+    val shared = (1 to 63).map(i => f"c$i%02d")
+    val docs = Seq(
+      (1L, (uniq ++ shared).mkString(" ")), // 77 tokens
+      (2L, shared.mkString(" "))            // 63 tokens
+    ).toDF("doc_id", "text")
+    val t = 9.0 / 11
+    val self = SetSimJoin.join(docs, "doc_id", "text", t)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(self.contains((1L, 2L)), "at-threshold pair dropped by prefix rounding")
+    assert(math.abs(self((1L, 2L)) - 63.0 / 77) < 1e-12)
+    // same bound, delta-vs-corpus form (corpus-only frequencies: a's unique
+    // tokens coalesce to 0 = rarest, preserving the rank-15 structure)
+    val delta = SetSimJoin.joinDelta(
+        docs.filter($"doc_id" === 2L), docs.filter($"doc_id" === 1L),
+        "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == Set((1L, 2L)), "joinDelta dropped the at-threshold pair")
+  }
+
   test("prefix candidate set is smaller than all pairs (the point of the filter)") {
     // 30 docs in 3 disjoint vocabularies: cross-vocabulary pairs must be
     // pruned before verification

@@ -49,6 +49,20 @@ class ThetaSketchSpec extends SparkSpec {
     assert(intersectionEstimate(sketch(ints), sketch(decs)) == 500.0)
   }
 
+  test("long-range whole Decimals beyond 18 digits still hash as longs") {
+    // 5e18 has 19 integer digits yet fits a Long; the old digit-count check
+    // routed it to the double key space, so it never intersected an equal
+    // Long column. longValueExact covers every long-range whole number.
+    val big = 5000000000000000000L // 5e18
+    val longs = spark.range(3).select(lit("l").as("g"), ($"id" + big).as("v"))
+    val decs = spark.range(3).select(lit("d").as("g"),
+      ($"id" + big).cast("decimal(24,2)").as("v"))
+    def sketch(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.groupBy($"g").agg(theta_sketch_agg($"v").as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+    assert(intersectionEstimate(sketch(longs), sketch(decs)) == 3.0)
+  }
+
   test("unhashable input type throws instead of silently toString-hashing") {
     val df = spark.range(3).select(lit("g").as("g"), array($"id").as("v"))
     val e = intercept[Exception] {
