@@ -729,6 +729,51 @@ object ExtensionBattery {
         .orderBy($"status_a", $"status_b")
     },
 
+    // SOURCE×SOURCE content-overlap matrix from mergeable sketches — the
+    // corpus-planning artifact: one theta sketch of 8-gram shingles per
+    // source (KBs each, built in one corpus scan), then every pairwise
+    // "how much do sources A and B share?" answered from the 20 sketches
+    // alone. At 100 TB the alternative is a shingle self-join PER PAIR;
+    // here it is |S|² intersections of broadcast-sized sketches. Exact
+    // regime (exactIntersection guards theta == 1 loudly): distinct
+    // shingles per source stay under 2^16 through sf0.1 (~36k at sf0.1,
+    // 20× headroom at sf0.01). Oracle = the quadratic distinct-shingle
+    // join; only overlapping pairs are reported (est is exactly integral
+    // in the exact regime, so the > 0 filter is deterministic).
+    sql("q_source_overlap_matrix",
+      """WITH tok AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source, shingle FROM (
+        |  SELECT source, unnest(list_transform(range(1, len(toks) - 6),
+        |    i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+        |  FROM tok WHERE len(toks) >= 8))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS DOUBLE) AS est_shared_shingles
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.ThetaSketch
+      val shingles = Tables.documents(s, d)
+        .withColumn("toks", filter(split(lower($"text"), "\\s+"), w => length(w) > 0))
+        .filter(size($"toks") >= 8)
+        .select($"source", explode(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => array_join(slice($"toks", i, lit(8)), " "))).as("shingle"))
+      val sk = shingles.groupBy($"source")
+        .agg(ThetaSketch.theta_sketch_agg($"shingle", lgK = 16).as("sk"))
+      val ix = udf((x: Array[Byte], y: Array[Byte]) =>
+        ThetaSketch.exactIntersection(x, y))
+      sk.toDF("source_a", "sk_a")
+        .crossJoin(broadcast(sk.toDF("source_b", "sk_b")))
+        .filter($"source_a" < $"source_b")
+        .select($"source_a", $"source_b",
+          ix($"sk_a", $"sk_b").as("est_shared_shingles"))
+        .filter($"est_shared_shingles" > 0)
+        .orderBy($"source_a", $"source_b")
+    },
+
     // Edit-distance similarity join (Ed-Join shape): rarest-gram prefix
     // filter → length filter → exact levenshtein verify, never the all-pairs
     // product. The quadratic DuckDB theta join IS the oracle (bounded to

@@ -138,6 +138,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("setsim matches brute force at rational thresholds on denominator-multiple sizes") {
+    // Targets the prefix-bound rounding class: t = num/den with doc sizes at
+    // multiples of den makes t·sz land on (or within one ulp of) whole
+    // numbers, where an unslacked ceil over- or under-shoots the exact
+    // ⌈t·sz⌉. Docs are mutation clusters of a shared base, so pair Jaccards
+    // are rationals i/u sitting AT and just around the threshold — the
+    // region a shortened prefix silently drops.
+    import org.apache.spark.sql.functions._
+    val vocab = (0 until 160).map(i => f"w$i%03d")
+    val cases = for {
+      den <- Gen.oneOf(7, 11, 13)
+      num <- Gen.choose(den - 3, den - 1)
+      mult <- Gen.oneOf(1, 3, 7) // sz = den, 3·den, 7·den (77 = the advice case)
+      nMut <- Gen.choose(0, math.max(1, den - num + 2))
+    } yield (num, den, den * mult, nMut)
+    forSamples(cases, n = 12) { case (num, den, sz, nMut) =>
+      val t = num.toDouble / den
+      val base = vocab.take(sz)
+      // cluster: base, plus variants replacing k tokens, plus a subset doc
+      val docs = Seq(
+        (0L, base),
+        (1L, base.drop(nMut) ++ vocab.slice(sz, sz + nMut)),
+        (2L, base.drop(1) ++ vocab.slice(sz + nMut, sz + nMut + 1)),
+        (3L, base.take(math.max(1, sz - nMut)))
+      ).map { case (i, ws) => (i, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val toks = docs.select($"doc_id".as("id"),
+        array_distinct(TextAnalysis.tokens($"text")).as("tk"))
+      val brute = toks.toDF("a", "ta").crossJoin(toks.toDF("b", "tb"))
+        .filter($"a" < $"b")
+        .withColumn("i", size(array_intersect($"ta", $"tb")))
+        .withColumn("u", size($"ta") + size($"tb") - $"i")
+        .filter($"i" > 0 && $"i" / $"u" >= t)
+        .select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fast = SetSimJoin.join(docs, "doc_id", "text", t)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == brute, s"t=$num/$den sz=$sz nMut=$nMut")
+    }
+  }
+
   test("edit join equals brute force on random strings straddling the pigeonhole bound") {
     // lengths 0..20 at maxDist 3, q 3: most strings sit BELOW (k+1)·q = 12,
     // exercising the short-bucket direct pass against the gram path
