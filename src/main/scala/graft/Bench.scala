@@ -69,8 +69,14 @@ object Bench {
       System.out.flush()
     }
 
-    // Stable order so a truncated pass 1 covers a deterministic prefix.
-    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Stable order so a truncated pass 1 covers a deterministic prefix —
+    // HEADLINE queries first: when a host-throttle window truncates pass 1
+    // (BENCH_r08 covered 63/159 alphabetically), the surviving partial now
+    // contains the full cross-round-comparable subset instead of an
+    // arbitrary alphabetic prefix; the rest follows alphabetically.
+    val headlineRank = headline.zipWithIndex.toMap
+    val queryList = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (headlineRank.getOrElse(name, Int.MaxValue), name) }
     var lastEmit = 0.0
     var pass = 0
     var outOfTime = false
