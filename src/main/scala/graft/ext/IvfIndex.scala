@@ -239,6 +239,33 @@ object IvfIndex {
     search(queries, lists, centroids, k, nprobe)
   }
 
+  /** INCREMENTAL MAINTENANCE (batch twin of
+    * [[graft.streaming.StreamingOps.startIndexMaintenance]]): assign a delta
+    * batch to the EXISTING centroids and append it to the partitioned lists
+    * snapshot — the daily-ingest path. No retrain, no rebuild: only the
+    * clusters the delta lands in receive new files (partition-scoped
+    * Append), every other partition carries forward as manifest references,
+    * and searches see the delta atomically at the next snapshot version.
+    * Centroid drift is an offline retrain decision (rebuild with
+    * `overwrite = true`), not an ingest-path one. The optional (appId,
+    * batchId) txn watermark makes replayed batches idempotent no-ops.
+    * Returns the published snapshot version.
+    *
+    * Maintained ≡ rebuilt (spec-pinned): because assignment depends only on
+    * the frozen centroids, appending a delta yields byte-identical search
+    * results to rebuilding the lists from corpus ∪ delta with those same
+    * centroids. */
+  def appendDelta(
+      delta: DataFrame, // (id, vec)
+      indexDir: String,
+      txn: Option[(String, Long)] = None): Long = {
+    val spark = delta.sparkSession
+    val centroids = graft.sinks.Snapshots.read(spark, s"$indexDir/centroids")
+    graft.sinks.Snapshots.commitPartitioned(build(delta, centroids),
+      s"$indexDir/lists", Seq("cluster_id"),
+      org.apache.spark.sql.SaveMode.Append, txn = txn)
+  }
+
   /** Stable on-disk location for a table's index artifacts, keyed by the
     * source dir and the index geometry (a geometry change is a new index). */
   def indexDir(sfDir: String, nClusters: Int): String = {

@@ -59,4 +59,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(neighbors.length == 3)
     assert(neighbors.forall(_ % 3 == 0)) // same blob
   }
+
+  test("appendDelta: maintained index ≡ rebuild; replayed batch no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString + "/idx"
+    val corpus = vecs.filter($"id" < 45)
+    val delta = vecs.filter($"id" >= 45)
+    assert(IvfIndex.buildIndex(corpus, dir, nClusters = 3))
+    IvfIndex.appendDelta(delta, dir, txn = Some("t" -> 1L))
+    // searches over the maintained index match a rebuild from corpus ∪ delta
+    // with the SAME frozen centroids (assignment depends only on centroids)
+    val centroids = graft.sinks.Snapshots.read(spark, s"$dir/centroids")
+    val queries = vecs.filter($"id" < 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val maintained = IvfIndex.searchIndexed(spark, queries, dir, k = 5, nprobe = 3)
+      .select($"query_id", $"neighbor_id", $"cos", $"rank")
+    val rebuilt = IvfIndex.search(queries, IvfIndex.build(vecs, centroids),
+        centroids, k = 5, nprobe = 3)
+      .select($"query_id", $"neighbor_id", $"cos", $"rank")
+    assert(key(maintained) == key(rebuilt))
+    // the delta is actually served: a delta id must be reachable as its own
+    // nearest neighbor when queried
+    val dq = IvfIndex.searchIndexed(spark, vecs.filter($"id" === 45L), dir,
+      k = 1, nprobe = 1).select("neighbor_id").as[Long].collect()
+    assert(dq.nonEmpty && dq.forall(_ % 3 == 45L % 3)) // same blob
+    // replaying the same (appId, batchId) is an idempotent no-op
+    val vBefore = graft.sinks.Snapshots.versions(spark, s"$dir/lists").last
+    IvfIndex.appendDelta(delta, dir, txn = Some("t" -> 1L))
+    assert(graft.sinks.Snapshots.versions(spark, s"$dir/lists").last == vBefore)
+    assert(key(IvfIndex.searchIndexed(spark, queries, dir, k = 5, nprobe = 3)
+      .select($"query_id", $"neighbor_id", $"cos", $"rank")) == key(rebuilt))
+  }
 }
