@@ -44,6 +44,20 @@ object ExtensionBattery {
       |CROSS JOIN stats
       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  // shared by q_cosine_topk (brute force) and q_cosine_topk_maintained
+  // (IVF index + appendDelta at nprobe = nClusters, which is exact): both
+  // paths must hash-match the same exact top-5 ranking
+  private val cosineTopk5OracleSql =
+    """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT query_id, neighbor_id, cos, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+      |  FROM q, c WHERE q.vec_id <> c.vec_id) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace + BPE-ish regex tokenizers.
@@ -201,19 +215,29 @@ object ExtensionBattery {
     },
 
     // Brute-force cosine top-k (exact ANN baseline); double math both sides.
-    sql("q_cosine_topk",
-      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
-        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT query_id, neighbor_id, cos, rank FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
-        |  FROM q, c WHERE q.vec_id <> c.vec_id) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    sql("q_cosine_topk", cosineTopk5OracleSql) { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
       Similarity.bruteForceTopK(emb.filter($"id" < 10), emb, k = 5)
+        .select($"query_id", $"neighbor_id", $"cos", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // MAINTAINED-index serving, fully oracled: build the IVF index on a
+    // corpus slice, appendDelta the rest (including the query ids — so the
+    // oracle can only match if the appended partitions are actually
+    // served), then search with nprobe = nClusters, which is provably
+    // exact for ANY centroid set — the same brute-force oracle as
+    // q_cosine_topk therefore applies bit-for-bit. This puts the
+    // incremental-maintenance path (the daily-ingest shape) inside the
+    // hash-checked battery instead of behind a rows-only entry.
+    sql("q_cosine_topk_maintained", cosineTopk5OracleSql) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val dir = IvfIndex.indexDir(d, 8) + "-maint"
+      IvfIndex.buildIndex(emb.filter($"id" >= 200), dir, nClusters = 8)
+      IvfIndex.appendDelta(emb.filter($"id" < 200), dir, txn = Some("maint" -> 1L))
+      IvfIndex.searchIndexed(s, emb.filter($"id" < 10), dir, k = 5, nprobe = 8)
         .select($"query_id", $"neighbor_id", $"cos", $"rank")
         .orderBy($"query_id", $"rank")
     },
