@@ -43,11 +43,10 @@ object Components {
     * orientation). Returns (id, component): every node that appears in an
     * edge, labeled with the smallest node id in its component.
     *
-    * HYBRID execution: the symmetrized-deduped edge list is already
-    * materialized (localCheckpoint) to truncate lineage, so its count is
-    * free — when it fits `maxLocalEdges` the labels come from a driver-side
-    * union-find over that bounded edge set (one job instead of 4+ per
-    * propagation round; the same bounded-collect discipline as the ANN
+    * HYBRID execution: a single bounded collect (limit `maxLocalEdges`+1)
+    * probes the symmetrized-deduped edge list — when it fits the gate the
+    * labels come from a driver-side union-find over the already-collected
+    * edges (ONE job total; the same bounded-collect discipline as the ANN
     * index builds). Past the gate — the genuine 100 TB dup-graph case —
     * the distributed min-label propagation below takes over unchanged.
     * Dup graphs are edges among NEAR-DUPLICATES only, orders of magnitude
@@ -60,14 +59,25 @@ object Components {
       dstCol: String = "dst",
       maxIters: Int = 20,
       maxLocalEdges: Long = 1L << 20): DataFrame = {
-    val sym = edges
+    require(maxLocalEdges < Int.MaxValue, "maxLocalEdges must fit an Int limit")
+    val symPlan = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
 
-    if (sym.count() <= maxLocalEdges) return localComponents(sym)
+    // Gate probe = ONE bounded collect (limit gate+1), not a materialize +
+    // count + collect chain: CollectLimit scans partitions incrementally, so
+    // a small dup graph — the overwhelmingly common case — pays a single
+    // job and the rows are already in hand for the union-find. Only a graph
+    // that overflows the gate pays the probe again as the checkpoint scan.
+    {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val head = symPlan.as[(Long, Long)].limit(maxLocalEdges.toInt + 1).collect()
+      if (head.length <= maxLocalEdges) return localComponents(spark, head)
+    }
+    val sym = symPlan.localCheckpoint()
 
     // seed each node with min(self, min direct neighbor) — this IS the
     // label state after a first propagation round against identity labels,
@@ -114,8 +124,9 @@ object Components {
   /** Driver-side union-find (path compression + union by rank) over a
     * BOUNDED edge set — exact same contract as the distributed path,
     * component = min member id. */
-  private def localComponents(sym: DataFrame): DataFrame = {
-    val spark = sym.sparkSession
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      sym: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     val rank = scala.collection.mutable.HashMap.empty[Long, Int]
@@ -136,13 +147,9 @@ object Components {
       }
     }
     val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
-    // bounded by the gate; primitive-typed Dataset collect — a (Long, Long)
-    // tuple is ~48 bytes vs a few hundred per boxed Row, so the gate's worst
-    // case stays tens of MB on the driver instead of 100+
-    sym.select(col("src"), col("dst")).as[(Long, Long)].collect().foreach {
-      case (s, d) =>
-        nodes += s; nodes += d
-        union(s, d)
+    sym.foreach { case (s, d) => // bounded by the gate
+      nodes += s; nodes += d
+      union(s, d)
     }
     val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
     nodes.foreach { n =>
