@@ -40,4 +40,23 @@ object IndexStore {
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     s"${sys.props("java.io.tmpdir")}/graft-index/$kind-$key-$geometry"
   }
+
+  /** Driver-side fingerprint of a source data file/dir: (name, size, mtime)
+    * of every regular file, folded to a hex token. Fold it into an index
+    * key when index STALENESS must be loud — an index whose query is
+    * hash-oracled would silently serve wrong results if the source table
+    * were ever regenerated in place; with the fingerprint in the key a
+    * content change simply misses the old index and rebuilds. Pure local
+    * file metadata: no Spark job, no file reads. */
+  def dataFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val h = walk(new java.io.File(path)).foldLeft(1125899906842597L) { (acc, f) =>
+      var x = acc
+      for (c <- s"${f.getName}:${f.length}:${f.lastModified}") x = x * 31 + c
+      x
+    }
+    java.lang.Long.toHexString(h)
+  }
 }

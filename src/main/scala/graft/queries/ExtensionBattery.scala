@@ -234,7 +234,10 @@ object ExtensionBattery {
     sql("q_cosine_topk_maintained", cosineTopk5OracleSql) { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      val dir = IvfIndex.indexDir(d, 8) + "-maint"
+      // fingerprint in the key: this query is HASH-ORACLED, so a regenerated
+      // embeddings table must miss the old index and rebuild, never serve it
+      val dir = IvfIndex.indexDir(d, 8) +
+        "-maint-" + graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet")
       IvfIndex.buildIndex(emb.filter($"id" >= 200), dir, nClusters = 8)
       IvfIndex.appendDelta(emb.filter($"id" < 200), dir, txn = Some("maint" -> 1L))
       IvfIndex.searchIndexed(s, emb.filter($"id" < 10), dir, k = 5, nprobe = 8)
