@@ -49,10 +49,18 @@ object IndexStore {
     * content change simply misses the old index and rebuilds. Pure local
     * file metadata: no Spark job, no file reads. */
   def dataFingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    // a missing source must fail LOUDLY: silently fingerprinting a
+    // nonexistent path would freeze the key forever — the exact silent-
+    // staleness failure this method exists to prevent
+    require(root.exists(), s"dataFingerprint: no such path $path")
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val h = walk(new java.io.File(path)).foldLeft(1125899906842597L) { (acc, f) =>
+      if (f.isDirectory) {
+        val children = f.listFiles() // null on I/O or permission error
+        require(children != null, s"dataFingerprint: cannot list $f")
+        children.toSeq.sortBy(_.getName).flatMap(walk)
+      } else Seq(f)
+    val h = walk(root).foldLeft(1125899906842597L) { (acc, f) =>
       var x = acc
       for (c <- s"${f.getName}:${f.length}:${f.lastModified}") x = x * 31 + c
       x

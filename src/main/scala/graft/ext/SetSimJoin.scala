@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** Shared rounding slack for every threshold·size product in this file:
+    * t·sz computed in doubles can land one ulp past its exact rational value
+    * (t = 9/11, sz = 77 → 63.0000…01), which would shorten a ceil'd prefix
+    * below the completeness bound or reject an exactly-at-threshold pair in
+    * the size filter. One constant keeps the self-join and delta forms in
+    * lockstep — the at-threshold specs pin both. */
+  private val CeilSlack = 1e-9
+
   /** (doc_a, doc_b, jaccard) for all pairs with Jaccard ≥ `threshold`;
     * doc_a < doc_b. Exact — spec-pinned against the brute-force join. */
   def join(
@@ -44,29 +52,26 @@ object SetSimJoin {
     val tokCounts = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
     // rank each doc's tokens rarest-first (ties by token string — any fixed
-    // total order preserves the prefix-filter guarantee) and keep the prefix.
-    // The 1e-9 slack inside ceil mirrors the size filter below: the exact
-    // bound is ⌈t·sz⌉, but the double product can round a whole number up
-    // (t = 9/11, sz = 77 → 63.0000…01 → ceil 64), which would shorten the
-    // prefix below the completeness bound and drop an at-threshold pair.
+    // total order preserves the prefix-filter guarantee) and keep the
+    // prefix; CeilSlack keeps ⌈t·sz⌉ at its exact rational value
     val prefix = toks
       .select(col("sid"), size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
       .join(tokCounts, "tok")
       .withColumn("rn", row_number().over(
         Window.partitionBy("sid").orderBy(col("tf"), col("tok"))))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(CeilSlack)) + 1)
       .select("sid", "sz", "tok")
     // LENGTH FILTER (exact, PPJoin-standard): J(a,b) ≥ t forces
     // t·max(|a|,|b|) ≤ inter ≤ min(|a|,|b|) — prune size-mismatched
     // candidates BEFORE the distinct and the payload join, where they are
-    // two small ints instead of two token arrays. The 1e-9 slack absorbs
-    // double rounding in t·max so an exactly-at-threshold pair (e.g. sizes
-    // 8 and 10 at t = 0.8) can never be dropped.
+    // two small ints instead of two token arrays; CeilSlack absorbs double
+    // rounding in t·max so an exactly-at-threshold pair (e.g. sizes 8 and
+    // 10 at t = 0.8) can never be dropped.
     val cand = prefix.toDF("a", "sz_a", "tok")
       .join(prefix.toDF("b", "sz_b", "tok"), Seq("tok"))
       .filter(col("a") < col("b") &&
         least(col("sz_a"), col("sz_b")) >=
-          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(CeilSlack))
       .select("a", "b")
       .distinct()
     cand
@@ -112,14 +117,12 @@ object SetSimJoin {
       .withColumn("tf", coalesce(col("tf"), lit(0L)))
       .withColumn("rn", row_number().over(
         Window.partitionBy("sid").orderBy(col("tf"), col("tok"))))
-      // same 1e-9 ceil slack as `join`: keep the prefix at (not below) the
-      // completeness bound when t·sz rounds above its exact integer value
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(CeilSlack)) + 1)
       .select("sid", "sz", "tok")
     val cand = prefix(dtoks).toDF("a", "sz_a", "tok")
       .join(prefix(ctoks).toDF("b", "sz_b", "tok"), Seq("tok"))
       .filter(least(col("sz_a"), col("sz_b")) >=
-        lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(CeilSlack))
       .select("a", "b")
       .distinct()
     cand

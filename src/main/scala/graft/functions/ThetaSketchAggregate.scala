@@ -64,12 +64,17 @@ case class ThetaSketchAggregate(
       case d: java.lang.Double => buf.update(d.doubleValue())
       case f: java.lang.Float => buf.update(f.doubleValue())
       case dec: Decimal =>
-        // longValueExact covers EVERY long-range whole number — a digit-count
-        // pre-check undercounts (5e18 has 19 integer digits yet fits a long,
-        // and must land in the integral key space to intersect a Long column)
+        // whole numbers (scale <= 0 after strip) try longValueExact, which
+        // covers EVERY long-range value — a digit-count pre-check undercounts
+        // (5e18 has 19 integer digits yet fits a long, and must land in the
+        // integral key space to intersect a Long column); the catch fires
+        // only for whole values beyond Long range, never per ordinary row.
+        // Fractional values take the double path with zero exceptions.
         val bd = dec.toJavaBigDecimal.stripTrailingZeros()
-        try buf.update(bd.longValueExact())
-        catch { case _: ArithmeticException => buf.update(bd.doubleValue()) }
+        if (bd.scale <= 0)
+          try buf.update(bd.longValueExact())
+          catch { case _: ArithmeticException => buf.update(bd.doubleValue()) }
+        else buf.update(bd.doubleValue())
       case b: Array[Byte] => buf.update(b)
       case other => throw new UnsupportedOperationException(
         s"theta_sketch: unhashable input type ${other.getClass.getName}; " +

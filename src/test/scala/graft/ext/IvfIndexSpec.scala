@@ -79,8 +79,12 @@ class IvfIndexSpec extends SparkSpec {
         centroids, k = 5, nprobe = 3)
       .select($"query_id", $"neighbor_id", $"cos", $"rank")
     assert(key(maintained) == key(rebuilt))
-    // the delta is actually served: a delta id must be reachable as its own
-    // nearest neighbor when queried
+    // the delta is actually IN the index (deterministic: read the lists
+    // table — a search assertion can be satisfied by corpus neighbors)
+    val served = graft.sinks.Snapshots.read(spark, s"$dir/lists")
+      .filter($"id" >= 45).count()
+    assert(served == 15, s"expected all 15 delta vectors in the lists, got $served")
+    // and a delta query is answerable through the index with in-blob results
     val dq = IvfIndex.searchIndexed(spark, vecs.filter($"id" === 45L), dir,
       k = 1, nprobe = 1).select("neighbor_id").as[Long].collect()
     assert(dq.nonEmpty && dq.forall(_ % 3 == 45L % 3)) // same blob
