@@ -178,4 +178,68 @@ object MinHash {
       .select(col("doc_a"), col("doc_b"),
         estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
   }
+
+  /** PORTABLE MinHash+LSH near-dup pairs: the permutation family is salted
+    * md5 (lanes of md5("a:"+s) / md5("b:"+s)), which any engine computes
+    * byte-identically — so the WHOLE pipeline (signature → banded candidate
+    * join → exact-Jaccard verification) is reproducible in external SQL and
+    * hash-oracle-able, unlike [[candidatePairs]] whose FNV-1a/splitmix64
+    * family is a JVM-only fast path (that one stays the production-speed
+    * variant; this one certifies the algorithm cross-engine).
+    *
+    * Built-ins only — md5/substring/min/concat_ws stay inside whole-stage
+    * codegen; no UDF. One groupBy over exploded shingles computes all 8
+    * min-lanes (partial aggregation combines map-side, so the exchange
+    * carries 8 fixed-width strings per (partition, doc)); the band join
+    * carries ids only; payload shingle sets are rejoined once per distinct
+    * surviving pair — the same scale discipline as [[candidatePairs]].
+    *
+    * 8 permutations = the four 8-hex-char (32-bit) lanes of each salted
+    * digest, banded 4 × 2: P(candidate | J=j) = 1-(1-j²)⁴ ≥ 0.998 at
+    * j ≥ 0.9. Sub-threshold recall is probabilistic AS IN ANY LSH, but
+    * both engines keep/miss exactly the same pairs by construction — which
+    * is what makes the hash oracle exact.
+    * Returns (doc_a, doc_b, jaccard), doc_a < doc_b, exact Jaccard ≥
+    * threshold, over distinct word-`shingleN`-gram shingle sets; docs with
+    * fewer than `shingleN` tokens are out of scope (no shingles). */
+  def portablePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val shsExpr = when(size(toks) >= shingleN,
+        array_distinct(transform(sequence(lit(1), size(toks) - (shingleN - 1)),
+          i => array_join(slice(toks, i, lit(shingleN)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val shl = fanOutIfNarrow(df)
+      .select(col(idCol).as("doc"), shsExpr.as("shs"))
+      .filter(size(col("shs")) > 0)
+    val ex = shl.select(col("doc"), explode(col("shs")).as("sh"))
+      .select(col("doc"),
+        md5(concat(lit("a:"), col("sh"))).as("ma"),
+        md5(concat(lit("b:"), col("sh"))).as("mb"))
+    val lanes =
+      (0 until 4).map(j => min(substring(col("ma"), j * 8 + 1, 8)).as(s"h$j")) ++
+        (0 until 4).map(j => min(substring(col("mb"), j * 8 + 1, 8)).as(s"h${j + 4}"))
+    val sig = ex.groupBy(col("doc")).agg(lanes.head, lanes.tail: _*)
+    val bandCols = array((0 until 4).map(j => struct(
+      lit(j).as("band"),
+      concat_ws("|", col(s"h${2 * j}"), col(s"h${2 * j + 1}")).as("bv"))): _*)
+    val bands = sig.select(col("doc"), explode(bandCols).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val cand = bands.toDF("doc_a", "band", "bv")
+      .join(bands.toDF("doc_b", "band", "bv"), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val jac = size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+      size(array_union(col("shs_a"), col("shs_b")))
+    cand
+      .join(shl.toDF("doc_a", "shs_a"), "doc_a")
+      .join(shl.toDF("doc_b", "shs_b"), "doc_b")
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
 }

@@ -101,4 +101,54 @@ object SimHash {
       .groupBy("doc_a", "doc_b")
       .agg(min("hamming").as("hamming"))
   }
+
+  /** PORTABLE SimHash near-dup pairs: a 32-bit fingerprint whose per-token
+    * hash is the top 8 hex chars of md5("s:"+token) — byte-identical in any
+    * engine — so fingerprinting, banding, and Hamming verification are
+    * reproducible in external SQL and hash-oracle-able, unlike
+    * [[candidatePairs]] whose FNV-1a family is a JVM-only fast path (that
+    * one stays the production variant; this one certifies the algorithm
+    * cross-engine).
+    *
+    * Built-ins only, one pass: explode tokens (multiset — the standard
+    * frequency-weighted vote), md5 + conv once per token, then ONE groupBy
+    * with 32 bit-count sums (partial-aggregated map-side; the exchange
+    * carries 33 longs per (partition, doc)). The majority vote
+    * `2·cnt_j > n` and the Σ 2ʲ reassembly are plain projections. Bands:
+    * 2 × 16-bit — full recall for Hamming ≤ 1 by pigeonhole, probabilistic
+    * beyond (but identically so in any engine, which is what makes the
+    * oracle exact; 4 × 8-bit bands would guarantee ≤ 3 but 8-bit band
+    * values are too dense to stay selective on a near-dup-heavy corpus).
+    * Token-less docs have no fingerprint and are out of scope (the
+    * engine-hash variant gives them simhash 0). Returns
+    * (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ maxDist. */
+  def portablePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val ex = MinHash.fanOutIfNarrow(df)
+      .select(col(idCol).as("doc"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("doc"),
+        conv(substring(md5(concat(lit("s:"), col("tok"))), 1, 8), 16, 10)
+          .cast("long").as("v"))
+    val cnts = (0 until 32).map(j =>
+      sum(shiftright(col("v"), j).bitwiseAND(lit(1L))).as(s"c$j"))
+    val agg = ex.groupBy(col("doc")).agg(count(lit(1)).as("n"), cnts: _*)
+    val sh = (0 until 32).map(j =>
+      when(col(s"c$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val sig = agg.select(col("doc"), sh.as("sh"))
+    val banded = sig.select(col("doc"), col("sh"),
+      posexplode(array(
+        col("sh").bitwiseAND(lit(65535L)),
+        shiftright(col("sh"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band", "bv")))
+    banded.toDF("doc_a", "sh_a", "band", "bv")
+      .join(banded.toDF("doc_b", "sh_b", "band", "bv"), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -18,6 +18,39 @@ object ExtensionBattery {
   private val toksSql =
     "CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 
+  // Mirrors SimHash.portablePairs in DuckDB SQL: nibble i (from the low
+  // end) of the 8-hex-char token hash via strpos('123456789abcdef', ch)
+  // (0 when ch='0'), bit j = (n_{j/4} >> (j%4)) & 1, majority vote
+  // 2·c_j > n, fingerprint = Σ 2^j, 2×16-bit band join, Hamming ≤ 3.
+  private val simhashPortableOracleSql: String = {
+    val nibDefs = (0 until 8).map(i =>
+      s"strpos('123456789abcdef', substring(h, ${8 - i}, 1)) AS n$i").mkString(", ")
+    val cntDefs = (0 until 32).map(j =>
+      s"CAST(sum((n${j / 4} >> ${j % 4}) & 1) AS BIGINT) AS c$j").mkString(", ")
+    val shSum = (0 until 32).map(j =>
+      s"(CASE WHEN 2*c$j > n THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tokex AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |nib AS (
+       |  SELECT doc_id, $nibDefs
+       |  FROM (SELECT doc_id, md5('s:' || tok) AS h FROM tokex)),
+       |cnt AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $cntDefs
+       |  FROM nib GROUP BY 1),
+       |sig AS (SELECT doc_id, CAST($shSum AS BIGINT) AS sh FROM cnt),
+       |banded AS (
+       |  SELECT doc_id, sh, 0 AS band, sh & 65535 AS bv FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, sh, 1, (sh >> 16) & 65535 FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+       |ORDER BY hamming ASC, doc_a, doc_b LIMIT 500""".stripMargin
+  }
+
   private def hitsSql(lang: String): String = {
     val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_intersect($toksSql, [$words]))"
@@ -189,29 +222,69 @@ object ExtensionBattery {
         .limit(200)
     },
 
-    // MinHash+LSH near-dup candidates (word-level shingles): engine-hash
-    // based → rows-only, deterministic ordering.
-    rowsOnly("q_minhash_neardup") { (s, d) =>
+    // MinHash+LSH near-dup pipeline, FULLY ORACLED: the permutation family
+    // is salted md5 — byte-identical in any engine — so signature, banded
+    // candidate join, and exact-Jaccard verification are reproduced in
+    // DuckDB verbatim and the result hash-matches. Both engines keep/miss
+    // the SAME candidate pairs by construction (LSH recall below the
+    // threshold is probabilistic, but identically so on both sides).
+    // ext/MinHash.candidatePairs keeps the FNV-1a/splitmix64 JVM fast path
+    // for hash-agnostic production use (MinHashSpec pins it; the portable
+    // form certifies the algorithm cross-engine).
+    sql("q_minhash_neardup",
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |shl AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(toks[i:(i+2)], ' '))) AS shs
+         |  FROM tok WHERE len(toks) >= 3),
+         |ex AS (
+         |  SELECT doc_id, md5('a:' || sh) AS ma, md5('b:' || sh) AS mb
+         |  FROM (SELECT doc_id, unnest(shs) AS sh FROM shl)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(substring(ma, 1, 8)) AS h0, min(substring(ma, 9, 8)) AS h1,
+         |    min(substring(ma, 17, 8)) AS h2, min(substring(ma, 25, 8)) AS h3,
+         |    min(substring(mb, 1, 8)) AS h4, min(substring(mb, 9, 8)) AS h5,
+         |    min(substring(mb, 17, 8)) AS h6, min(substring(mb, 25, 8)) AS h7
+         |  FROM ex GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sig UNION ALL
+         |  SELECT doc_id, 1, h2 || '|' || h3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, h4 || '|' || h5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |        / len(list_distinct(a.shs || b.shs)), 4) AS jaccard
+         |FROM cand JOIN shl a ON a.doc_id = doc_a JOIN shl b ON b.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |      / len(list_distinct(a.shs || b.shs)) >= 0.3
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 500""".stripMargin) { (s, d) =>
       import s.implicits._
-      MinHash.candidatePairs(Tables.documents(s, d), "doc_id", "text",
-          k = 64, bands = 16, shingleN = 3)
-        .filter($"est_jaccard" >= 0.3)
-        .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
-        .limit(200)
+      MinHash.portablePairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.3)
+        .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+        .limit(500)
     },
 
-    // SimHash near-dup candidates via band join, ranked by Hamming.
-    // maxDist = 3 → 4×16-bit bands: the standard 64-bit simhash dedup
-    // radius (Manku et al., WWW'07) — full recall by pigeonhole, and
-    // 16-bit band values keep bucket sizes bounded. Wider radii need
-    // narrower bands whose buckets grow quadratically on a near-dup-dense
-    // corpus (8-bit bands measured 10× slower at sf0.1).
-    rowsOnly("q_simhash_neardup") { (s, d) =>
+    // SimHash near-dup pipeline, FULLY ORACLED: per-token hash = top 8 hex
+    // chars of md5("s:"+tok), so the 32-bit majority-vote fingerprint, the
+    // 2×16-bit band join, and the Hamming verify are reproduced in DuckDB
+    // verbatim (nibble values via strpos — no hex→int cast needed) and the
+    // result hash-matches. ext/SimHash.candidatePairs keeps the 64-bit
+    // FNV-1a fast path (Manku-style maxDist=3 full recall) for production;
+    // the portable form certifies the algorithm cross-engine.
+    sql("q_simhash_neardup", simhashPortableOracleSql) { (s, d) =>
       import s.implicits._
-      SimHash.candidatePairs(Tables.documents(s, d), "doc_id", "text",
+      SimHash.portablePairs(Tables.documents(s, d), "doc_id", "text",
           maxDist = 3)
         .orderBy($"hamming".asc, $"doc_a", $"doc_b")
-        .limit(200)
+        .limit(500)
     },
 
     // Brute-force cosine top-k (exact ANN baseline); double math both sides.

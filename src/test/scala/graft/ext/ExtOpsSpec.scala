@@ -97,6 +97,25 @@ class MinHashSpec extends SparkSpec {
     assert(pairs((1L, 2L)) > 0.5)
     assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.2)
   }
+
+  test("portablePairs: exact-Jaccard-verified near-dups; dups always found; sub-threshold absent") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (4L, "completely different content about machine learning and neural networks"),
+      (5L, "ab") // < shingleN tokens: out of scope
+    ).toDF("doc_id", "text")
+    val pairs = MinHash.portablePairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // identical docs share every band — found with probability 1, jaccard 1
+    assert(pairs((1L, 2L)) == 1.0)
+    // high-overlap pair: if recalled, its jaccard is the exact value
+    pairs.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
+    // verified output can never contain sub-threshold or out-of-scope pairs
+    assert(pairs.values.forall(_ >= 0.3))
+    assert(pairs.keys.forall { case (a, b) => a != 5L && b != 5L })
+  }
 }
 
 class SimHashSpec extends SparkSpec {
@@ -156,6 +175,20 @@ class SimHashSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs((1L, 2L)) == 0)
     assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("portablePairs: identical docs at hamming 0; token-less docs out of scope; radius respected") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "   ") // no tokens: no fingerprint
+    ).toDF("doc_id", "text")
+    val pairs = SimHash.portablePairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.values.forall(_ <= 3))
+    assert(pairs.keys.forall { case (a, b) => a != 4L && b != 4L })
   }
 }
 
