@@ -135,4 +135,69 @@ object Similarity {
         round(cosine(col("v_a"), col("v_b")), roundTo).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Deterministic ±1 hyperplane matrix shared with external oracles:
+    * component (p, i) = +1 iff bit (i mod 8) of byte ((i/8) mod 16) of
+    * md5("plane:p") is set — reproducible from the md5 spec alone, so an
+    * oracle can embed the same matrix as SQL literals. ±1 components also
+    * make each product term exact in double (negation only), which keeps
+    * the sign of the fold bit-identical across engines. */
+  def portablePlanes(bits: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map { p =>
+      val digest = md.digest(s"plane:$p".getBytes("UTF-8"))
+      (0 until dim).map { i =>
+        if (((digest((i / 8) % 16) >> (i % 8)) & 1) == 1) 1.0 else -1.0
+      }.toArray
+    }.toArray
+  }
+
+  /** PORTABLE random-hyperplane LSH near-dup pairs: hyperplanes are the
+    * [[portablePlanes]] ±1 constants (embedded as literals in any engine's
+    * SQL), each signature bit is the sign of a sequential index-order dot
+    * product ([[graft.functions.DotProduct]]'s exact fold order — an
+    * external engine reproduces it with a left fold over the products
+    * list, bit-for-bit), and the verify cosine is the same fused
+    * index-order loop ([[graft.functions.CosineSimilarity]]). Both engines
+    * therefore derive the SAME candidate set and the SAME rounded cosines —
+    * hash-oracle-able end to end, unlike [[lshNearDupPairs]] whose
+    * engine-side hyperplane family (xxhash-derived) is a JVM fast path.
+    *
+    * Same scale shape as [[lshNearDupPairs]]: signature bits are `bits`
+    * codegen'd dot products per row (one scan), the band join carries ids
+    * only, vectors are rejoined once per distinct candidate pair.
+    * Output: (id_a, id_b, cos), id_a < id_b, round(cos, roundTo) ≥ minCos. */
+  def portableNearDupPairs(
+      vectors: DataFrame, // (id, vec)
+      minCos: Double,
+      bits: Int = 64,
+      bands: Int = 8,
+      dim: Int = 64,
+      roundTo: Int = 6): DataFrame = {
+    require(bits % bands == 0)
+    val rows = bits / bands
+    val planes = portablePlanes(bits, dim)
+    val base = MinHash.fanOutIfNarrow(
+      vectors.select(col("id"), asDouble(col("vec")).as("v")))
+    val bitCols = planes.map(pl =>
+      graft.functions.VectorDistances.dot_product(col("v"), lit(pl)) > lit(0.0))
+    val bandVals = (0 until bands).map { b =>
+      (0 until rows).map(r =>
+        when(bitCols(b * rows + r), lit(1L << r)).otherwise(lit(0L))).reduce(_ + _)
+    }
+    val banded = base.select(col("id"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val cand = banded.toDF("id_a", "band_idx", "band_val")
+      .join(banded.toDF("id_b", "band_idx", "band_val"),
+        Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(base.toDF("id_a", "v_a"), "id_a")
+      .join(base.toDF("id_b", "v_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), roundTo).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 }

@@ -80,6 +80,45 @@ object ExtensionBattery {
   // shared by q_cosine_topk (brute force) and q_cosine_topk_maintained
   // (IVF index + appendDelta at nprobe = nClusters, which is exact): both
   // paths must hash-match the same exact top-5 ranking
+  // Mirrors Similarity.portableNearDupPairs in DuckDB SQL. Every dot/norm
+  // is a left fold over the index-order products list — the exact sequence
+  // of double additions the codegen'd DotProduct/CosineSimilarity loops
+  // perform — so signs (candidate bits) and rounded cosines match
+  // bit-for-bit. The ±1 hyperplanes are embedded as literal DOUBLE[]s.
+  private val cosineLshPortableOracleSql: String = {
+    val planes = Similarity.portablePlanes(64, 64)
+    def fold(term: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $term), (acc, x) -> acc + x)"
+    def planeLit(p: Array[Double]) =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bandSelects = (0 until 8).map { b =>
+      val bits = (0 until 8).map { r =>
+        val pl = planeLit(planes(b * 8 + r))
+        s"(CASE WHEN ${fold(s"v[i] * (CAST($pl AS DOUBLE[]))[i]")} > 0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT id, $b AS band_idx, CAST($bits AS BIGINT) AS band_val FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |banded AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    ${fold("a.v[i] * b.v[i]")} AS dot,
+       |    ${fold("a.v[i] * a.v[i]")} AS nx,
+       |    ${fold("b.v[i] * b.v[i]")} AS ny
+       |  FROM cand JOIN e a ON a.id = id_a JOIN e b ON b.id = id_b)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN sqrt(nx) * sqrt(ny) = 0 THEN NULL
+       |         ELSE round(dot / (sqrt(nx) * sqrt(ny)), 6) END AS cos
+       |  FROM scored) t
+       |WHERE cos >= 0.3
+       |ORDER BY cos DESC, id_a, id_b LIMIT 200""".stripMargin
+  }
+
   private val cosineTopk5OracleSql =
     """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
       |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -432,11 +471,17 @@ object ExtensionBattery {
     // corpus's 99.9th-percentile pair cosine (the embeddings are near-random:
     // max pair cos ≈ 0.51, median ≈ 0 — a 0.85 "true near-dup" threshold
     // would return zero rows); high-threshold recall is pinned on a planted
-    // near-dup fixture in SimilaritySpec. Rows-only (engine hyperplanes).
-    rowsOnly("q_cosine_neardup_lsh") { (s, d) =>
+    // near-dup fixture in SimilaritySpec. FULLY ORACLED: hyperplanes are
+    // the portablePlanes ±1 constants embedded as SQL literals, every dot
+    // product / norm is a sequential index-order fold reproduced in DuckDB
+    // with list_reduce over the products list (bit-identical doubles), so
+    // both engines derive the same candidate set and the same rounded
+    // cosines. lshNearDupPairs keeps the xxhash hyperplane family as the
+    // engine fast path (SimilaritySpec pins it).
+    sql("q_cosine_neardup_lsh", cosineLshPortableOracleSql) { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      Similarity.lshNearDupPairs(emb, minCos = 0.3, bits = 64, bands = 8)
+      Similarity.portableNearDupPairs(emb, minCos = 0.3, bits = 64, bands = 8)
         .orderBy($"cos".desc, $"id_a", $"id_b")
         .limit(200)
     },

@@ -260,6 +260,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall < 0.9 (found ${found.size}/${truth.size})")
   }
 
+  test("portableNearDupPairs: exact dup at cos 1.0; precision holds; planes deterministic") {
+    val vecs = (0L to 20L).map { i =>
+      val v = Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat - 6f)
+      (i, v)
+    }.toDF("id", "vec")
+    val withDup = vecs.unionAll(vecs.filter($"id" === 5L).select(lit(100L).as("id"), $"vec"))
+    val pairs = Similarity.portableNearDupPairs(withDup, minCos = 0.99, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical vectors agree on every signature bit — found with prob 1
+    assert(pairs.exists { case (a, b, c) => a == 5L && b == 100L && c == 1.0 })
+    assert(pairs.forall(_._3 >= 0.99), "verified output is never sub-threshold")
+    // the plane matrix is a pure function of (bits, dim) — same every call
+    val p1 = Similarity.portablePlanes(64, 64)
+    val p2 = Similarity.portablePlanes(64, 64)
+    assert(p1.zip(p2).forall { case (a, b) => a.sameElements(b) })
+    assert(p1.flatten.forall(x => x == 1.0 || x == -1.0))
+  }
+
   test("lshNearDupPairs surfaces the exact-duplicate pair with cos 1.0") {
     val vecs = (0L to 20L).map { i =>
       val v = Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat - 6f)
