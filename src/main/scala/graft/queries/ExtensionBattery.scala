@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{IvfIndex, MinHash, Multimodal, SimHash, Similarity, TextAnalysis, TextClean}
 import graft.sources.Tables
@@ -80,6 +82,39 @@ object ExtensionBattery {
   // shared by q_cosine_topk (brute force) and q_cosine_topk_maintained
   // (IVF index + appendDelta at nprobe = nClusters, which is exact): both
   // paths must hash-match the same exact top-5 ranking
+  // Mirrors the KMV sketch in DuckDB SQL. The 52-bit hash is rebuilt from
+  // md5's first 13 hex nibbles via strpos-valued positional sums (DuckDB
+  // has no hex→int conv); everything downstream — per-language K-smallest
+  // via a partitioned row_number, merge as K-smallest-of-union, the
+  // (K-1)·2⁵²/kth estimate — is engine-agnostic integer/one-division math.
+  private val kmvMergeableOracleSql: String = {
+    val uExpr = (0 until 13).map { i =>
+      val scale = math.pow(16, 12 - i).toLong
+      s"strpos('123456789abcdef', substring(h, ${i + 1}, 1)) * ${scale}"
+    }.mkString(" + ")
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT lang, $uExpr AS u
+       |  FROM (SELECT lang, md5(text) AS h FROM documents)),
+       |st AS (
+       |  SELECT lang, u, row_number() OVER (PARTITION BY lang ORDER BY u) AS rn
+       |  FROM hashed),
+       |state AS (SELECT lang, u FROM st WHERE rn <= 64),
+       |langrows AS (
+       |  SELECT lang,
+       |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+       |         ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(max(u) AS DOUBLE) END AS e
+       |  FROM state GROUP BY 1),
+       |mu AS (SELECT DISTINCT u FROM state ORDER BY u LIMIT 64),
+       |mrow AS (
+       |  SELECT 'ALL' AS lang,
+       |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+       |         ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(max(u) AS DOUBLE) END AS e
+       |  FROM mu)
+       |SELECT lang, round(e, 2) AS est_distinct
+       |FROM (SELECT * FROM langrows UNION ALL SELECT * FROM mrow)
+       |ORDER BY lang""".stripMargin
+  }
+
   // Mirrors Similarity.portableNearDupPairs in DuckDB SQL. Every dot/norm
   // is a left fold over the index-order products list — the exact sequence
   // of double additions the codegen'd DotProduct/CosineSimilarity loops
@@ -835,6 +870,44 @@ object ExtensionBattery {
         .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_distinct"))
         .select(lit("ALL").as("lang"), $"est_distinct")
       langRows.unionByName(allRow).orderBy($"lang")
+    },
+
+    // K-minimum-values mergeable sketch (Bar-Yossef et al. — the theta
+    // sketch's ancestor), FULLY ORACLED: the sketch state is the K smallest
+    // 52-bit md5-derived hashes of the distinct texts per language, the
+    // estimate is (K-1)·2⁵²/kth_min (exact count when the sketch isn't
+    // full), and the ALL row is built by MERGING the per-language states —
+    // K smallest of the union of per-group K-smallest provably equals the
+    // global K-smallest, so merge-then-estimate is exact and both engines
+    // reproduce it from the md5 spec alone. Same two-level pattern as
+    // q_hll_mergeable (whose DataSketches bytes stay engine-specific):
+    // per-shard states are K rows regardless of shard size; the dedup
+    // shuffle carries 16-byte (lang, hash) pairs, never text payloads.
+    sql("q_kmv_mergeable", kmvMergeableOracleSql) { (s, d) =>
+      import s.implicits._
+      val K = 64
+      val pow52 = 4503599627370496.0 // 2^52, exact in double
+      val hashed = Tables.documents(s, d)
+        .select($"lang",
+          conv(substring(md5($"text"), 1, 13), 16, 10).cast("long").as("u"))
+        .distinct()
+      val state = hashed
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"lang").orderBy($"u")))
+        .filter($"rn" <= K)
+        .select($"lang", $"u")
+      def est(nKept: Column, kth: Column): Column =
+        when(nKept < K, nKept.cast("double"))
+          .otherwise(lit((K - 1).toDouble) * lit(pow52) / kth.cast("double"))
+      val langRows = state.groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), max($"u").as("kth"))
+        .select($"lang", est($"n_kept", $"kth").as("e"))
+      val mergedRow = state.select($"u").distinct().orderBy($"u").limit(K)
+        .agg(count(lit(1)).as("n_kept"), max($"u").as("kth"))
+        .select(lit("ALL").as("lang"), est($"n_kept", $"kth").as("e"))
+      langRows.unionByName(mergedRow)
+        .select($"lang", round($"e", 2).as("est_distinct"))
+        .orderBy($"lang")
     },
 
     // Theta sketches: the mergeable-sketch tier that supports set

@@ -300,6 +300,27 @@ class SimilaritySpec extends SparkSpec {
       .as[Long].head()
     assert(math.abs(est - 4000L) <= 120, s"estimate $est off exact 4000 by >3%")
   }
+
+  test("KMV: merge of per-shard K-smallest == global K-smallest; estimate within 30% at K=64") {
+    // The mergeability property the q_kmv_mergeable ALL row relies on:
+    // taking the K smallest of the union of per-shard K-smallest states
+    // yields exactly the global K smallest distinct hashes.
+    import org.apache.spark.sql.functions._
+    val K = 64
+    val df = spark.range(3000)
+      .select((col("id") % 3).as("shard"),
+        conv(substring(md5((col("id") % 2000).cast("string")), 1, 13), 16, 10)
+          .cast("long").as("u"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"shard").orderBy($"u")
+    val state = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K).select($"u")
+    val mergedTop = state.distinct().orderBy($"u").limit(K).as[Long].collect().toSeq
+    val globalTop = df.select($"u").distinct().orderBy($"u").limit(K).as[Long].collect().toSeq
+    assert(mergedTop == globalTop, "KMV merge must equal the global K-smallest")
+    val est = 63.0 * 4503599627370496.0 / globalTop.max
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.30, s"KMV estimate $est vs exact 2000")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
