@@ -202,20 +202,49 @@ object MinHash {
     * Returns (doc_a, doc_b, jaccard), doc_a < doc_b, exact Jaccard ≥
     * threshold, over distinct word-`shingleN`-gram shingle sets; docs with
     * fewer than `shingleN` tokens are out of scope (no shingles). */
+  /** Distinct word n-gram shingles in ONE linear JVM pass. The Column-form
+    * [[shingles]] is a higher-order `transform` whose lambda re-evaluates
+    * the tokenizing `split` once per shingle element (non-attribute
+    * children inline into HOF lambdas) — O(|toks|²) regex work per doc;
+    * this UDF is the same linear tokenize-once loop as
+    * [[signatureFromText]]. Emits the empty array for docs with < n
+    * tokens (out of scope for the portable pipeline). */
+  private[ext] def shinglesJvm(textCol: Column, n: Int): Column =
+    udf((t: String) => {
+      if (t == null) Array.empty[String]
+      else {
+        val toks = t.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i + n <= toks.length) {
+            seen.add(toks.slice(i, i + n).mkString(" ")); i += 1
+          }
+          seen.toArray(Array.empty[String])
+        }
+      }
+    }).apply(textCol)
+
   def portablePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
       shingleN: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val shsExpr = when(size(toks) >= shingleN,
-        array_distinct(transform(sequence(lit(1), size(toks) - (shingleN - 1)),
-          i => array_join(slice(toks, i, lit(shingleN)), " "))))
-      .otherwise(array().cast("array<string>"))
+    // Materialize the shingle sets once: the plan below reads shl THREE
+    // times (signature explode + both verify-join sides), and shingling is
+    // the costliest per-row stage. localCheckpoint trades one write of
+    // (id, shingles) for two full re-derivations. Only the shingle BUILD
+    // is JVM code (portability is about WHAT the shingle sets and the hash
+    // family are, both reproduced in the oracle's SQL — not how a given
+    // engine materializes them); every hash/band/verify expression below
+    // stays a codegen'd built-in.
     val shl = fanOutIfNarrow(df)
-      .select(col(idCol).as("doc"), shsExpr.as("shs"))
+      .select(col(idCol).as("doc"), shinglesJvm(col(textCol), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
+      .localCheckpoint()
     val ex = shl.select(col("doc"), explode(col("shs")).as("sh"))
       .select(col("doc"),
         md5(concat(lit("a:"), col("sh"))).as("ma"),

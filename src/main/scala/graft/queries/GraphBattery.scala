@@ -113,6 +113,44 @@ object GraphBattery {
       Graph.triangleCount(coEdges(s, d))
     },
 
+    // First-order Markov transition matrix over per-user event sequences —
+    // the weighted digraph a behavior model starts from: consecutive-event
+    // pairs via lead() in (ts, event_id) order (event_id breaks timestamp
+    // ties into a total order, so both engines see the same sequences),
+    // exact bigram counts, and row-normalized probabilities as one
+    // deterministic division. Scale: the window partitions by user_id (no
+    // global sort), the bigram aggregate is partial-combined map-side, and
+    // the |types|² transition matrix is broadcast-sized by construction.
+    sql("q_markov_transitions",
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.row_n, 6) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val bi = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val counts = bi.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("from_type").agg(sum("n").as("row_n"))
+      counts.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("row_n"), 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // Pearson chi-square test of independence: event_type × user parity.
     // Full r×c grid (row-total × col-total cross join, missing cells
     // observed=0) so sparse cells still contribute their expected mass —
