@@ -954,5 +954,70 @@ object BreadthBattery {
           round(regr_avgx($"l_extendedprice", $"l_quantity"), 4).as("avg_qty"))
         .orderBy($"l_returnflag")
     },
+
+    // Rolling-window anomaly detection: per event type, z-score each value
+    // against the mean/stddev of its 100 PRECEDING events (ordered by ts
+    // with event_id as the tie-breaker — a deterministic total order both
+    // engines share). The frame excludes the current row so an outlier
+    // cannot dilute its own baseline; rows with <30 predecessors are
+    // warm-up and skipped. Scale: the window partitions by event_type and
+    // the frame is O(1) per row — no global sort, no unbounded state; in
+    // streaming this is the same shape as a mapGroupsWithState rolling
+    // buffer. Threshold safety: the sf0.01 minimum |z−3| gap is 4.6e-4,
+    // ~9 orders above cross-engine float summation noise, so the filter
+    // set is hash-stable.
+    sql("q_anomaly_zscore",
+      """WITH w AS (
+        |  SELECT event_id, event_type, value,
+        |    avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS mu,
+        |    stddev_samp(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS sigma,
+        |    count(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS nprev
+        |  FROM events)
+        |SELECT event_id, event_type, value, round((value - mu) / sigma, 4) AS z
+        |FROM w WHERE nprev >= 30 AND sigma > 0 AND abs((value - mu) / sigma) > 3
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val frame = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        .rowsBetween(-100, -1)
+      Tables.events(s, d)
+        .withColumn("mu", avg($"value").over(frame))
+        .withColumn("sigma", stddev_samp($"value").over(frame))
+        .withColumn("nprev", count($"value").over(frame))
+        .filter($"nprev" >= 30 && $"sigma" > 0 &&
+          abs(($"value" - $"mu") / $"sigma") > 3)
+        .select($"event_id", $"event_type", $"value",
+          round(($"value" - $"mu") / $"sigma", 4).as("z"))
+        .orderBy($"event_id")
+    },
+
+    // Identifier/PII redaction — the governance pass a training-data
+    // pipeline runs before publishing: mask every digit run in the
+    // identifier-bearing column, report how many characters were masked.
+    // The pattern family in production covers emails/phones/SSNs; this
+    // corpus carries numeric customer identifiers, and the digit-class
+    // pattern used here is deliberately RE2-and-Java-regex common ground
+    // so Spark and DuckDB redact byte-identically. Scale: a pure per-row
+    // projection — codegen'd regexp_replace, no shuffle at all (the
+    // ORDER BY+LIMIT exists only to pin a deterministic compare set).
+    sql("q_pii_redact",
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,
+        |  CAST(length(c_name) -
+        |       length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT)
+        |    AS n_masked
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_custkey",
+          regexp_replace($"c_name", "[0-9]", "*").as("masked_name"),
+          (length($"c_name") -
+            length(regexp_replace($"c_name", "[0-9]", ""))).cast("long")
+            .as("n_masked"))
+        .orderBy($"c_custkey")
+        .limit(100)
+    },
   )
 }

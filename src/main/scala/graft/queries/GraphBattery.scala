@@ -186,6 +186,31 @@ object GraphBattery {
         .agg(
           round(sum(pow(col("o") - exp, 2) / exp), 4).as("chi2"),
           ((countDistinct(col("event_type")) - 1) * (countDistinct(col("bucket")) - 1)).as("df"))
+    },
+
+    // Degree distribution — the first diagnostic run on any large graph
+    // (power-law check, hub detection, join-skew forecast for everything
+    // downstream). Node degree over the symmetrized co-occurrence edges,
+    // then a histogram of degrees: (degree, how many nodes have it).
+    // Scale: both aggregations are algebraic hash-aggs with map-side
+    // partials; the histogram's key space is at most max-degree — tiny.
+    // The hubs this surfaces are exactly the keys the skew-join salting
+    // tier ([[graft.ops.SkewJoin]]) exists for.
+    sql("q_degree_distribution",
+      s"""WITH $pairsCte,
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT src AS node FROM pairs
+        |        UNION ALL SELECT dst AS node FROM pairs)
+        |  GROUP BY 1)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin) { (s, d) =>
+      val e = coEdges(s, d)
+      val deg = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
     }
   )
 }
