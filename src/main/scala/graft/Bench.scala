@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   * are insurance against JIT deopt / GC hiccups. On a fast machine this
   * still yields the old min-of-3; on a slow one it degrades to min-of-2,
   * then single-pass, then a partial pass — never to nothing.
+  *
+  * KNOWN BOUND: the budget and the periodic emit are both checked BETWEEN
+  * queries — a single query that hangs runs unbounded, and if the driver
+  * then kills the process the stdout tail still holds the last complete
+  * measurement set (that tail capture is the containment for this case;
+  * per-query timeouts would need a watchdog thread killing Spark jobs
+  * mid-flight, which risks wedging the session for every later query).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
