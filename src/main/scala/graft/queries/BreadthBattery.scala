@@ -960,12 +960,16 @@ object BreadthBattery {
     // with event_id as the tie-breaker — a deterministic total order both
     // engines share). The frame excludes the current row so an outlier
     // cannot dilute its own baseline; rows with <30 predecessors are
-    // warm-up and skipped. Scale: the window partitions by event_type and
-    // the frame is O(1) per row — no global sort, no unbounded state; in
-    // streaming this is the same shape as a mapGroupsWithState rolling
-    // buffer. Threshold safety: the sf0.01 minimum |z−3| gap is 4.6e-4,
-    // ~9 orders above cross-engine float summation noise, so the filter
-    // set is hash-stable.
+    // warm-up and skipped. Scale: event_type has a HANDFUL of values, so
+    // the textbook per-type window would sort each type's entire history
+    // in one task — instead RollingHalo splits the timeline into
+    // (type, day) window partitions and hands each bucket a ≤100-row halo
+    // of preceding rows, bitwise-identical output (RollingHaloSpec pins
+    // equivalence incl. sparse buckets and fold order; in streaming the
+    // same frame is a mapGroupsWithState ring buffer). Threshold safety:
+    // the sf0.01 minimum |z−3| gap is 4.6e-4, ~9 orders above
+    // cross-engine float summation noise, so the filter set is
+    // hash-stable.
     sql("q_anomaly_zscore",
       """WITH w AS (
         |  SELECT event_id, event_type, value,
@@ -980,12 +984,9 @@ object BreadthBattery {
         |FROM w WHERE nprev >= 30 AND sigma > 0 AND abs((value - mu) / sigma) > 3
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val frame = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-        .rowsBetween(-100, -1)
-      Tables.events(s, d)
-        .withColumn("mu", avg($"value").over(frame))
-        .withColumn("sigma", stddev_samp($"value").over(frame))
-        .withColumn("nprev", count($"value").over(frame))
+      graft.ext.RollingHalo
+        .precedingStats(Tables.events(s, d), "event_type", "ts", "event_id",
+          "value", frame = 100)
         .filter($"nprev" >= 30 && $"sigma" > 0 &&
           abs(($"value" - $"mu") / $"sigma") > 3)
         .select($"event_id", $"event_type", $"value",
