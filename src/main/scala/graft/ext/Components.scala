@@ -27,17 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Rounds the last [[connectedComponents]] call took to converge —
-    * observability for the cost-hardening contract: real dup graphs
-    * (pairs/triples) converge in 1-2 rounds, and pointer jumping bounds
-    * chains at O(log diameter), so a high round count flags a pathological
-    * graph before it becomes a runaway bench entry.
-    *
-    * SINGLE-THREADED-DRIVER assumption: this is process-global last-call
-    * state; concurrent connectedComponents calls interleave writes, so read
-    * it only when calls are serialized (the batch-pipeline and test shape).
-    * Concurrent callers needing the count should wrap the call site. */
-  @volatile var lastRounds: Int = 0
+  /** Labeled components plus convergence observability: `rounds` is the
+    * number of propagation rounds the distributed path ran (0 = the bounded
+    * driver union-find served the call). Real dup graphs (pairs/triples)
+    * converge in 1-2 rounds and pointer jumping bounds chains at
+    * O(log diameter), so a high round count flags a pathological graph
+    * before it becomes a runaway bench entry. Returned per call — no
+    * process-global state, so concurrent calls each see their own count. */
+  final case class Result(labels: DataFrame, rounds: Int)
 
   /** edges: two long-typed columns (src, dst), undirected (either
     * orientation). Returns (id, component): every node that appears in an
@@ -58,7 +55,17 @@ object Components {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIters: Int = 20,
-      maxLocalEdges: Long = 1L << 20): DataFrame = {
+      maxLocalEdges: Long = 1L << 20): DataFrame =
+    connectedComponentsWithStats(edges, srcCol, dstCol, maxIters, maxLocalEdges)
+      .labels
+
+  /** [[connectedComponents]] plus the per-call round count (see [[Result]]). */
+  def connectedComponentsWithStats(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIters: Int = 20,
+      maxLocalEdges: Long = 1L << 20): Result = {
     require(maxLocalEdges < Int.MaxValue, "maxLocalEdges must fit an Int limit")
     val symPlan = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -75,7 +82,8 @@ object Components {
       val spark = edges.sparkSession
       import spark.implicits._
       val head = symPlan.as[(Long, Long)].limit(maxLocalEdges.toInt + 1).collect()
-      if (head.length <= maxLocalEdges) return localComponents(spark, head)
+      if (head.length <= maxLocalEdges)
+        return Result(localComponents(spark, head), rounds = 0)
     }
     val sym = symPlan.localCheckpoint()
 
@@ -112,13 +120,12 @@ object Components {
       changed = stepped.filter(col("label") =!= col("old_label")).count()
       labels = stepped.select("id", "label")
       i += 1
-      lastRounds = i
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIters rounds " +
           s"($changed labels still moving) — raise maxIters")
-    labels.select(col("id"), col("label").as("component"))
+    Result(labels.select(col("id"), col("label").as("component")), i)
   }
 
   /** Driver-side union-find (path compression + union by rank) over a
@@ -156,7 +163,6 @@ object Components {
       val r = find(n)
       minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
     }
-    lastRounds = 0 // no propagation rounds ran
     nodes.iterator.map(n => (n, minOfRoot(find(n)))).toSeq
       .toDF("id", "component")
   }

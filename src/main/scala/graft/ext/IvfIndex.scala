@@ -169,6 +169,38 @@ object IvfIndex {
         col("e.v").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** [[train]] behind a driver-side centroid cache ([[IndexStore]], the
+    * PQ/OPQ model pattern): the first call for a (cacheKey, k) pair runs
+    * Lloyd's and persists the k·d-double codebook as one atomic file; later
+    * calls load it — so repeated in-path queries (bench passes, retried
+    * jobs) pay assignment + search only, never retraining. Fold a
+    * [[IndexStore.dataFingerprint]] into `cacheKey` so a regenerated source
+    * table misses the stale codebook and retrains. */
+  def trainCached(vectors: DataFrame, k: Int, cacheKey: String): DataFrame = {
+    val spark = vectors.sparkSession
+    val path = IndexStore.indexDir("ivf-centroids", cacheKey, s"k$k") + "/centroids.bin"
+    val cents: Array[(Int, Array[Double])] =
+      IndexStore.load[Array[(Int, Array[Double])]](path).getOrElse {
+        val trained = train(vectors, k)
+          .select(col("cluster_id").cast("int"),
+            col("centroid").cast("array<double>"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        IndexStore.save(path, trained)
+        trained
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.toSeq.map { case (cid, c) =>
+        org.apache.spark.sql.Row(cid, c.toSeq)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true))))
+  }
+
   /** One-call convenience: train + build + search over a single table.
     * Demonstration path — production queries go through [[buildIndex]] once
     * and [[searchIndexed]] per query batch, so index construction never sits

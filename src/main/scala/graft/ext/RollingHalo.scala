@@ -61,18 +61,41 @@ object RollingHalo {
       .filter(col("__rnd") <= frame)
       .drop("__rnd")
 
+    // Per-(key, bucket) tail counts with running totals over the bucket
+    // axis — metadata-sized (≤ one row per bucket per key, independent of
+    // data volume). `__cum_after` = tail rows in strictly later buckets;
+    // a target bucket's at-or-after total is `__cum_after + __cnt`.
+    val cnts = tails.groupBy(col(keyCol), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val laterW = Window.partitionBy(col(keyCol)).orderBy(col("__bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val meta = cnts.withColumn("__cum_after",
+      coalesce(sum(col("__cnt")).over(laterW), lit(0L)))
+    val srcTails = tails.join(
+      meta.select(col(keyCol), col("__bucket"), col("__cum_after")),
+      Seq(keyCol, "__bucket"))
+
     // Renamed key sidesteps Spark's self-join lineage ambiguity (a
     // tails(keyCol) === buckets(keyCol) condition resolves both sides to
     // the SAME attribute → trivially true, silently joining across keys).
-    val buckets = bucketed
-      .select(col(keyCol).as("__tgt_key"), col("__bucket").as("__tgt"))
-      .distinct()
+    // Every bucket with rows contributes ≥ 1 tail row, so `meta` carries
+    // the full (key, bucket) set.
+    val buckets = meta.select(col(keyCol).as("__tgt_key"),
+      col("__bucket").as("__tgt"),
+      (col("__cum_after") + col("__cnt")).as("__tgt_cum"))
 
-    // Halo of target bucket b = latest `frame` rows among tails of all
-    // strictly earlier buckets. Runs entirely on the tiny tails table.
-    val halo = tails.join(buckets,
-        col(keyCol) === col("__tgt_key") && col("__bucket") < col("__tgt"))
-      .drop("__tgt_key")
+    // Halo of target bucket t = latest `frame` rows among tails of all
+    // strictly earlier buckets. Runs entirely on the tiny tails table, and
+    // the candidate set is PRUNED before ranking: a source bucket b with
+    // ≥ `frame` tail rows in buckets strictly between b and t
+    // (`__cum_after(b) − __tgt_cum(t) ≥ frame` — every one of them sorts
+    // after all of b's rows) is shadowed and can never reach t's top
+    // `frame`, so each target joins only the nearest contributing buckets:
+    // O(F·B) tail-join output per key instead of O(F·B²) in bucket count B.
+    val halo = srcTails.join(buckets,
+        col(keyCol) === col("__tgt_key") && col("__bucket") < col("__tgt") &&
+          col("__cum_after") - col("__tgt_cum") < frame)
+      .drop("__tgt_key", "__cum_after", "__tgt_cum")
       .withColumn("__rnk", row_number().over(
         Window.partitionBy(col(keyCol), col("__tgt"))
           .orderBy(col(tsCol).desc, col(idCol).desc)))

@@ -346,6 +346,23 @@ object ExtensionBattery {
         .limit(500)
     },
 
+    // PRODUCTION-SPEED MinHash+LSH: the FNV-1a/splitmix64 JVM hash family —
+    // one fused tokenize→shingle→minhash pass per row, no md5. Rows-only
+    // (the hash family is engine-specific by design); ExtOpsSpec pins that
+    // on planted near-dups the verified pair set matches the portable md5
+    // pipeline exactly. Registered so the bench exercises the path
+    // production dedup actually runs (the oracled q_minhash_neardup pays
+    // ~40% md5 overhead for cross-engine reproducibility).
+    rowsOnly("q_minhash_neardup_fast") { (s, d) =>
+      import s.implicits._
+      MinHash.candidatePairs(Tables.documents(s, d), "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3)
+        .filter($"est_jaccard" >= 0.3)
+        .select($"doc_a", $"doc_b", round($"est_jaccard", 4).as("est_jaccard"))
+        .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
+        .limit(500)
+    },
+
     // SimHash near-dup pipeline, FULLY ORACLED: per-token hash = top 8 hex
     // chars of md5("s:"+tok), so the 32-bit majority-vote fingerprint, the
     // 2×16-bit band join, and the Hamming verify are reproduced in DuckDB
@@ -356,6 +373,18 @@ object ExtensionBattery {
     sql("q_simhash_neardup", simhashPortableOracleSql) { (s, d) =>
       import s.implicits._
       SimHash.portablePairs(Tables.documents(s, d), "doc_id", "text",
+          maxDist = 3)
+        .orderBy($"hamming".asc, $"doc_a", $"doc_b")
+        .limit(500)
+    },
+
+    // PRODUCTION-SPEED SimHash: 64-bit FNV-1a fingerprint with Manku-style
+    // banding (full recall at Hamming ≤ 3 by pigeonhole — stronger than the
+    // portable 32-bit form's probabilistic ≥ 2 radius). Rows-only;
+    // ExtOpsSpec pins fast-vs-portable agreement on planted dups.
+    rowsOnly("q_simhash_neardup_fast") { (s, d) =>
+      import s.implicits._
+      SimHash.candidatePairs(Tables.documents(s, d), "doc_id", "text",
           maxDist = 3)
         .orderBy($"hamming".asc, $"doc_a", $"doc_b")
         .limit(500)
@@ -475,13 +504,21 @@ object ExtensionBattery {
         .orderBy($"l_returnflag")
     },
 
-    // IVF approximate top-k (scale path #2): train coarse centroids, assign
+    // IVF approximate top-k (scale path #2): coarse centroids, assigned
     // inverted lists, probe only the nprobe nearest lists per query.
     // Approximate by construction → rows-only, deterministic ordering.
+    // The codebook comes from the trainCached driver cache (fingerprint-
+    // keyed): Lloyd's runs once per data vintage, not once per query — the
+    // same build-once/serve split the snapshot-table path
+    // (q_cosine_topk_ivf_indexed) applies to the inverted lists.
     rowsOnly("q_cosine_topk_ivf") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      IvfIndex.topK(s, emb, emb.filter($"id" < 10), k = 5, nClusters = 16, nprobe = 4)
+      val cacheKey = s"$d/embeddings.parquet#" +
+        graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet")
+      val centroids = IvfIndex.trainCached(emb, k = 16, cacheKey)
+      IvfIndex.search(emb.filter($"id" < 10), IvfIndex.build(emb, centroids),
+          centroids, k = 5, nprobe = 4)
         .orderBy($"query_id", $"rank")
     },
 
@@ -517,6 +554,20 @@ object ExtensionBattery {
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
       Similarity.portableNearDupPairs(emb, minCos = 0.3, bits = 64, bands = 8)
+        .orderBy($"cos".desc, $"id_a", $"id_b")
+        .limit(200)
+    },
+
+    // PRODUCTION-SPEED cosine LSH: the splitmix64-derived hyperplane family
+    // (one fused JVM signature pass per row) instead of the ±1 md5 planes +
+    // 64 codegen'd dot products the oracled form pays for portability.
+    // Rows-only; the exact-cosine verify stage is shared with the portable
+    // form, and SimilaritySpec pins high-threshold recall on planted
+    // near-dups for this family.
+    rowsOnly("q_cosine_neardup_lsh_fast") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      Similarity.lshNearDupPairs(emb, minCos = 0.3, bits = 64, bands = 8)
         .orderBy($"cos".desc, $"id_a", $"id_b")
         .limit(200)
     },

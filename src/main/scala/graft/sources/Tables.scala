@@ -19,18 +19,28 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame     = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame   = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read it as a long (nanos since epoch) and floor
-    * to microseconds — the same truncation DuckDB applies when it surfaces the
-    * column as a µs TIMESTAMP, so oracle comparisons line up. Integer `div`
-    * (not `/`) keeps the full 64-bit precision; double division would lose
-    * low-order digits at 1.7e18 nanos.
+  /** `events.ts` has shipped as either parquet TIMESTAMP(MICROS) (read
+    * natively) or TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    * outright — for the nanos vintage, read it as a long (nanos since epoch)
+    * and floor to microseconds, the same truncation DuckDB applies when it
+    * surfaces the column as a µs TIMESTAMP, so oracle comparisons line up.
+    * Integer `div` (not `/`) keeps the full 64-bit precision; double
+    * division would lose low-order digits at 1.7e18 nanos.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // normalize to TimestampType so downstream code sees one type across
+        // data vintages; session tz is pinned UTC, so values are unchanged
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -33,18 +33,19 @@ class ComponentsSpec extends SparkSpec {
     // the default maxIters = 20 is ample (≈ 2·log2(300) ≈ 17 worst case)
     val n = 300
     val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
-    val got = Components.connectedComponents(edges, maxLocalEdges = 0) // force distributed
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = Components.connectedComponentsWithStats(edges, maxLocalEdges = 0) // force distributed
+    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n && got.values.toSet == Set(1L))
-    assert(Components.lastRounds <= 17,
-      s"expected O(log n) convergence, took ${Components.lastRounds} rounds")
+    assert(res.rounds <= 17,
+      s"expected O(log n) convergence, took ${res.rounds} rounds")
   }
 
-  test("round count is recorded and small for typical dup-pair graphs") {
+  test("round count is returned and small for typical dup-pair graphs") {
     val edges = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
-    Components.connectedComponents(edges, maxLocalEdges = 0).collect() // distributed
-    assert(Components.lastRounds >= 1 && Components.lastRounds <= 2,
-      s"pair clusters must converge immediately, took ${Components.lastRounds}")
+    val res = Components.connectedComponentsWithStats(edges, maxLocalEdges = 0) // distributed
+    res.labels.collect()
+    assert(res.rounds >= 1 && res.rounds <= 2,
+      s"pair clusters must converge immediately, took ${res.rounds}")
   }
 
   test("local union-find path (under the edge gate) matches the distributed path") {
@@ -53,12 +54,12 @@ class ComponentsSpec extends SparkSpec {
     val edges = (0 until 90)
       .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       .toDF("src", "dst")
-    val local = Components.connectedComponents(edges) // under gate -> local
-    assert(Components.lastRounds == 0, "expected the bounded local path")
-    val dist = Components.connectedComponents(edges, maxLocalEdges = 0)
-    assert(Components.lastRounds >= 1, "expected the distributed path")
-    val lm = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dm = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Components.connectedComponentsWithStats(edges) // under gate -> local
+    assert(local.rounds == 0, "expected the bounded local path")
+    val dist = Components.connectedComponentsWithStats(edges, maxLocalEdges = 0)
+    assert(dist.rounds >= 1, "expected the distributed path")
+    val lm = local.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dm = dist.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lm == dm)
   }
 

@@ -116,6 +116,30 @@ class MinHashSpec extends SparkSpec {
     assert(pairs.values.forall(_ >= 0.3))
     assert(pairs.keys.forall { case (a, b) => a != 5L && b != 5L })
   }
+
+  test("fast (FNV) and portable (md5) pipelines keep the same pairs on a separated corpus") {
+    // The benched q_minhash_neardup_fast entry must stay interchangeable
+    // with the oracled portable form wherever the corpus separates cleanly:
+    // identical docs (jaccard 1 — every band agrees in BOTH hash families)
+    // and disjoint docs (jaccard 0 — verification rejects any band
+    // collision). Between-threshold docs can legitimately differ (estimated
+    // vs exact jaccard), so the fixture avoids them.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "completely different content about machine learning and neural networks"),
+      (4L, "completely different content about machine learning and neural networks"),
+      (5L, "unrelated text regarding quarterly financial reporting and audits"),
+      (6L, "another standalone document on gardening tips for dry climates")
+    ).toDF("doc_id", "text")
+    val fast = MinHash.candidatePairs(docs, "doc_id", "text", k = 64, bands = 16, shingleN = 3)
+      .filter(col("est_jaccard") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = MinHash.portablePairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == Set((1L, 2L), (3L, 4L)))
+    assert(portable == fast)
+  }
 }
 
 class SimHashSpec extends SparkSpec {
@@ -190,6 +214,25 @@ class SimHashSpec extends SparkSpec {
     assert(pairs.values.forall(_ <= 3))
     assert(pairs.keys.forall { case (a, b) => a != 4L && b != 4L })
   }
+
+  test("fast (64-bit FNV) and portable (32-bit md5) pipelines agree on a separated corpus") {
+    // Pins the benched q_simhash_neardup_fast entry to the oracled portable
+    // form on clean separations: identical docs are hamming 0 in both
+    // fingerprint families; unrelated docs must exceed maxDist in both.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "solar panels convert sunlight into renewable electric power daily"),
+      (5L, "solar panels convert sunlight into renewable electric power daily")
+    ).toDF("doc_id", "text")
+    val fast = SimHash.candidatePairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = SimHash.portablePairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == Set((1L, 2L), (4L, 5L)))
+    assert(portable == fast)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -258,6 +301,17 @@ class SimilaritySpec extends SparkSpec {
       "precision: every returned pair must verify at the threshold")
     val recall = truth.count(found.contains).toDouble / truth.size
     assert(recall >= 0.9, s"recall $recall < 0.9 (found ${found.size}/${truth.size})")
+    // The benched fast entry (q_cosine_neardup_lsh_fast) must hold the same
+    // bar as the oracled portable form on this fixture: both share the
+    // exact-cosine verify, so precision is structural; recall may differ
+    // per hash family but both must clear the 0.9 design point.
+    val portable = Similarity
+      .portableNearDupPairs(vecs, minCos = 0.85, bits = 64, bands = 8, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(portable.forall { case (a, b) => cosExact(byId(a), byId(b)) >= 0.85 - 1e-9 })
+    val recallPortable = truth.count(portable.contains).toDouble / truth.size
+    assert(recallPortable >= 0.9,
+      s"portable recall $recallPortable < 0.9 (found ${portable.size}/${truth.size})")
   }
 
   test("portableNearDupPairs: exact dup at cos 1.0; precision holds; planes deterministic") {

@@ -37,6 +37,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(spread.forall(_ == 1L))
   }
 
+  test("trainCached: first call trains and persists, second call loads the same codebook") {
+    val cacheKey = s"ivf-traincache-test-${System.nanoTime()}"
+    val c1 = IvfIndex.trainCached(vecs, k = 3, cacheKey)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val c2 = IvfIndex.trainCached(vecs, k = 3, cacheKey)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(c1.length == 3)
+    assert(c1.toSeq == c2.toSeq, "cache hit must return the identical codebook")
+    // and the cached codebook serves search identically to a fresh train
+    val fresh = IvfIndex.train(vecs, k = 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(c1.toSeq == fresh.toSeq)
+  }
+
   test("nprobe = nClusters degrades exactly to brute force") {
     val queries = vecs.filter($"id" < 5)
     val brute = Similarity.bruteForceTopK(queries, vecs, k = 3)
