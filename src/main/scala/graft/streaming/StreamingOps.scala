@@ -159,6 +159,66 @@ object StreamingOps {
       }
       .start()
 
+  // ---- rolling z-score anomaly detection ----------------------------------
+
+  final case class ZEvent(event_id: Long, event_type: String, ts: Timestamp, value: Double)
+  final case class ZState(vals: Seq[Double])
+  final case class ZAnomaly(event_id: Long, event_type: String, value: Double, z: Double)
+
+  /** Rolling z-score anomaly detection, STREAMING form — the incremental
+    * twin of the batch `q_anomaly_zscore` window (`RollingHalo
+    * .precedingStats` + filter): each event is scored against the mean /
+    * sample-stddev of the `frame` events that PRECEDED it for its key, so
+    * an outlier never dilutes its own baseline; events with fewer than
+    * `minPrev` predecessors are warm-up and never emitted.
+    *
+    * State per key is a bounded ring of the last `frame` values — O(frame)
+    * doubles regardless of history length, the same state discipline as
+    * [[sessionizeStream]]. `flatMapGroupsWithState` rather than a windowed
+    * agg because the frame is a ROW count, not a time width — no built-in
+    * streaming window expresses "last 100 events".
+    *
+    * Ordering contract: rows are folded in (ts, event_id) order WITHIN each
+    * micro-batch; cross-batch order is arrival order — correct for per-key
+    * in-order sources (the CDC / append-log shape this models). Late
+    * arrivals would need a watermarked reorder buffer in front.
+    * ZscoreStreamSpec pins stream ≡ batch on a planted fixture. */
+  def zscoreAnomaliesStream(
+      events: Dataset[ZEvent],
+      frame: Int = 100,
+      minPrev: Int = 30,
+      threshold: Double = 3.0): Dataset[ZAnomaly] = {
+    implicit val stateEnc = Encoders.product[ZState]
+    implicit val outEnc = Encoders.product[ZAnomaly]
+    events
+      .groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState[ZState, ZAnomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[ZEvent], state: GroupState[ZState]) =>
+          var ring = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty)
+          val out = Seq.newBuilder[ZAnomaly]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val n = ring.size
+            if (n >= minPrev) {
+              var sum = 0.0
+              ring.foreach(sum += _)
+              val mu = sum / n
+              var ss = 0.0
+              ring.foreach { v => val d = v - mu; ss += d * d }
+              val sigma = math.sqrt(ss / (n - 1))
+              if (sigma > 0) {
+                val z = (e.value - mu) / sigma
+                if (math.abs(z) > threshold) out += ZAnomaly(e.event_id, key, e.value, z)
+              }
+            }
+            ring = if (ring.size >= frame) ring.drop(ring.size - frame + 1) :+ e.value
+                   else ring :+ e.value
+          }
+          state.update(ZState(ring))
+          out.result().iterator
+      }
+  }
+
   // ---- sessionization ------------------------------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps.{ZAnomaly, ZEvent}
+import org.apache.spark.sql.functions._
+
+/** The streaming ring-buffer z-score must emit exactly the rows the oracled
+  * batch window (`q_anomaly_zscore`'s RollingHalo form) flags — same ids,
+  * same z to 4 decimals — both when all events arrive in one micro-batch
+  * and when they trickle across several.
+  */
+class ZscoreStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val frame = 20
+  private val minPrev = 10
+
+  /** Planted fixture: per key, a stable baseline with two gross outliers.
+    * One outlier sits inside the warm-up window (must NOT emit), one after
+    * it (must emit); key "b" checks state isolation. */
+  private def fixture: Seq[ZEvent] = {
+    def mk(key: String, idBase: Long): Seq[ZEvent] = (1 to 60).map { i =>
+      val v =
+        if (i == 5) 500.0       // inside warm-up: never scored
+        else if (i == 40) 300.0 // scored against a tight baseline → |z| >> 3
+        else 10.0 + (i % 3)     // baseline wiggle keeps sigma > 0
+      ZEvent(idBase + i, key,
+        Timestamp.valueOf(f"2024-06-01 ${8 + i / 60}%02d:${i % 60}%02d:00"), v)
+    }
+    mk("a", 1000L) ++ mk("b", 2000L)
+  }
+
+  private def batchReference: Map[Long, Double] =
+    graft.ext.RollingHalo
+      .precedingStats(fixture.toDF(), "event_type", "ts", "event_id", "value",
+        frame = frame)
+      .filter($"nprev" >= minPrev && $"sigma" > 0 &&
+        abs(($"value" - $"mu") / $"sigma") > 3)
+      .select($"event_id", round(($"value" - $"mu") / $"sigma", 4).as("z"))
+      .as[(Long, Double)].collect().toMap
+
+  private def runStream(batches: Seq[Seq[ZEvent]]): Map[Long, Double] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ZEvent]
+    val name = s"zs_${System.nanoTime()}"
+    val q = StreamingOps
+      .zscoreAnomaliesStream(mem.toDS(), frame = frame, minPrev = minPrev)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    val rows = spark.table(name).as[ZAnomaly].collect()
+    q.stop()
+    rows.map(a => a.event_id -> BigDecimal(a.z)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+  }
+
+  test("single micro-batch: stream emits exactly the batch window's anomalies") {
+    val ref = batchReference
+    assert(ref.nonEmpty, "fixture must plant at least one scored outlier")
+    assert(ref.keySet == Set(1040L, 2040L),
+      s"fixture sanity: post-warm-up outliers only, got ${ref.keySet}")
+    assert(runStream(Seq(fixture)) == ref)
+  }
+
+  test("multi-batch trickle: ring state carries the frame across micro-batches") {
+    // split INSIDE the rolling frame of the scored outlier, so its baseline
+    // spans the batch boundary — state must reconstruct it exactly
+    val byTime = fixture.sortBy(e => (e.ts.getTime, e.event_id))
+    val batches = Seq(
+      byTime.filter(_.event_id % 1000 <= 35),
+      byTime.filter(e => e.event_id % 1000 > 35 && e.event_id % 1000 <= 45),
+      byTime.filter(_.event_id % 1000 > 45))
+    assert(runStream(batches) == batchReference)
+  }
+}
