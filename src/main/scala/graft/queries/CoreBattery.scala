@@ -192,15 +192,27 @@ object CoreBattery {
 
     // Approximate aggregates — the 100 TB substitute for exact distincts:
     // HLL++ count-distinct and quantile sketch, one pass, fixed memory.
-    // Sketch values are engine-specific → rows-only; the spec pins accuracy
-    // against exact answers.
-    rowsOnly("q_approx_stats") { (s, d) =>
+    // ORACLED IN THE EXACT REGIME (the theta/KLL discipline): the distinct
+    // count runs over a low-cardinality column (HLL++'s linear-counting
+    // range, where the estimate IS the count) and the percentile's accuracy
+    // parameter exceeds every group size, so the sketch retains all values
+    // and returns the true discrete median — both therefore equal the
+    // oracle's exact aggregates. ApproxSpec separately pins the
+    // approximate-regime accuracy bands (high-cardinality l_partkey).
+    sql("q_approx_stats",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS approx_statuses,
+        |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity), 2)
+        |    AS p50_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       import s.implicits._
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_partkey").as("approx_parts"),
-          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_price"),
+          approx_count_distinct($"l_linestatus").as("approx_statuses"),
+          round(percentile_approx($"l_quantity", lit(0.5), lit(1000000)), 2)
+            .as("p50_qty"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag")
     },

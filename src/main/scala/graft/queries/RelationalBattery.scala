@@ -22,6 +22,45 @@ import graft.sources.Tables
 object RelationalBattery {
   import QueryDef._
 
+  /** DERIVED partsupp: the driver testdata carries no partsupp table, so the
+    * TPC-H Q2/Q11/Q16 shapes derive one deterministically from `part` ×
+    * `supplier` — 4 supplier rows per part via modular arithmetic, availqty
+    * and supplycost as pure integer functions of (partkey, suppkey). The
+    * oracle SQL below computes the SAME rows with the SAME arithmetic, so
+    * the queries stay fully hash-oracled (supplycost is an integer-VALUED
+    * double: products and sums stay exact, immune to cross-engine float
+    * summation order). Scale shape: |partsupp| = 4·|part| — a projection +
+    * 4-row explode off the part scan, one broadcast of the 1-row supplier
+    * count; never a supplier-table product. */
+  private def partsuppDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val scnt = Tables.supplier(s, d).agg(count(lit(1)).as("s_cnt"))
+    Tables.part(s, d).select($"p_partkey")
+      .crossJoin(broadcast(scnt))
+      .select($"p_partkey", explode(sequence(lit(0), lit(3))).as("i"), $"s_cnt")
+      .select($"p_partkey".as("ps_partkey"),
+        (($"p_partkey" * 13 + $"i" * 7) % $"s_cnt" + 1).as("ps_suppkey"))
+      .distinct()
+      .select($"ps_partkey", $"ps_suppkey",
+        (($"ps_partkey" * 7 + $"ps_suppkey" * 3) % 9999 + 1).cast("long")
+          .as("ps_availqty"),
+        (($"ps_partkey" * 31 + $"ps_suppkey" * 17) % 1000 + 1).cast("double")
+          .as("ps_supplycost"))
+  }
+
+  /** The oracle-side twin of [[partsuppDf]], as a WITH-clause body. */
+  private val partsuppSql =
+    """ps AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST((ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS BIGINT) AS ps_availqty,
+      |    CAST((ps_partkey * 31 + ps_suppkey * 17) % 1000 + 1 AS DOUBLE) AS ps_supplycost
+      |  FROM (
+      |    SELECT DISTINCT p_partkey AS ps_partkey,
+      |      (p_partkey * 13 + i * 7) % s_cnt + 1 AS ps_suppkey
+      |    FROM part
+      |    CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier),
+      |    unnest(generate_series(0, 3)) AS u(i)))""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Broadcast hash join: fact ⋈ small dim, no shuffle on the fact side.
@@ -596,6 +635,165 @@ object RelationalBattery {
         .join(heavy, $"s_suppkey" === $"l_suppkey", "left_semi")
         .select($"s_suppkey", $"s_name")
         .orderBy($"s_suppkey")
+    },
+
+    // TPC-H Q2 shape: minimum-cost supplier per part in a region — the
+    // correlated-MIN-subquery pattern, planned as an aggregate + re-join
+    // (no per-row subquery execution). Dimensions broadcast; the derived
+    // partsupp (see partsuppDf) keeps the shape fully hash-oracled.
+    sql("q_min_cost_supplier",
+      s"""WITH $partsuppSql,
+         |costs AS (
+         |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+         |  FROM ps
+         |  JOIN supplier ON s_suppkey = ps_suppkey
+         |  JOIN nation ON n_nationkey = s_nationkey
+         |  JOIN region ON r_regionkey = n_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |minc AS (
+         |  SELECT ps_partkey AS mk, min(ps_supplycost) AS min_cost
+         |  FROM costs GROUP BY 1)
+         |SELECT round(c.s_acctbal, 2) AS s_acctbal, c.s_name, c.n_name,
+         |  p.p_partkey, p.p_type, round(c.ps_supplycost, 2) AS cost
+         |FROM costs c
+         |JOIN minc ON mk = c.ps_partkey AND c.ps_supplycost = min_cost
+         |JOIN part p ON p.p_partkey = c.ps_partkey
+         |WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val costs = partsuppDf(s, d)
+        .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"ps_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"n_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "EUROPE")),
+          $"r_regionkey" === $"n_regionkey")
+        .select($"ps_partkey", $"ps_supplycost", $"s_acctbal", $"s_name", $"n_name")
+      val minc = costs.groupBy($"ps_partkey".as("mk"))
+        .agg(min($"ps_supplycost").as("min_cost"))
+      costs
+        .join(minc, $"mk" === $"ps_partkey" && $"ps_supplycost" === $"min_cost")
+        .join(broadcast(Tables.part(s, d)
+            .filter($"p_size" <= 15 && $"p_type" === "LARGE")),
+          $"p_partkey" === $"ps_partkey")
+        .select(round($"s_acctbal", 2).as("s_acctbal"), $"s_name", $"n_name",
+          $"p_partkey", $"p_type", round($"ps_supplycost", 2).as("cost"))
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    },
+
+    // TPC-H Q11 shape: important stock — per-part inventory value in one
+    // nation, kept when above a fraction of the nation's total. The global
+    // total is a 1-row aggregate broadcast into the HAVING filter (a scalar
+    // subquery in SQL); supplycost·availqty is integer-valued, so both
+    // sums are exact and the threshold compare cannot flip cross-engine.
+    sql("q_important_stock",
+      s"""WITH $partsuppSql,
+         |nps AS (
+         |  SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+         |  FROM ps
+         |  JOIN supplier ON s_suppkey = ps_suppkey
+         |  JOIN nation ON n_nationkey = s_nationkey
+         |  WHERE n_name = 'NATION_3')
+         |SELECT ps_partkey, round(sum(val), 2) AS value
+         |FROM nps
+         |GROUP BY ps_partkey
+         |HAVING sum(val) > (SELECT sum(val) * 0.001 FROM nps)
+         |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val nps = partsuppDf(s, d)
+        .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"ps_suppkey")
+        .join(broadcast(Tables.nation(s, d).filter($"n_name" === "NATION_3")),
+          $"n_nationkey" === $"s_nationkey")
+        .select($"ps_partkey", ($"ps_supplycost" * $"ps_availqty").as("val"))
+      val tot = nps.agg(sum($"val").as("total"))
+      nps.groupBy($"ps_partkey").agg(sum($"val").as("v"))
+        .crossJoin(broadcast(tot))
+        .filter($"v" > $"total" * 0.001)
+        .select($"ps_partkey", round($"v", 2).as("value"))
+        .orderBy($"value".desc, $"ps_partkey")
+    },
+
+    // TPC-H Q12 shape: shipmode priority counts. The testdata lineitem has
+    // no shipmode/commitdate/receiptdate — all three derive deterministically
+    // from (l_orderkey, l_linenumber, l_shipdate) with the same arithmetic
+    // in both engines, so the shape stays hash-oracled. Fact-fact join
+    // (orders ⋈ filtered lineitem) is left to Catalyst/AQE.
+    sql("q_shipmode_priority",
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    ['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB']
+        |      [CAST((l_orderkey * 3 + l_linenumber) % 7 AS INT) + 1] AS l_shipmode,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST((l_orderkey * 2 + l_linenumber) % 45 - 10 AS INT) AS l_commitdate,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST((l_orderkey + l_linenumber) % 30 + 1 AS INT) AS l_receiptdate,
+        |    CAST(l_shipdate AS DATE) AS l_sdate
+        |  FROM lineitem)
+        |SELECT l_shipmode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN li ON o_orderkey = l_orderkey
+        |WHERE l_commitdate < l_receiptdate AND l_sdate < l_commitdate
+        |  AND l_shipmode IN ('MAIL', 'SHIP')
+        |  AND l_receiptdate >= DATE '1996-01-01'
+        |  AND l_receiptdate < DATE '1997-01-01'
+        |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val modes = array(Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+        .map(lit): _*)
+      val li = Tables.lineitem(s, d).select($"l_orderkey",
+        element_at(modes,
+          (($"l_orderkey" * 3 + $"l_linenumber") % 7).cast("int") + 1)
+          .as("l_shipmode"),
+        date_add($"l_shipdate".cast("date"),
+          (($"l_orderkey" * 2 + $"l_linenumber") % 45 - 10).cast("int"))
+          .as("l_commitdate"),
+        date_add($"l_shipdate".cast("date"),
+          (($"l_orderkey" + $"l_linenumber") % 30 + 1).cast("int"))
+          .as("l_receiptdate"),
+        $"l_shipdate".cast("date").as("l_sdate"))
+      li.filter($"l_commitdate" < $"l_receiptdate" && $"l_sdate" < $"l_commitdate" &&
+          $"l_shipmode".isin("MAIL", "SHIP") &&
+          $"l_receiptdate" >= lit("1996-01-01").cast("date") &&
+          $"l_receiptdate" < lit("1997-01-01").cast("date"))
+        .join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_shipmode")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("high_line_count"),
+          sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("low_line_count"))
+        .orderBy($"l_shipmode")
+    },
+
+    // TPC-H Q16 shape: supplier count per (brand, type, size) excluding a
+    // "complaints" supplier set (NOT IN → left-anti; the testdata supplier
+    // has no comment column, so membership derives from the key). The
+    // count(DISTINCT) partial-aggregates per group map-side.
+    sql("q_parts_supplier_count",
+      s"""WITH $partsuppSql
+         |SELECT p_brand, p_type, p_size,
+         |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM ps JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         |  AND ps_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val complaints = Tables.supplier(s, d)
+        .filter($"s_suppkey" % 13 === 0).select($"s_suppkey")
+      partsuppDf(s, d)
+        .join(broadcast(complaints), $"s_suppkey" === $"ps_suppkey", "left_anti")
+        .join(broadcast(Tables.part(s, d)
+            .filter($"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO" &&
+              $"p_size".isin(1, 9, 14, 19, 23, 36, 45, 49))),
+          $"p_partkey" === $"ps_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
     },
 
     // Left-semi join (EXISTS).

@@ -170,4 +170,40 @@ class PlanAuditSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"outer IN not planned as semi join:\n$plan")
   }
+
+  test("registry-wide: no cartesian product; nested-loop joins only where whitelisted") {
+    // A CartesianProduct (both sides shuffled, |L|·|R| rows) is never
+    // acceptable at scale — no query may plan one. BroadcastNestedLoopJoin
+    // is acceptable ONLY when the broadcast side is bounded by
+    // construction; every entry below is one of:
+    //   - a 1-row aggregate folded into a filter/projection (q_theta_*,
+    //     q_chisq_independence, q_lm_perplexity, q_tfidf, q_bm25_*,
+    //     q_important_stock, q_inactive_rich_cust, q_source_overlap_matrix,
+    //     and the derived-partsupp supplier-count row in
+    //     q_min_cost_supplier / q_parts_supplier_count),
+    //   - a bounded query/centroid set in ANN serving (q_cosine_topk*,
+    //     q_pq/opq/quantize_topk),
+    //   - the intentional cross-join demonstrations (q_cross_join,
+    //     q_jaccard_pairs' bounded doc slice).
+    // Anything new that plans a nested-loop join must be justified here.
+    val bnljAllowed = Set(
+      "q_bm25_indexed", "q_bm25_search", "q_chisq_independence",
+      "q_cosine_topk", "q_cosine_topk_ivf", "q_cosine_topk_ivf_indexed",
+      "q_cosine_topk_maintained", "q_cross_join", "q_important_stock",
+      "q_inactive_rich_cust", "q_jaccard_pairs", "q_lm_perplexity",
+      "q_min_cost_supplier", "q_opq_topk", "q_parts_supplier_count",
+      "q_pq_topk", "q_quantize_topk", "q_source_overlap_matrix",
+      "q_tfidf", "q_theta_decontaminate", "q_theta_overlap")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unwhitelisted BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-unsafe join plans:\n${offenders.mkString("\n")}")
+  }
 }

@@ -36,4 +36,20 @@ class ApproxSpec extends SparkSpec {
     val (ap, ep) = (approx.getDouble(1), exact.getDouble(1))
     assert(math.abs(ap - ep) / ep < 0.02)
   }
+
+  test("exact regime: low-cardinality HLL and over-provisioned percentile equal exact") {
+    // What q_approx_stats' hash oracle relies on: within HLL++'s
+    // linear-counting range the estimate IS the count, and a percentile
+    // whose accuracy exceeds the group size retains every value.
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val got = li.groupBy($"l_returnflag").agg(
+      approx_count_distinct($"l_linestatus").as("ad"),
+      percentile_approx($"l_quantity", lit(0.5), lit(1000000)).as("p50"))
+    val want = li.groupBy($"l_returnflag").agg(
+      countDistinct($"l_linestatus").as("d"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"))
+    val g = got.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val w = want.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(g == w, s"exact-regime approx aggregates must equal exact: $g vs $w")
+  }
 }
