@@ -29,6 +29,11 @@ object SessionFactory {
       .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
       // deterministic timestamps against the DuckDB oracle and the lake
       .config("spark.sql.session.timeZone", "UTC")
+      // managed-table home (bucketed snapshot tables) outside the repo; a
+      // fresh session starts with an empty in-memory catalog, so
+      // sinks.Bucketed clears any stale on-disk leftovers before recreating
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Session with the engine's extensions (as-of join strategy) installed. */

@@ -637,6 +637,33 @@ object RelationalBattery {
         .orderBy($"s_suppkey")
     },
 
+    // Bucketed CO-LOCATED fact-fact join: both facts written once as
+    // bucketBy(16, join-key) sorted snapshot tables (sinks/Bucketed), so
+    // the join needs NO Exchange on either side — the one-time write
+    // amortizes the shuffle every per-query join would pay at 100 TB.
+    // Build is catalog-probed idempotent (serve path pays zero build);
+    // BucketedSpec pins the zero-ShuffleExchange plan. The oracle is the
+    // plain join — bucketing must never change results.
+    sql("q_bucketed_join",
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.sinks.Bucketed
+      val ot = Bucketed.tableName("orders", d, 16)
+      val lt = Bucketed.tableName("lineitem", d, 16)
+      Bucketed.writeBucketed(Tables.orders(s, d), ot, 16, "o_orderkey")
+      Bucketed.writeBucketed(Tables.lineitem(s, d), lt, 16, "l_orderkey")
+      s.table(ot).join(s.table(lt), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
     // TPC-H Q2 shape: minimum-cost supplier per part in a region — the
     // correlated-MIN-subquery pattern, planned as an aggregate + re-join
     // (no per-row subquery execution). Dimensions broadcast; the derived

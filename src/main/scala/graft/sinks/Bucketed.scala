@@ -1,0 +1,60 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Hive-bucketed snapshot tables — the co-located fact-fact join lever.
+  *
+  * A shuffle-free join needs both sides hash-partitioned the same way ON
+  * DISK: `bucketBy(n, key).sortBy(key)` writes each table as n bucket files
+  * per partition, hashed on the join key, each bucket sorted. Two tables
+  * bucketed to the same n on their join keys then sort-merge join with NO
+  * Exchange on either side — at 100 TB that removes the single largest cost
+  * of a fact-fact join (re-shuffling both tables per query) and amortizes it
+  * into the one-time write. The same layout serves every subsequent join on
+  * that key (the warehouse-ETL "cluster by join key" discipline).
+  *
+  * Bucketed metadata lives in the session catalog; with the in-memory
+  * catalog a NEW session starts blank, so [[writeBucketed]] is idempotent
+  * within a session (catalog probe — the serve path pays zero build cost)
+  * and self-healing across sessions (a stale on-disk directory without a
+  * catalog entry is cleared and rebuilt). On a real deployment the catalog
+  * is Hive/Glue and the build runs once, period.
+  */
+object Bucketed {
+
+  /** Write `df` as a managed parquet table bucketed+sorted on `key`.
+    * No-op when the table already exists in the session catalog.
+    * Returns true when a build actually ran. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Boolean = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) false
+    else {
+      // in-memory catalog: table files may survive from a previous session
+      // whose catalog died with it — clear them or saveAsTable fails
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(warehouse, table.toLowerCase)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+      df.write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+      true
+    }
+  }
+
+  /** Stable catalog identifier for (logical name, source dir, geometry) —
+    * the table-name twin of `IndexStore.indexDir`. */
+  def tableName(name: String, sfDir: String, buckets: Int): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${name}_bkt_${key}_b$buckets"
+  }
+}
