@@ -57,7 +57,7 @@ object Bench {
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val headline = Seq(
       "q_pricing_summary", "q_shipping_priority", "q_join_multiway",
-      "q_window_topk", "q_rollup", "q_sessionize", "q_asof_join",
+      "q_bucketed_join", "q_window_topk", "q_rollup", "q_sessionize", "q_asof_join",
       "q_range_join", "q_dedup_exact", "q_minhash_neardup",
       "q_minhash_neardup_fast", "q_simhash_neardup", "q_simhash_neardup_fast",
       "q_cosine_topk", "q_cosine_topk_ivf", "q_cosine_topk_ivf_indexed",
