@@ -530,7 +530,12 @@ object ExtensionBattery {
     rowsOnly("q_cosine_topk_ivf_indexed") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      val dir = IvfIndex.indexDir(d, nClusters = 16)
+      // fingerprint in the key: rows-only entries have no oracle to catch a
+      // stale index silently serving a regenerated corpus — a data change
+      // must miss the old index and rebuild (the q_cosine_topk_maintained
+      // discipline, extended to every persisted-index entry)
+      val dir = IvfIndex.indexDir(d, nClusters = 16) + "-" +
+        graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet")
       IvfIndex.buildIndex(emb, dir, nClusters = 16)
       IvfIndex.searchIndexed(s, emb.filter($"id" < 10), dir, k = 5, nprobe = 4)
         .orderBy($"query_id", $"rank")
@@ -874,7 +879,10 @@ object ExtensionBattery {
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
       // build-once (idempotent no-op when the index exists), search-only
       // steady state: training/encoding never sits in the query path
-      val dir = graft.ext.IndexStore.indexDir("pq", d, "m16k256")
+      // fingerprint-keyed (see q_cosine_topk_ivf_indexed): a regenerated
+      // corpus must rebuild, never serve the stale codes
+      val dir = graft.ext.IndexStore.indexDir("pq", d,
+        "m16k256-" + graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet"))
       graft.ext.PqIndex.buildIndex(emb, dir, m = 16, k = 256, sampleN = 2000, iters = 5)
       graft.ext.PqIndex.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10)
         .orderBy($"query_id", $"rank")
@@ -887,7 +895,8 @@ object ExtensionBattery {
     rowsOnly("q_opq_topk") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      val dir = graft.ext.IndexStore.indexDir("opq", d, "m16k256")
+      val dir = graft.ext.IndexStore.indexDir("opq", d,
+        "m16k256-" + graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet"))
       graft.ext.Opq.buildIndex(emb, dir, m = 16, k = 256, sampleN = 2000, iters = 5)
       graft.ext.Opq.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10)
         .orderBy($"query_id", $"rank")
@@ -898,7 +907,8 @@ object ExtensionBattery {
     rowsOnly("q_ivfpq_topk") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
-      val dir = graft.ext.IndexStore.indexDir("ivfpq", d, "n16m16k256")
+      val dir = graft.ext.IndexStore.indexDir("ivfpq", d,
+        "n16m16k256-" + graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet"))
       graft.ext.IvfPq.buildIndex(emb, dir, nlist = 16, m = 16, k = 256, sampleN = 2000)
       graft.ext.IvfPq.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10, nprobe = 4)
         .orderBy($"query_id", $"rank")
