@@ -688,12 +688,16 @@ object RelationalBattery {
          |WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (s, d) =>
       import s.implicits._
+      // materialized once: the costs ⋈ min-costs self-join reads this
+      // subtree twice, and Spark shares no common subplans — without the
+      // checkpoint the derived partsupp + three dim joins run twice
       val costs = partsuppDf(s, d)
         .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"ps_suppkey")
         .join(broadcast(Tables.nation(s, d)), $"n_nationkey" === $"s_nationkey")
         .join(broadcast(Tables.region(s, d).filter($"r_name" === "EUROPE")),
           $"r_regionkey" === $"n_regionkey")
         .select($"ps_partkey", $"ps_supplycost", $"s_acctbal", $"s_name", $"n_name")
+        .localCheckpoint()
       val minc = costs.groupBy($"ps_partkey".as("mk"))
         .agg(min($"ps_supplycost").as("min_cost"))
       costs
@@ -726,11 +730,13 @@ object RelationalBattery {
          |HAVING sum(val) > (SELECT sum(val) * 0.001 FROM nps)
          |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, d) =>
       import s.implicits._
+      // materialized once — read twice (global total + per-part sums)
       val nps = partsuppDf(s, d)
         .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"ps_suppkey")
         .join(broadcast(Tables.nation(s, d).filter($"n_name" === "NATION_3")),
           $"n_nationkey" === $"s_nationkey")
         .select($"ps_partkey", ($"ps_supplycost" * $"ps_availqty").as("val"))
+        .localCheckpoint()
       val tot = nps.agg(sum($"val").as("total"))
       nps.groupBy($"ps_partkey").agg(sum($"val").as("v"))
         .crossJoin(broadcast(tot))
