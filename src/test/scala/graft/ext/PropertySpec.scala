@@ -58,6 +58,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RollingHalo equals the naive window bitwise on random sparse timelines") {
+    // Random bucket occupancies stress the shadow-pruning bound from every
+    // side: empty days, single-row days, dense days, and frames that span
+    // many buckets — any over-pruned halo or fold-order drift breaks
+    // bitwise equality. Frame is small (7) so shadowing engages often.
+    val dayGen = Gen.listOfN(14, Gen.choose(0, 12)) // rows per calendar day
+    forSamples(dayGen, n = 4) { days =>
+      var id = 0L
+      val rows = days.zipWithIndex.flatMap { case (n, day) =>
+        (1 to n).map { i =>
+          id += 1
+          (id, java.sql.Timestamp.valueOf(
+            f"2024-07-${day + 1}%02d ${i % 24}%02d:00:00"),
+            if (id % 2 == 0) "a" else "b", math.sin(id.toDouble) * 9)
+        }
+      }
+      if (rows.nonEmpty) {
+        val df = rows.toDF("event_id", "ts", "event_type", "value")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"ts", $"event_id")
+          .rowsBetween(-7, -1)
+        import org.apache.spark.sql.functions._
+        def key(d: org.apache.spark.sql.DataFrame) = d
+          .select($"event_id", $"mu", $"sigma", $"nprev")
+          .as[(Long, Option[Double], Option[Double], Long)].collect()
+          .map { case (i, mu, sg, np) =>
+            i -> ((mu.map(java.lang.Double.doubleToLongBits),
+              sg.map(java.lang.Double.doubleToLongBits), np)) }.toMap
+        val naive = key(df
+          .withColumn("mu", avg($"value").over(w))
+          .withColumn("sigma", stddev_samp($"value").over(w))
+          .withColumn("nprev", count($"value").over(w)))
+        val halo = key(RollingHalo.precedingStats(
+          df, "event_type", "ts", "event_id", "value", frame = 7))
+        assert(naive == halo)
+      }
+    }
+  }
+
   test("connected components match a union-find reference on random graphs") {
     val edgeGen = Gen.listOfN(30,
       Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
