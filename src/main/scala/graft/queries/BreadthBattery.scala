@@ -499,29 +499,32 @@ object BreadthBattery {
     // packing" step of a training-data pipeline: every doc gets a stable
     // pseudo-random position from its md5 (no RNG, reproducible across
     // engines, runs, and partitionings), sharded so ordering is a per-shard
-    // window, never a global sort. Shard = first hex nibble (16 shards);
-    // position = rank of the hex hash WITHIN the shard (fixed-width hex
-    // compares lexicographically = numerically, so both engines rank
-    // identically; doc_id breaks md5-prefix ties). At 100 TB each shard
-    // orders independently after one hash-partition exchange.
+    // window, never a global sort. Shard = first TWO hex chars (256
+    // shards; the prefix width is the scale knob — each added char splits
+    // 16× more, so a 100 TB corpus picks 3-4 chars to keep one shard's
+    // sort in-memory); position = rank of the hex hash WITHIN the shard
+    // (fixed-width hex compares lexicographically = numerically, so both
+    // engines rank identically; doc_id breaks md5-prefix ties).
     sql("q_corpus_shuffle",
       """WITH h AS (
         |  SELECT doc_id, substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hv
         |  FROM documents)
-        |SELECT CAST(strpos('0123456789abcdef', substr(hv, 1, 1)) - 1 AS INT) AS shard,
+        |SELECT CAST((strpos('0123456789abcdef', substr(hv, 1, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(hv, 2, 1)) - 1 AS INT) AS shard,
         |  CAST(row_number() OVER (
-        |    PARTITION BY substr(hv, 1, 1) ORDER BY hv, doc_id) AS BIGINT) AS pos,
+        |    PARTITION BY substr(hv, 1, 2) ORDER BY hv, doc_id) AS BIGINT) AS pos,
         |  doc_id
         |FROM h ORDER BY shard, pos""".stripMargin) { (s, d) =>
       import s.implicits._
       val hv = substring(md5(concat(lit("shuf:"), $"doc_id".cast("string"))), 1, 8)
-      val nib = substring($"hv", 1, 1)
       Tables.documents(s, d)
         .select($"doc_id", hv.as("hv"))
         .select(
-          (expr("instr('0123456789abcdef', substring(hv, 1, 1))") - 1)
+          ((expr("instr('0123456789abcdef', substring(hv, 1, 1))") - 1) * 16 +
+            expr("instr('0123456789abcdef', substring(hv, 2, 1))") - 1)
             .cast("int").as("shard"),
-          row_number().over(Window.partitionBy(nib).orderBy($"hv", $"doc_id"))
+          row_number().over(
+            Window.partitionBy(substring($"hv", 1, 2)).orderBy($"hv", $"doc_id"))
             .cast("long").as("pos"),
           $"doc_id")
         .orderBy($"shard", $"pos")
