@@ -29,11 +29,13 @@ object SessionFactory {
       .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
       // deterministic timestamps against the DuckDB oracle and the lake
       .config("spark.sql.session.timeZone", "UTC")
-      // managed-table home (bucketed snapshot tables) outside the repo; a
-      // fresh session starts with an empty in-memory catalog, so
-      // sinks.Bucketed clears any stale on-disk leftovers before recreating
+      // managed-table home (bucketed snapshot tables) outside the repo,
+      // PER-PROCESS: the in-memory catalog dies with the JVM, so sharing a
+      // warehouse across processes would let one process's catalog-miss
+      // "self-heal" delete a table another process is actively scanning —
+      // a pid-scoped dir makes stale-dir recovery race-free by construction
       .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 
   /** Session with the engine's extensions (as-of join strategy) installed. */

@@ -33,13 +33,17 @@ object IndexStore {
     }
   }
 
+  /** 12-hex-char stable key for a source-dir string — the shared artifact-
+    * naming primitive (index dirs, bucketed table names). One definition so
+    * key width/hash can never silently diverge between artifact kinds. */
+  def dirKey(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
   /** Stable artifact location for (index kind, source dir, geometry) — a
     * geometry change is a different index, never an in-place retrain. */
-  def indexDir(kind: String, sfDir: String, geometry: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft-index/$kind-$key-$geometry"
-  }
+  def indexDir(kind: String, sfDir: String, geometry: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-index/$kind-${dirKey(sfDir)}-$geometry"
 
   /** Driver-side fingerprint of a source data file/dir: (name, size, mtime)
     * of every regular file, folded to a hex token. Fold it into an index

@@ -111,16 +111,8 @@ object IvfIndex {
     // (k rows by construction — avoids even a k-row unpartitioned window,
     // which would log a global-window warning on every train)
     val seedRows = base.orderBy("id").limit(k).select("vec").collect()
-    var centroids = spark.createDataFrame(
-      spark.sparkContext.parallelize(seedRows.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i, r.getSeq[Double](0))
-      }.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cluster_id",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("centroid",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType), nullable = true))))
+    var centroids = centroidFrame(spark,
+      seedRows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) })
     var i = 0
     while (i < iters) {
       centroids = materialize(meanByCluster(assign(base, centroids)))
@@ -169,6 +161,23 @@ object IvfIndex {
         col("e.v").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** The one centroid-frame schema, shared by [[train]]'s seed init and
+    * [[trainCached]]'s cache-load path — a schema drift between the trained
+    * and cache-loaded shapes would only surface on cache hits. */
+  private def centroidFrame(
+      spark: SparkSession,
+      rows: Seq[(Int, Array[Double])]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (cid, c) =>
+        org.apache.spark.sql.Row(cid, c.toSeq)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true))))
+
   /** [[train]] behind a driver-side centroid cache ([[IndexStore]], the
     * PQ/OPQ model pattern): the first call for a (cacheKey, k) pair runs
     * Lloyd's and persists the k·d-double codebook as one atomic file; later
@@ -189,16 +198,7 @@ object IvfIndex {
         IndexStore.save(path, trained)
         trained
       }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(cents.toSeq.map { case (cid, c) =>
-        org.apache.spark.sql.Row(cid, c.toSeq)
-      }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cluster_id",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("centroid",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType), nullable = true))))
+    centroidFrame(spark, cents.toSeq)
   }
 
   /** One-call convenience: train + build + search over a single table.
@@ -300,9 +300,6 @@ object IvfIndex {
 
   /** Stable on-disk location for a table's index artifacts, keyed by the
     * source dir and the index geometry (a geometry change is a new index). */
-  def indexDir(sfDir: String, nClusters: Int): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft-index/ivf-$key-k$nClusters"
-  }
+  def indexDir(sfDir: String, nClusters: Int): String =
+    s"${sys.props("java.io.tmpdir")}/graft-index/ivf-${IndexStore.dirKey(sfDir)}-k$nClusters"
 }

@@ -652,8 +652,11 @@ object RelationalBattery {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       import s.implicits._
       import graft.sinks.Bucketed
-      val ot = Bucketed.tableName("orders", d, 16)
-      val lt = Bucketed.tableName("lineitem", d, 16)
+      import graft.ext.IndexStore.dataFingerprint
+      val ot = Bucketed.tableName("orders", d, 16, "o_orderkey",
+        dataFingerprint(s"$d/orders.parquet"))
+      val lt = Bucketed.tableName("lineitem", d, 16, "l_orderkey",
+        dataFingerprint(s"$d/lineitem.parquet"))
       Bucketed.writeBucketed(Tables.orders(s, d), ot, 16, "o_orderkey")
       Bucketed.writeBucketed(Tables.lineitem(s, d), lt, 16, "l_orderkey")
       s.table(ot).join(s.table(lt), $"l_orderkey" === $"o_orderkey")

@@ -50,11 +50,13 @@ object Bucketed {
     }
   }
 
-  /** Stable catalog identifier for (logical name, source dir, geometry) —
-    * the table-name twin of `IndexStore.indexDir`. */
-  def tableName(name: String, sfDir: String, buckets: Int): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${name}_bkt_${key}_b$buckets"
-  }
+  /** Stable catalog identifier for (logical name, source dir, bucket
+    * geometry, bucket KEY, data fingerprint) — the table-name twin of
+    * `IndexStore.indexDir`. The key column and the source fingerprint are
+    * part of the identity: a re-bucketing on a different column or a
+    * regenerated source must MISS the old table and rebuild, never serve
+    * rows bucketed wrong or stale (the persisted-ANN-index discipline). */
+  def tableName(name: String, sfDir: String, buckets: Int, key: String,
+      fingerprint: String): String =
+    s"${name}_bkt_${graft.ext.IndexStore.dirKey(s"$sfDir|$key")}_b${buckets}_$fingerprint"
 }

@@ -197,9 +197,20 @@ object StreamingOps {
         (key: String, rows: Iterator[ZEvent], state: GroupState[ZState]) =>
           var ring = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty)
           val out = Seq.newBuilder[ZAnomaly]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // full-precision Timestamp compare: getTime is millisecond-floored,
+          // which would fold sub-millisecond ties in the wrong order vs the
+          // batch window's (ts, event_id) sort (events carry µs timestamps)
+          val ordered = rows.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
+          ordered.foreach { e =>
             val n = ring.size
             if (n >= minPrev) {
+              // two-pass refold is O(frame) per event; running sums would be
+              // O(1) but accumulate eviction drift over unbounded streams —
+              // at frame ≤ a few hundred the refold is ~100 flops, noise
+              // next to the groupByKey shuffle, so robustness wins
               var sum = 0.0
               ring.foreach(sum += _)
               val mu = sum / n

@@ -63,6 +63,33 @@ class ZscoreStreamSpec extends SparkSpec {
     assert(runStream(Seq(fixture)) == ref)
   }
 
+  test("sub-millisecond timestamp ties fold in full-precision (ts, id) order") {
+    // Two same-key events inside ONE millisecond, with ids OPPOSITE to
+    // their microsecond order, and values chosen so each ordering yields
+    // different baselines (the first-folded event never sees the second).
+    // A millisecond-floored sort (Timestamp.getTime) would tie and fall
+    // back to id order — the batch window's full-precision (ts, event_id)
+    // sort is the contract, and RollingHalo provides the reference.
+    val base = (1 to 35).map { i =>
+      ZEvent(i.toLong, "a",
+        Timestamp.valueOf(f"2024-06-02 08:${i % 60}%02d:00"), 10.0 + (i % 3))
+    }
+    val tied = Seq(
+      ZEvent(101L, "a", Timestamp.valueOf("2024-06-02 09:00:00.000300"), 300.0),
+      ZEvent(100L, "a", Timestamp.valueOf("2024-06-02 09:00:00.000500"), 12.0),
+      ZEvent(102L, "a", Timestamp.valueOf("2024-06-02 09:01:00"), 250.0))
+    val events = base ++ tied
+    val ref = graft.ext.RollingHalo
+      .precedingStats(events.toDF(), "event_type", "ts", "event_id", "value",
+        frame = frame)
+      .filter($"nprev" >= minPrev && $"sigma" > 0 &&
+        abs(($"value" - $"mu") / $"sigma") > 3)
+      .select($"event_id", round(($"value" - $"mu") / $"sigma", 4).as("z"))
+      .as[(Long, Double)].collect().toMap
+    assert(ref.contains(101L), "fixture sanity: the early-µs outlier must score")
+    assert(runStream(Seq(events)) == ref)
+  }
+
   test("multi-batch trickle: ring state carries the frame across micro-batches") {
     // split INSIDE the rolling frame of the scored outlier, so its baseline
     // spans the batch boundary — state must reconstruct it exactly
