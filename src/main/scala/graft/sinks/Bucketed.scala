@@ -22,31 +22,51 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketed {
 
+  /** Per-table-name build locks: two queries in one session racing
+    * writeBucketed on the same table would interleave the check-then-act
+    * (probe → delete → saveAsTable) and corrupt the build. Striping by
+    * table name keeps unrelated builds concurrent. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Recursive delete, CONTAINED: refuses any target whose canonical path
+    * escapes the canonical warehouse root — a malformed table name (e.g.
+    * one smuggling `..`) must fail loudly, never delete outside the
+    * warehouse. listFiles() is null on I/O/permission errors; treat that
+    * as empty rather than NPE-ing mid-cleanup. */
+  private[sinks] def rmContained(target: java.io.File, warehouseRoot: java.io.File): Unit = {
+    val rootCanon = warehouseRoot.getCanonicalPath
+    require(target.getCanonicalPath.startsWith(rootCanon + java.io.File.separator),
+      s"refusing to delete ${target.getCanonicalPath}: outside warehouse root $rootCanon")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(target)
+  }
+
   /** Write `df` as a managed parquet table bucketed+sorted on `key`.
     * No-op when the table already exists in the session catalog.
     * Returns true when a build actually ran. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Boolean = {
-    val spark = df.sparkSession
-    if (spark.catalog.tableExists(table)) false
-    else {
-      // in-memory catalog: table files may survive from a previous session
-      // whose catalog died with it — clear them or saveAsTable fails
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val loc = new java.io.File(warehouse, table.toLowerCase)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(loc)
+    val lock = buildLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      val spark = df.sparkSession
+      if (spark.catalog.tableExists(table)) false
+      else {
+        // in-memory catalog: table files may survive from a previous session
+        // whose catalog died with it — clear them or saveAsTable fails
+        val warehouse = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+        val loc = new java.io.File(warehouse, table.toLowerCase)
+        if (loc.exists()) rmContained(loc, warehouse)
+        df.write
+          .bucketBy(buckets, key)
+          .sortBy(key)
+          .format("parquet")
+          .saveAsTable(table)
+        true
       }
-      df.write
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table)
-      true
     }
   }
 

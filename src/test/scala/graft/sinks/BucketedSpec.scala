@@ -52,4 +52,71 @@ class BucketedSpec extends SparkSpec {
     assert(Bucketed.writeBucketed(df, "bkt_idem", 2, "k"), "must rebuild after catalog loss")
     assert(spark.table("bkt_idem").count() == 1)
   }
+
+  test("bucketed join stays Exchange-free under AQE coalescing with a skewed key") {
+    // AQE interplay: adaptive coalescing and skew-join splitting both work
+    // by inserting/rewriting Exchanges — neither may touch a join whose
+    // children are co-located by on-disk bucketing (bucketed scan outputs
+    // are not coalescible shuffle partitions, and AQE's skew handling must
+    // not re-shuffle a side to split the hot key, which would forfeit the
+    // amortized layout). Pin that with skew present and coalescing tuned
+    // aggressively, the plan still has zero Exchanges on either side.
+    val hot = 7L
+    val left = ((1L to 200L).map(i => (i, s"l$i")) ++
+      (1 to 300).map(j => (hot, s"hot$j"))).toDF("k", "lv")
+    val right = ((1L to 200L).map(i => (i, i * 1.0)) ++
+      (1 to 300).map(j => (hot, j * 1.0))).toDF("k", "rv")
+    Bucketed.writeBucketed(left, "bkt_skew_l", 4, "k")
+    Bucketed.writeBucketed(right, "bkt_skew_r", 4, "k")
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_skew_l").join(spark.table("bkt_skew_r"), "k")
+      val n = joined.count()
+      assert(n == left.join(right, "k").count(), "AQE plan must not change results")
+      joined.collect() // finalize the adaptive plan before inspecting it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"AQE must not re-introduce a shuffle into the bucketed join:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("stale-dir delete refuses any target outside the warehouse root") {
+    val warehouse = java.nio.file.Files.createTempDirectory("bkt-contain").toFile
+    val outside = java.nio.file.Files.createTempDirectory("bkt-escape").toFile
+    val victim = new java.io.File(outside, "precious"); victim.mkdirs()
+    // a crafted ../-smuggling table name canonicalizes outside the root
+    val crafted = new java.io.File(warehouse, "../" + outside.getName + "/precious")
+    intercept[IllegalArgumentException] { Bucketed.rmContained(crafted, warehouse) }
+    assert(victim.exists(), "containment guard must leave the outside dir intact")
+    // the warehouse root itself is not a valid target either (separator check)
+    intercept[IllegalArgumentException] { Bucketed.rmContained(warehouse, warehouse) }
+    // a genuinely contained dir still deletes
+    val inside = new java.io.File(warehouse, "tbl"); inside.mkdirs()
+    new java.io.File(inside, "part-0").createNewFile()
+    Bucketed.rmContained(inside, warehouse)
+    assert(!inside.exists())
+  }
+
+  test("writeBucketed is safe under concurrent same-table builds") {
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map(_ => new Thread(() => {
+      if (Bucketed.writeBucketed(df, "bkt_race", 2, "k")) builds.incrementAndGet()
+      ()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(builds.get() == 1, "exactly one racer must perform the build")
+    assert(spark.table("bkt_race").count() == 50)
+  }
 }
