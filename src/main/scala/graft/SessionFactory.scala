@@ -10,7 +10,46 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionFactory {
 
-  def builder(appName: String, cores: Int): SparkSession.Builder =
+  /** The pid-scoped warehouse (see the config below) makes stale-dir
+    * recovery race-free, but every process leaves a full warehouse of
+    * bucketed fact copies in tmpdir. Two-sided cleanup, once per JVM:
+    * a shutdown hook removes THIS process's warehouse, and a startup
+    * sweep removes `graft-warehouse-<pid>` dirs whose owning pid is no
+    * longer alive (covers processes that died before their hook ran).
+    * Liveness via ProcessHandle — a recycled pid worst-cases to keeping
+    * a dir one sweep longer, never to deleting a live process's tables. */
+  private val cleanupArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+    f.delete(); ()
+  }
+
+  /** Remove `graft-warehouse-<pid>` dirs whose owning process is gone. */
+  private[graft] def sweepDeadWarehouses(): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val Stale = "graft-warehouse-([0-9]+)".r
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      f.getName match {
+        case Stale(pid) if pid.toLong != ProcessHandle.current().pid() &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          rm(f)
+        case _ => ()
+      }
+    }
+  }
+
+  private def armWarehouseCleanup(ownWarehouse: java.io.File): Unit =
+    if (cleanupArmed.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(ownWarehouse)))
+      sweepDeadWarehouses()
+    }
+
+  def builder(appName: String, cores: Int): SparkSession.Builder = {
+    val warehouse = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
+    armWarehouseCleanup(warehouse)
     SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
@@ -34,9 +73,11 @@ object SessionFactory {
       // warehouse across processes would let one process's catalog-miss
       // "self-heal" delete a table another process is actively scanning —
       // a pid-scoped dir makes stale-dir recovery race-free by construction
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
+      // (reclaimed by armWarehouseCleanup above: shutdown hook + dead-pid
+      // sweep, so the per-process copies don't accumulate)
+      .config("spark.sql.warehouse.dir", warehouse.getAbsolutePath)
       .config("spark.ui.enabled", "false")
+  }
 
   /** Session with the engine's extensions (as-of join strategy) installed. */
   def create(appName: String = "graft", cores: Int = 8): SparkSession = {

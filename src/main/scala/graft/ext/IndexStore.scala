@@ -45,6 +45,64 @@ object IndexStore {
   def indexDir(kind: String, sfDir: String, geometry: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-index/$kind-${dirKey(sfDir)}-$geometry"
 
+  /** Null-safe recursive delete (listFiles() is null on I/O errors). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  private val claimLock = new Object
+
+  /** Vacuum discipline for fingerprint-keyed artifacts. Every persisted
+    * index/codebook dir embeds its source-data fingerprint in the path
+    * (staleness protection: a regenerated source MISSES the old artifact
+    * and rebuilds) — but that same keying ORPHANS the old vintage's dir on
+    * every regeneration, so disk grows monotonically. `claim` closes the
+    * loop: a build/serve path declares "logical artifact L now lives at
+    * dir D"; if a registry (one properties file under graft-index/) says L
+    * previously lived at D' ≠ D, D' is deleted before L→D is recorded.
+    *
+    * The logical id is the artifact identity MINUS the volatile token
+    * (fingerprint, hashed cache key): e.g. `ivf-indexed|<sfDir>|k16`. Name
+    * conventions differ per artifact kind (suffix fingerprints, hashed
+    * cacheKeys), so the caller states the identity explicitly instead of
+    * the registry guessing from dir names.
+    *
+    * Driver-side, process-local locking: concurrent claims from one JVM
+    * serialize; cross-process the registry write is atomic (temp+rename)
+    * and the worst interleaving re-deletes an already-dead dir. A claim of
+    * the CURRENT dir is a cheap no-op, so build paths call it
+    * unconditionally. */
+  def claim(logicalId: String, dir: String): Unit = claimLock.synchronized {
+    val reg = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-index/REGISTRY")
+    Files.createDirectories(reg.getParent)
+    val props = new java.util.Properties()
+    if (Files.exists(reg)) {
+      val in = new FileInputStream(reg.toFile)
+      try props.load(in) finally in.close()
+    }
+    val key = dirKey(logicalId)
+    val prev = Option(props.getProperty(key))
+    if (!prev.contains(dir)) {
+      prev.foreach { stale =>
+        // containment: the registry only ever holds dirs under graft-index/
+        // or explicit artifact dirs we wrote; refuse anything else outright
+        val staleFile = new java.io.File(stale)
+        if (staleFile.getCanonicalPath.startsWith(
+            new java.io.File(sys.props("java.io.tmpdir")).getCanonicalPath))
+          deleteRecursively(staleFile)
+      }
+      props.setProperty(key, dir)
+      val tmp = Paths.get(reg.toString + s".tmp-${ProcessHandle.current().pid()}")
+      val out = new FileOutputStream(tmp.toFile)
+      try props.store(out, "graft artifact registry: dirKey(logicalId) -> current dir")
+      finally out.close()
+      Files.move(tmp, reg, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Driver-side fingerprint of a source data file/dir: (name, size, mtime)
     * of every regular file, folded to a hex token. Fold it into an index
     * key when index STALENESS must be loud — an index whose query is

@@ -185,12 +185,23 @@ object IvfIndex {
     * jobs) pay assignment + search only, never retraining. Fold a
     * [[IndexStore.dataFingerprint]] into `cacheKey` so a regenerated source
     * table misses the stale codebook and retrains. */
-  def trainCached(vectors: DataFrame, k: Int, cacheKey: String): DataFrame = {
+  def trainCached(vectors: DataFrame, k: Int, cacheKey: String,
+      iters: Int = 3, trainSampleN: Int = 4096,
+      claimId: Option[String] = None): DataFrame = {
     val spark = vectors.sparkSession
-    val path = IndexStore.indexDir("ivf-centroids", cacheKey, s"k$k") + "/centroids.bin"
+    // EVERY training parameter is part of the cache identity, not just k:
+    // a codebook trained with different Lloyd's iterations or sample size
+    // is a different codebook, and the queries served from it are rows-only
+    // (no oracle) — a partial key would silently serve stale geometry.
+    val dir = IndexStore.indexDir("ivf-centroids", cacheKey, s"k$k-i$iters-s$trainSampleN")
+    // vacuum: cacheKey embeds the data fingerprint, so a regenerated source
+    // strands the old vintage's codebook — the caller-supplied stable id
+    // lets the registry reclaim it (IndexStore.claim)
+    claimId.foreach(id => IndexStore.claim(id, dir))
+    val path = s"$dir/centroids.bin"
     val cents: Array[(Int, Array[Double])] =
       IndexStore.load[Array[(Int, Array[Double])]](path).getOrElse {
-        val trained = train(vectors, k)
+        val trained = train(vectors, k, iters, trainSampleN)
           .select(col("cluster_id").cast("int"),
             col("centroid").cast("array<double>"))
           .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))

@@ -199,6 +199,13 @@ object CoreBattery {
     // and returns the true discrete median — both therefore equal the
     // oracle's exact aggregates. ApproxSpec separately pins the
     // approximate-regime accuracy bands (high-cardinality l_partkey).
+    // SPARK-VERSION COUPLING (known, accepted): neither "HLL++ is exact in
+    // its linear-counting regime" nor "percentile_approx at accuracy 1e6
+    // equals percentile_disc when groups fit" is a contractual guarantee —
+    // a Spark upgrade changing sketch internals could flip this hash oracle
+    // even though the query stays correct. If this entry alone fails after
+    // an upgrade, check ApproxSpec first: it isolates the regime assumption
+    // from the query logic (verified against Spark 4.1).
     sql("q_approx_stats",
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS approx_statuses,

@@ -65,10 +65,37 @@ object Bucketed {
           .sortBy(key)
           .format("parquet")
           .saveAsTable(table)
+        // a fresh build is the moment a regenerated source strands its old
+        // vintage — reclaim stale same-identity tables now (no-op otherwise)
+        vacuumStaleSiblings(spark, table)
         true
       }
     }
   }
+
+  /** Fingerprint-suffixed [[tableName]]s: `<name>_bkt_<key12>_b<n>_<fp>`.
+    * Everything before the trailing fingerprint is the table's stable
+    * IDENTITY; the fingerprint is the data vintage. */
+  private val FingerprintedName = "(.*_bkt_[0-9a-f]{12}_b[0-9]+_)[0-9a-f]+".r
+
+  /** Drop stale VINTAGES of a fingerprint-keyed bucketed table: catalog
+    * tables sharing `table`'s identity prefix but carrying a different
+    * fingerprint can only be earlier builds of the same logical table
+    * against since-regenerated source data — unreachable (every reader
+    * recomputes the fingerprint) yet still holding a full bucketed copy
+    * of a fact table on disk. Only names matching the [[tableName]]
+    * convention participate; arbitrary user tables are never touched. */
+  private[sinks] def vacuumStaleSiblings(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    table.toLowerCase match {
+      case FingerprintedName(identity) =>
+        spark.catalog.listTables().collect()
+          .map(_.name.toLowerCase)
+          .filter(n => n.startsWith(identity) && n != table.toLowerCase &&
+            FingerprintedName.matches(n))
+          .foreach(stale => spark.sql(s"DROP TABLE IF EXISTS `$stale`"))
+      case _ => ()
+    }
 
   /** Stable catalog identifier for (logical name, source dir, bucket
     * geometry, bucket KEY, data fingerprint) — the table-name twin of

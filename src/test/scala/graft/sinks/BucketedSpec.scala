@@ -108,6 +108,28 @@ class BucketedSpec extends SparkSpec {
     assert(!inside.exists())
   }
 
+  test("rebuilding against regenerated data vacuums the stale vintage table") {
+    val df = (1L to 20L).map(i => (i, i * 2.0)).toDF("k", "v")
+    // same logical table (name, source, geometry, key), two data vintages
+    val t1 = Bucketed.tableName("facts", "/spec/dir", 4, "k", "aaaa1111")
+    val t2 = Bucketed.tableName("facts", "/spec/dir", 4, "k", "bbbb2222")
+    Bucketed.writeBucketed(df, t1, 4, "k")
+    assert(spark.catalog.tableExists(t1))
+    Bucketed.writeBucketed(df, t2, 4, "k")
+    assert(!spark.catalog.tableExists(t1),
+      "stale vintage must be dropped when its successor builds")
+    assert(spark.table(t2).count() == 20, "current vintage must serve")
+    // a different bucket KEY is a different identity — never a vacuum target
+    val otherKey = Bucketed.tableName("facts", "/spec/dir", 4, "v", "cccc3333")
+    Bucketed.writeBucketed(df, otherKey, 4, "v")
+    assert(spark.catalog.tableExists(t2) && spark.catalog.tableExists(otherKey))
+    // names outside the tableName convention are never candidates
+    Bucketed.writeBucketed(df, "bkt_plain_name", 2, "k")
+    Bucketed.writeBucketed(df,
+      Bucketed.tableName("facts", "/spec/dir", 4, "k", "dddd4444"), 4, "k")
+    assert(spark.catalog.tableExists("bkt_plain_name"))
+  }
+
   test("writeBucketed is safe under concurrent same-table builds") {
     val df = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)
