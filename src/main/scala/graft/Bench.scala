@@ -71,7 +71,8 @@ object Bench {
       "q_range_join", "q_dedup_exact", "q_minhash_neardup",
       "q_minhash_neardup_fast", "q_simhash_neardup", "q_simhash_neardup_fast",
       "q_cosine_topk", "q_cosine_topk_ivf", "q_cosine_topk_ivf_indexed",
-      "q_cosine_neardup_lsh", "q_cosine_neardup_lsh_fast", "q_lang_id", "q_token_count",
+      "q_cosine_neardup_lsh", "q_cosine_neardup_lsh_fast", "q_semdedup",
+      "q_lang_id", "q_token_count",
       "q_ddb_unwrap", "q_load_verification", "q_theta_overlap", "q_freq_topk",
       "q_edit_join")
 

@@ -11,10 +11,20 @@ object BenchProbe {
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val queryList = if (args.isEmpty) all else all.filter(q => args.contains(q._1))
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "1").toInt
+    // dev knob: also dump each result as parquet (targeted oracle triage
+    // without a full Verify pass)
+    val dumpDir = sys.env.get("SPARK_GRAFT_PROBE_DUMP_DIR")
     (1 to passes).foreach { p =>
       queryList.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable => System.err.println(s"ERR $name: ${e.getClass.getSimpleName}") }
+        try {
+          val df = fn(spark, sfDir)
+          dumpDir match {
+            case Some(dir) if p == 1 =>
+              df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+            case _ => df.count()
+          }
+        } catch { case e: Throwable => System.err.println(s"ERR $name: ${e.getClass.getSimpleName} ${e.getMessage}") }
         System.err.println(f"QTIME pass=$p $name ${(System.nanoTime()-t0)/1e9}%.2f")
       }
     }

@@ -154,6 +154,70 @@ object ExtensionBattery {
        |ORDER BY cos DESC, id_a, id_b LIMIT 200""".stripMargin
   }
 
+  // Mirrors q_media_features's byte-fingerprint fallback in DuckDB: payload
+  // bytes recovered from hex(encode(text)) two hex digits at a time, then
+  // summed / bucketed into the 16-bin histogram as exact integers. Width and
+  // height are constant 0 — text payloads are never decodable images (a
+  // prose "BM"/"GIF8" prefix fails the real ImageIO parse and falls back).
+  private val mediaFeaturesOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) % 3 = 0 THEN 'image/png'
+      |         WHEN length(text) % 3 = 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS mime,
+      |    encode(text) AS blob
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, mime, CAST(octet_length(blob) AS INT) AS n_bytes,
+      |    list_transform(generate_series(1, octet_length(blob)),
+      |      i -> CAST(('0x' || substr(hex(blob), 2*i-1, 2)) AS INT)) AS bytes
+      |  FROM b)
+      |SELECT doc_id, mime, n_bytes,
+      |  CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+      |  CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS lum_sum,
+      |  array_to_string(list_transform(generate_series(0, 15),
+      |    h -> CAST(len(list_filter(bytes, v -> v // 16 = h)) AS VARCHAR)), ',')
+      |    AS hist_counts
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  private val semdedupGridBits = 4
+
+  // Mirrors q_semdedup in DuckDB: grid-cell bits are the same md5 ±1
+  // hyperplane sign folds as the LSH oracle (bit-identical doubles),
+  // within-cluster pairs use list_cosine_similarity rounded to 6 (the
+  // q_embed_neardup_canonical alignment), and connected components is the
+  // WITH RECURSIVE min-label reach used there.
+  private val semdedupOracleSql: String = {
+    val planes = Similarity.portablePlanes(semdedupGridBits, 64)
+    def fold(term: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $term), (acc, x) -> acc + x)"
+    def planeLit(p: Array[Double]) =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val cellBits = (0 until semdedupGridBits).map { r =>
+      val pl = planeLit(planes(r))
+      s"(CASE WHEN ${fold(s"v[i] * (CAST($pl AS DOUBLE[]))[i]")} > 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cells AS MATERIALIZED (SELECT id, v, CAST($cellBits AS INT) AS cluster_id FROM e),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst
+       |  FROM cells a JOIN cells b ON a.cluster_id = b.cluster_id AND a.id < b.id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |seeds AS (SELECT src AS id FROM edges GROUP BY src HAVING min(dst) > src),
+       |reach AS (
+       |  WITH RECURSIVE r(id, anc) AS (
+       |    SELECT id, id FROM seeds
+       |    UNION
+       |    SELECT e2.dst, r.anc FROM edges e2 JOIN r ON r.id = e2.src)
+       |  SELECT id, min(anc) AS component FROM r GROUP BY id),
+       |dropped AS (SELECT id FROM reach WHERE id <> component)
+       |SELECT id AS vec_id, cluster_id,
+       |  (id NOT IN (SELECT id FROM dropped)) AS keep
+       |FROM cells ORDER BY vec_id""".stripMargin
+  }
+
   private val cosineTopk5OracleSql =
     """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
       |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -465,6 +529,47 @@ object ExtensionBattery {
         .groupBy($"label")
         .agg(count(lit(1)).as("n_kept"))
         .orderBy($"label")
+    },
+
+    // SEMANTIC DEDUP (SemDeDup/D4-style, Abbas et al. 2023): partition the
+    // embedding space into clusters, call pairs above a cosine threshold
+    // WITHIN a cluster semantic duplicates, keep one canonical member per
+    // duplicate group. The production form clusters with k-means (the
+    // IvfIndex centroids); this registered query swaps in a PORTABLE
+    // clustering — a 4-bit md5-hyperplane sign grid (16 cells, every vector
+    // in exactly ONE cell — a partition, unlike the LSH query's 8 OR-ed
+    // bands) — so DuckDB reproduces cluster assignment bit-identically from
+    // the md5 spec (the q_cosine_neardup_lsh technique) and the whole
+    // pipeline hash-oracles end-to-end: grid cell → within-cluster pairs →
+    // connected components → keep component minimum.
+    // SCALE: candidate pairs are per-cluster only, never all-pairs — the
+    // self-join shuffles on cluster_id, so cost is Σ|cell|², bounded by the
+    // grid resolution; at 100 TB raise the bit width (cells shrink
+    // geometrically) and salt any hot cell, the q_corpus_shuffle knob
+    // discipline. minCos = 0.3 is this corpus's 99.9th-percentile pair
+    // cosine (see q_cosine_neardup_lsh).
+    sql("q_semdedup", semdedupOracleSql) { (s, d) =>
+      import s.implicits._
+      val planes = Similarity.portablePlanes(semdedupGridBits, 64)
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cellVal = (0 until semdedupGridBits).map { r =>
+        when(graft.functions.VectorDistances.dot_product($"v", lit(planes(r))) > 0.0,
+          lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val cells = emb.withColumn("cluster_id", cellVal.cast("int"))
+      val pairs = cells.select($"id".as("id_a"), $"v".as("va"), $"cluster_id")
+        .join(cells.select($"id".as("id_b"), $"v".as("vb"), $"cluster_id"), "cluster_id")
+        .filter($"id_a" < $"id_b")
+        .filter(round(Similarity.cosine($"va", $"vb"), 6) >= 0.3)
+        .select($"id_a", $"id_b")
+      val dropped = graft.ext.Components.connectedComponents(pairs, "id_a", "id_b")
+        .filter($"id" =!= $"component")
+        .select($"id".as("vec_id")).withColumn("_drop", lit(1))
+      cells.select($"id".as("vec_id"), $"cluster_id")
+        .join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster_id", $"_drop".isNull.as("keep"))
+        .orderBy($"vec_id")
     },
 
     // Typed Aggregator (custom UDAF tier): per-label embedding centroid in
@@ -1242,18 +1347,27 @@ object ExtensionBattery {
     },
 
     // Feature extraction over MIXED payloads (image mime on undecodable text
-    // bytes → the byte-fingerprint fallback path): plumbing + fallback are
-    // exercised end-to-end. Engine-side histogram layout → rows-only.
-    rowsOnly("q_media_features") { (s, d) =>
+    // bytes → the byte-fingerprint fallback path), FULLY ORACLED (was
+    // rows-only): the fallback's mean/histogram are closed-form functions of
+    // the payload bytes, which DuckDB reconstructs from hex(encode(text)).
+    // The float surface (mean = sum/n as double, hist = count/n as float) is
+    // verified through its EXACT integer pre-images — mean·n rounds back to
+    // the byte sum, hist[b]·n to the bin count, both bijective given n_bytes
+    // (recovery exact: float c/n carries ≤ n·2⁻²⁴ ≪ 0.5 absolute error) —
+    // sidestepping cross-engine float-FORMAT tie hazards (a dyadic count/n
+    // like 1/64 decimal-terminates mid-format, where Java HALF_UP and C
+    // round-to-even disagree) while checking the full information content.
+    sql("q_media_features", mediaFeaturesOracleSql) { (s, d) =>
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.withMediaColumn(Tables.documents(s, d)))
         .toDF()
-        // feature vector serialized to a string: the driver row-sorts the
-        // dump in pandas, which cannot order ndarray-valued cells
+        // histogram serialized to a string: the driver row-sorts the dump
+        // in pandas, which cannot order ndarray-valued cells
         .select($"doc_id", $"mime", $"n_bytes", $"width", $"height",
-          round($"mean_lum", 4).as("mean_lum"),
+          round($"mean_lum" * $"n_bytes").cast("long").as("lum_sum"),
           array_join(transform($"features",
-            x => format_string("%.5f", x.cast("double"))), ",").as("features"))
+            x => round(x.cast("double") * $"n_bytes").cast("int").cast("string")), ",")
+            .as("hist_counts"))
         .orderBy($"doc_id")
     },
 

@@ -183,6 +183,49 @@ object StreamingOps {
     * in-order sources (the CDC / append-log shape this models). Late
     * arrivals would need a watermarked reorder buffer in front.
     * ZscoreStreamSpec pins stream ≡ batch on a planted fixture. */
+  /** Shared fold: score a (ts, event_id)-SORTED run of events against the
+    * rolling ring, returning the advanced ring and the anomalies. Both
+    * streaming variants delegate here so their scoring can never diverge. */
+  private def foldSorted(
+      key: String,
+      ring0: Vector[Double],
+      ordered: Seq[ZEvent],
+      frame: Int, minPrev: Int, threshold: Double): (Vector[Double], Seq[ZAnomaly]) = {
+    var ring = ring0
+    val out = Seq.newBuilder[ZAnomaly]
+    ordered.foreach { e =>
+      val n = ring.size
+      if (n >= minPrev) {
+        // two-pass refold is O(frame) per event; running sums would be
+        // O(1) but accumulate eviction drift over unbounded streams —
+        // at frame ≤ a few hundred the refold is ~100 flops, noise
+        // next to the groupByKey shuffle, so robustness wins
+        var sum = 0.0
+        ring.foreach(sum += _)
+        val mu = sum / n
+        var ss = 0.0
+        ring.foreach { v => val d = v - mu; ss += d * d }
+        val sigma = math.sqrt(ss / (n - 1))
+        if (sigma > 0) {
+          val z = (e.value - mu) / sigma
+          if (math.abs(z) > threshold) out += ZAnomaly(e.event_id, key, e.value, z)
+        }
+      }
+      ring = if (ring.size >= frame) ring.drop(ring.size - frame + 1) :+ e.value
+             else ring :+ e.value
+    }
+    (ring, out.result())
+  }
+
+  /** full-precision Timestamp sort: getTime is millisecond-floored, which
+    * would fold sub-millisecond ties in the wrong order vs the batch
+    * window's (ts, event_id) sort (events carry µs timestamps) */
+  private def sortByTsId(rows: Seq[ZEvent]): Seq[ZEvent] =
+    rows.sortWith { (a, b) =>
+      val c = a.ts.compareTo(b.ts)
+      c < 0 || (c == 0 && a.event_id < b.event_id)
+    }
+
   def zscoreAnomaliesStream(
       events: Dataset[ZEvent],
       frame: Int = 100,
@@ -195,38 +238,81 @@ object StreamingOps {
       .flatMapGroupsWithState[ZState, ZAnomaly](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[ZEvent], state: GroupState[ZState]) =>
-          var ring = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty)
-          val out = Seq.newBuilder[ZAnomaly]
-          // full-precision Timestamp compare: getTime is millisecond-floored,
-          // which would fold sub-millisecond ties in the wrong order vs the
-          // batch window's (ts, event_id) sort (events carry µs timestamps)
-          val ordered = rows.toSeq.sortWith { (a, b) =>
-            val c = a.ts.compareTo(b.ts)
-            c < 0 || (c == 0 && a.event_id < b.event_id)
-          }
-          ordered.foreach { e =>
-            val n = ring.size
-            if (n >= minPrev) {
-              // two-pass refold is O(frame) per event; running sums would be
-              // O(1) but accumulate eviction drift over unbounded streams —
-              // at frame ≤ a few hundred the refold is ~100 flops, noise
-              // next to the groupByKey shuffle, so robustness wins
-              var sum = 0.0
-              ring.foreach(sum += _)
-              val mu = sum / n
-              var ss = 0.0
-              ring.foreach { v => val d = v - mu; ss += d * d }
-              val sigma = math.sqrt(ss / (n - 1))
-              if (sigma > 0) {
-                val z = (e.value - mu) / sigma
-                if (math.abs(z) > threshold) out += ZAnomaly(e.event_id, key, e.value, z)
-              }
-            }
-            ring = if (ring.size >= frame) ring.drop(ring.size - frame + 1) :+ e.value
-                   else ring :+ e.value
-          }
+          val ring0 = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty)
+          val (ring, out) = foldSorted(key, ring0, sortByTsId(rows.toSeq),
+            frame, minPrev, threshold)
           state.update(ZState(ring))
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  final case class ZHeld(event_id: Long, ts: Timestamp, value: Double)
+  final case class ZOrderedState(held: Seq[ZHeld], vals: Seq[Double])
+
+  /** [[zscoreAnomaliesStream]] behind a WATERMARKED REORDER BUFFER — the
+    * variant for sources that deliver a key's events out of order (shuffled
+    * partitions, multi-writer logs). The plain variant folds in arrival
+    * order across micro-batches, which is only correct for per-key in-order
+    * sources (the CDC / append-log shape); this one holds every event until
+    * the event-time watermark passes it, then folds the released prefix in
+    * full-precision (ts, event_id) order — so ANY arrival order within the
+    * watermark horizon yields results identical to the batch window
+    * (pinned in ZscoreStreamSpec under adversarially shuffled batches).
+    *
+    * Mechanics (the `dedupWithinWatermark` discipline, custom-state form):
+    *   - input carries `withWatermark(ts, delay)`, so the engine tracks
+    *     max(event time) − delay and DROPS rows later than the horizon —
+    *     beyond-horizon stragglers are discarded loudly (counted in
+    *     StreamingQueryProgress), never folded in the wrong order;
+    *   - per key, arrivals buffer in state; each invocation releases the
+    *     events STRICTLY older than the current watermark (nothing that
+    *     could still be preceded by an in-horizon arrival), folds them
+    *     sorted, and re-arms an event-time timeout at the newest held
+    *     event so the tail flushes when the watermark advances past it
+    *     even if the key never receives another row;
+    *   - state is the O(frame) ring plus the held buffer, which the
+    *     watermark bounds at O(key arrival rate × delay) — the same bound
+    *     every watermarked stateful operator carries.
+    *
+    * Trade-off vs the plain variant: emission latency ≥ the watermark
+    * delay, and state carries the in-flight horizon. Use the plain variant
+    * for in-order sources (zero added latency/state), this one whenever
+    * per-key arrival order is not guaranteed. */
+  def zscoreAnomaliesStreamOrdered(
+      events: Dataset[ZEvent],
+      frame: Int = 100,
+      minPrev: Int = 30,
+      threshold: Double = 3.0,
+      watermarkDelay: String = "10 minutes"): Dataset[ZAnomaly] = {
+    implicit val stateEnc = Encoders.product[ZOrderedState]
+    implicit val outEnc = Encoders.product[ZAnomaly]
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .as(Encoders.product[ZEvent])
+      .groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState[ZOrderedState, ZAnomaly](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[ZEvent], state: GroupState[ZOrderedState]) =>
+          val st = state.getOption.getOrElse(ZOrderedState(Nil, Nil))
+          val held = st.held ++
+            rows.map(e => ZHeld(e.event_id, e.ts, e.value)) // empty on timeout
+          val wmMs = state.getCurrentWatermarkMs()
+          // release STRICTLY-older-than-watermark events only: a boundary
+          // event (ts in the watermark's millisecond) could still be
+          // preceded by an admissible arrival, so it stays held. The
+          // millisecond floor of getTime is safe here BECAUSE it is
+          // conservative — sub-ms siblings of the boundary are held too.
+          val (ready, hold) = held.partition(_.ts.getTime < wmMs)
+          val ordered = sortByTsId(
+            ready.map(h => ZEvent(h.event_id, key, h.ts, h.value)))
+          val (ring, out) = foldSorted(key,
+            st.vals.toVector, ordered, frame, minPrev, threshold)
+          state.update(ZOrderedState(hold, ring))
+          // re-arm: fire once the watermark passes the newest held event
+          // (strictly above the current watermark by the partition above)
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.map(_.ts.getTime).max + 1)
+          out.iterator
       }
   }
 

@@ -90,6 +90,45 @@ class ZscoreStreamSpec extends SparkSpec {
     assert(runStream(Seq(events)) == ref)
   }
 
+  private def runStreamOrdered(batches: Seq[Seq[ZEvent]]): Map[Long, Double] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ZEvent]
+    val name = s"zso_${System.nanoTime()}"
+    val q = StreamingOps
+      .zscoreAnomaliesStreamOrdered(mem.toDS(), frame = frame, minPrev = minPrev,
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    val rows = spark.table(name).as[ZAnomaly].collect()
+    q.stop()
+    rows.map(a => a.event_id -> BigDecimal(a.z)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+  }
+
+  test("reorder buffer: adversarially shuffled arrival ≡ batch window") {
+    // Deterministically shuffle BOTH keys' events across four micro-batches
+    // (cross-batch arrival order violates event order everywhere, but stays
+    // inside the 2 h watermark horizon, so nothing is dropped), then advance
+    // the watermark past every real event with a sentinel on an unrelated
+    // key — the held buffers flush via event-time timeout and must fold in
+    // exact (ts, event_id) order.
+    val shuffled = new scala.util.Random(42).shuffle(fixture)
+    val batches = shuffled.grouped((shuffled.size + 3) / 4).toSeq
+    val sentinel = ZEvent(9999L, "c", Timestamp.valueOf("2024-06-01 13:00:00"), 10.0)
+    val ref = batchReference
+    assert(runStreamOrdered(batches :+ Seq(sentinel)) == ref)
+    // the reorder buffer is load-bearing: the plain in-arrival-order variant
+    // gives a DIFFERENT (wrong) answer on the same shuffled arrival
+    assert(runStream(batches) != ref,
+      "fixture sanity: the shuffle must actually break arrival-order folding")
+  }
+
+  test("reorder buffer: in-order arrival is the identity case") {
+    val byTime = fixture.sortBy(e => (e.ts.getTime, e.event_id))
+    val sentinel = ZEvent(9998L, "c", Timestamp.valueOf("2024-06-01 13:00:00"), 10.0)
+    assert(runStreamOrdered(Seq(byTime, Seq(sentinel))) == batchReference)
+  }
+
   test("multi-batch trickle: ring state carries the frame across micro-batches") {
     // split INSIDE the rolling frame of the scored outlier, so its baseline
     // spans the batch boundary — state must reconstruct it exactly
