@@ -62,6 +62,20 @@ object Bench {
     }
     if (elapsed() < budgetSec * 0.2)
       try sources.Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
+    // SPARK-WORK calibration (complements the raw spin probes): a fixed
+    // CPU-only Spark job — 256M xxhash64+sum over 32 range tasks, codegen +
+    // scheduling + two-phase agg, zero IO. The round-11 forensics found the
+    // host can run Spark work ~1.5-2× slower ACROSS ROUNDS while the spin
+    // probes read identical (host-vintage scheduler/memory effects raw ALU
+    // loops miss); this constant makes that visible in the bench line
+    // itself. Runs after warmup so one-time session init never contaminates
+    // it. Quiet-host reference in SURVEY §8.
+    val calibSpark = {
+      val t0 = System.nanoTime()
+      try spark.range(0L, 256000000L, 1L, 32).selectExpr("sum(xxhash64(id)) AS s").collect()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -85,8 +99,12 @@ object Bench {
         .mkString("{", ",", "}")
       val total = if (best.nonEmpty) best.values.sum else 0.0
       // calibration in Mops/s; *_post stay 0.0 until the post-run probes fire
-      val calib = s""""calib_st_pre":${r3(calibStPre)},"calib_mt_pre":${r3(calibMtPre)},"calib_st_post":${r3(calibStPost)},"calib_mt_post":${r3(calibMtPost)}"""
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"pass":$pass,"complete":$complete,$calib,"queries":$qs,"sf":"$sfDir"}""")
+      val calib = s""""calib_st_pre":${r3(calibStPre)},"calib_mt_pre":${r3(calibMtPre)},"calib_st_post":${r3(calibStPost)},"calib_mt_post":${r3(calibMtPost)},"calib_spark":${r3(calibSpark)}"""
+      // "t" = wall seconds since process start: the periodic lines become a
+      // coarse timeline, so a mid-run throttle window shows as a stretch of
+      // wall time with little pass progress even when the endpoint probes
+      // read quiet
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,$calib,"queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
     }
 
