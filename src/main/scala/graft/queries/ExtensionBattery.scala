@@ -550,25 +550,32 @@ object ExtensionBattery {
     // cosine (see q_cosine_neardup_lsh).
     sql("q_semdedup", semdedupOracleSql) { (s, d) =>
       import s.implicits._
-      val planes = Similarity.portablePlanes(semdedupGridBits, 64)
       val emb = Tables.embeddings(s, d)
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
-      val cellVal = (0 until semdedupGridBits).map { r =>
-        when(graft.functions.VectorDistances.dot_product($"v", lit(planes(r))) > 0.0,
-          lit(1 << r)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val cells = emb.withColumn("cluster_id", cellVal.cast("int"))
-      val pairs = cells.select($"id".as("id_a"), $"v".as("va"), $"cluster_id")
-        .join(cells.select($"id".as("id_b"), $"v".as("vb"), $"cluster_id"), "cluster_id")
-        .filter($"id_a" < $"id_b")
-        .filter(round(Similarity.cosine($"va", $"vb"), 6) >= 0.3)
-        .select($"id_a", $"id_b")
-      val dropped = graft.ext.Components.connectedComponents(pairs, "id_a", "id_b")
-        .filter($"id" =!= $"component")
-        .select($"id".as("vec_id")).withColumn("_drop", lit(1))
-      cells.select($"id".as("vec_id"), $"cluster_id")
-        .join(dropped, Seq("vec_id"), "left")
-        .select($"vec_id", $"cluster_id", $"_drop".isNull.as("keep"))
+      graft.ext.SemDedup
+        .dedup(graft.ext.SemDedup.gridCells(emb, semdedupGridBits), minCos = 0.3)
+        .orderBy($"vec_id")
+    },
+
+    // PRODUCTION semantic dedup: same dedup core over IVF k-means cells
+    // (the clustering the SemDeDup/D4 papers use — centroid-shaped cells
+    // track the data distribution, so near-dups co-locate with higher
+    // recall than the data-oblivious grid). The codebook is the SAME
+    // fingerprint-keyed trainCached artifact the ANN tier serves from —
+    // one Lloyd's run per corpus vintage feeds both ANN search and dedup.
+    // Float k-means is engine-specific → rows-only; grid-agreement on a
+    // planted fixture pinned in SemDedupSpec.
+    rowsOnly("q_semdedup_kmeans") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cacheKey = s"$d/embeddings.parquet#" +
+        graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet")
+      val centroids = IvfIndex.trainCached(
+        emb.select($"id", $"v".as("vec")), k = 16, cacheKey,
+        claimId = Some(s"ivf-centroids|$d|k16"))
+      graft.ext.SemDedup
+        .dedup(graft.ext.SemDedup.kmeansCells(emb, centroids), minCos = 0.3)
         .orderBy($"vec_id")
     },
 
