@@ -92,6 +92,7 @@ object Bench {
 
     // Running per-query minimum across all completed measurements so far.
     val best = scala.collection.mutable.Map.empty[String, Double]
+    var fullPasses = 0
     def emit(pass: Int, complete: Boolean): Unit = {
       // The driver captures only the tail, so each line stays well under
       // 2000 chars: full-battery total + a fixed headline subset.
@@ -104,7 +105,11 @@ object Bench {
       // coarse timeline, so a mid-run throttle window shows as a stretch of
       // wall time with little pass progress even when the endpoint probes
       // read quiet
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,$calib,"queries":$qs,"sf":"$sfDir"}""")
+      // full_passes disambiguates a truncated over-started pass: pass 3
+      // aborting with full_passes=2 means the minima rest on two COMPLETE
+      // sweeps (a valid measurement), not a partial signal — the r11 run-1
+      // misread ("complete:false" despite two finished passes)
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,"full_passes":$fullPasses,$calib,"queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
     }
 
@@ -146,6 +151,7 @@ object Bench {
         else if (elapsed() - lastEmit > 20.0) { emit(pass, complete = false); lastEmit = elapsed() }
       }
       lastComplete = !aborted
+      if (!aborted) fullPasses += 1
       emit(pass, complete = lastComplete)
       lastEmit = elapsed()
     }

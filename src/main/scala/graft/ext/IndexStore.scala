@@ -77,29 +77,44 @@ object IndexStore {
   def claim(logicalId: String, dir: String): Unit = claimLock.synchronized {
     val reg = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-index/REGISTRY")
     Files.createDirectories(reg.getParent)
-    val props = new java.util.Properties()
-    if (Files.exists(reg)) {
-      val in = new FileInputStream(reg.toFile)
-      try props.load(in) finally in.close()
-    }
-    val key = dirKey(logicalId)
-    val prev = Option(props.getProperty(key))
-    if (!prev.contains(dir)) {
-      prev.foreach { stale =>
-        // containment: the registry only ever holds dirs under graft-index/
-        // or explicit artifact dirs we wrote; refuse anything else outright
-        val staleFile = new java.io.File(stale)
-        if (staleFile.getCanonicalPath.startsWith(
-            new java.io.File(sys.props("java.io.tmpdir")).getCanonicalPath))
-          deleteRecursively(staleFile)
+    // cross-process exclusion: two processes interleaving the read-modify-
+    // write would last-writer-win and silently drop the other's entry,
+    // stranding its predecessor dir until the next claim. An OS file lock
+    // serializes them; the JVM-level claimLock above prevents the
+    // OverlappingFileLockException a same-process second lock would throw.
+    val lockCh = java.nio.channels.FileChannel.open(
+      Paths.get(reg.toString + ".lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val osLock = lockCh.lock()
+    try {
+      val props = new java.util.Properties()
+      if (Files.exists(reg)) {
+        val in = new FileInputStream(reg.toFile)
+        try props.load(in) finally in.close()
       }
-      props.setProperty(key, dir)
-      val tmp = Paths.get(reg.toString + s".tmp-${ProcessHandle.current().pid()}")
-      val out = new FileOutputStream(tmp.toFile)
-      try props.store(out, "graft artifact registry: dirKey(logicalId) -> current dir")
-      finally out.close()
-      Files.move(tmp, reg, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      val key = dirKey(logicalId)
+      val prev = Option(props.getProperty(key))
+      if (!prev.contains(dir)) {
+        prev.foreach { stale =>
+          // containment: the registry only ever holds dirs under graft-index/
+          // or explicit artifact dirs we wrote; refuse anything else outright
+          val staleFile = new java.io.File(stale)
+          if (staleFile.getCanonicalPath.startsWith(
+              new java.io.File(sys.props("java.io.tmpdir")).getCanonicalPath))
+            deleteRecursively(staleFile)
+        }
+        props.setProperty(key, dir)
+        val tmp = Paths.get(reg.toString + s".tmp-${ProcessHandle.current().pid()}")
+        val out = new FileOutputStream(tmp.toFile)
+        try props.store(out, "graft artifact registry: dirKey(logicalId) -> current dir")
+        finally out.close()
+        Files.move(tmp, reg, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally {
+      osLock.release()
+      lockCh.close()
     }
   }
 

@@ -123,6 +123,22 @@ class ZscoreStreamSpec extends SparkSpec {
       "fixture sanity: the shuffle must actually break arrival-order folding")
   }
 
+  test("reorder buffer: beyond-horizon stragglers are dropped, never mis-folded") {
+    // Batch 1 carries the full in-order fixture plus a sentinel that pushes
+    // the watermark (2 h delay) past every real event. Batch 2 then delivers
+    // a gross outlier whose event time is far BELOW the watermark — the
+    // engine's late-data filter must discard it (the documented contract)
+    // rather than fold it into a baseline that already moved past it.
+    val byTime = fixture.sortBy(e => (e.ts.getTime, e.event_id))
+    val sentinel = ZEvent(9997L, "c", Timestamp.valueOf("2024-06-01 13:00:00"), 10.0)
+    // would be |z| >> 3 if folded — its absence from the output is the proof
+    val straggler = ZEvent(7777L, "a", Timestamp.valueOf("2024-06-01 08:20:30"), 400.0)
+    val flush = ZEvent(9996L, "c", Timestamp.valueOf("2024-06-01 15:00:00"), 10.0)
+    val out = runStreamOrdered(Seq(byTime :+ sentinel, Seq(straggler, flush)))
+    assert(!out.contains(7777L), "the straggler must be dropped, not scored")
+    assert(out == batchReference, "surviving output must match the batch window")
+  }
+
   test("reorder buffer: in-order arrival is the identity case") {
     val byTime = fixture.sortBy(e => (e.ts.getTime, e.event_id))
     val sentinel = ZEvent(9998L, "c", Timestamp.valueOf("2024-06-01 13:00:00"), 10.0)
