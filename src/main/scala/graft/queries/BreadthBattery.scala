@@ -949,6 +949,52 @@ object BreadthBattery {
         .orderBy($"source")
     },
 
+    // TEMPERATURE-based mixture sampling (the multilingual rebalancing
+    // trick: sample language i with probability ∝ p_i^α, α < 1 flattening
+    // the head so low-resource languages are over-represented relative to
+    // their corpus share). Because p_i = n_i/N and N cancels in the
+    // renormalization, q_i = n_i^α / Σ_j n_j^α — computable from per-lang
+    // counts alone. Per-doc selection is the deterministic md5 hash gate
+    // (q_mix_sources discipline) at rate round(min(1, B·q_i/n_i), 6):
+    // reproducible, partition-parallel, no RNG state. The lang-rate table
+    // is |langs| rows → broadcast; the corpus is scanned once for counts
+    // and once for gating. Rounding the rate to 6 on both sides pins the
+    // float gate boundary across engines (pow/Σ-order noise ~1e-16 is 10
+    // orders below the rounded boundary).
+    sql("q_mix_temperature",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |den AS (SELECT sum(pow(n, 0.3)) AS den FROM c),
+        |r AS (SELECT lang, n, pow(n, 0.3) / den AS q,
+        |        round(least(1.0, 200.0 * (pow(n, 0.3) / den) / n), 6) AS rate
+        |      FROM c, den)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(min(r.q), 6) AS q_temp, min(r.rate) AS rate,
+        |  CAST(count(*) FILTER (WHERE
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < r.rate) AS BIGINT) AS n_sampled
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val alpha = 0.3
+      val budget = 200.0
+      val counts = Tables.documents(s, d).groupBy($"lang").agg(count(lit(1)).as("n"))
+      val denom = counts.agg(sum(pow($"n", alpha)).as("den"))
+      val rates = counts.crossJoin(broadcast(denom))
+        .withColumn("q", pow($"n", alpha) / $"den")
+        .withColumn("rate", round(least(lit(1.0), lit(budget) * $"q" / $"n"), 6))
+      Tables.documents(s, d)
+        .join(broadcast(rates.select($"lang", $"q", $"rate")), "lang")
+        .withColumn("frac",
+          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("double")
+            / 4294967296.0)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min($"q"), 6).as("q_temp"),
+          min($"rate").as("rate"),
+          count(when($"frac" < $"rate", 1)).as("n_sampled"))
+        .orderBy($"lang")
+    },
+
     // Shannon entropy of the event-type distribution per user bucket.
     // Spark has no entropy aggregate: two-level aggregation computes
     // log2(T) - Σ c·log2(c) / T — algebraic partials all the way down, no
