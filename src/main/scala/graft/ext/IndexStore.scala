@@ -69,10 +69,11 @@ object IndexStore {
     * cacheKeys), so the caller states the identity explicitly instead of
     * the registry guessing from dir names.
     *
-    * Driver-side, process-local locking: concurrent claims from one JVM
-    * serialize; cross-process the registry write is atomic (temp+rename)
-    * and the worst interleaving re-deletes an already-dead dir. A claim of
-    * the CURRENT dir is a cheap no-op, so build paths call it
+    * Driver-side, doubly locked: claims within one JVM serialize on
+    * [[claimLock]], and the whole read-modify-write holds an OS file lock
+    * so concurrent claims from DIFFERENT processes cannot last-writer-win
+    * each other's entries; the publish itself stays atomic (temp+rename).
+    * A claim of the CURRENT dir is a cheap no-op, so build paths call it
     * unconditionally. */
   def claim(logicalId: String, dir: String): Unit = claimLock.synchronized {
     val reg = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-index/REGISTRY")
