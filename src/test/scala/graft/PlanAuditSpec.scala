@@ -193,7 +193,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_inactive_rich_cust", "q_jaccard_pairs", "q_lm_perplexity",
       "q_min_cost_supplier", "q_opq_topk", "q_parts_supplier_count",
       "q_pq_topk", "q_quantize_topk", "q_source_overlap_matrix",
-      "q_tfidf", "q_theta_decontaminate", "q_theta_overlap")
+      "q_tfidf", "q_theta_decontaminate", "q_theta_overlap",
+      // 1-row Σ n^α denominator broadcast-crossed into the |langs|-row
+      // rate table — bounded by construction
+      "q_mix_temperature")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
