@@ -283,6 +283,77 @@ object ExtensionBattery {
         .orderBy($"doc_id")
     },
 
+    // FILTER-CASCADE survival report (the C4/Gopher-style funnel every
+    // corpus paper publishes): how many documents survive each cleaning
+    // rule CUMULATIVELY — min length, min tokens, mean-word-length band,
+    // max-word-length cap, distinct-token ratio. ONE corpus scan computes
+    // all six counts as conditional aggregates (the q_dq_report
+    // discipline: at 100 TB the report costs one pass, not one pass per
+    // rule), then a 6-row stack unpivots them for presentation. Every
+    // rule compares INTEGERS (sums/counts/scaled ratios), so the
+    // cross-engine float surface is just the final round(frac, 4).
+    sql("q_filter_cascade", {
+      val conds = Seq(
+        "nc >= 100",
+        "nt >= 20",
+        "sl >= nt*3 AND sl <= nt*10",
+        "mw <= 50",
+        "nd*10 >= nt*3")
+      val cum = conds.inits.toSeq.reverse.tail.map(_.mkString(" AND "))
+      val filters = cum.zipWithIndex
+        .map { case (c, i) => s"count(*) FILTER (WHERE $c) AS n${i + 1}" }
+        .mkString(",\n        |  ")
+      val rules = Seq("all", "min_chars_100", "min_tokens_20",
+        "mean_word_len_3_10", "max_word_len_50", "distinct_ratio_30")
+      val unions = rules.zipWithIndex.map { case (r, i) =>
+        s"SELECT $i AS stage, '$r' AS rule, CAST(n$i AS BIGINT) AS n_surviving, round(n$i * 1.0 / n0, 4) AS frac FROM m"
+      }.mkString("\n        |UNION ALL ")
+      s"""WITH t AS (SELECT length(text) AS nc, $toksSql AS toks FROM documents),
+        |b AS (SELECT nc, len(toks) AS nt,
+        |        coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS sl,
+        |        list_max(list_transform(toks, w -> length(w))) AS mw,
+        |        len(list_distinct(toks)) AS nd FROM t),
+        |m AS (SELECT count(*) AS n0,
+        |  $filters
+        |  FROM b)
+        |$unions
+        |ORDER BY stage""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val toks = when(trim($"text") === "", array().cast("array<string>"))
+        .otherwise(split(trim(lower($"text")), "\\s+"))
+      val base = Tables.documents(s, d)
+        .select(length($"text").as("nc"), toks.as("toks"))
+        .select($"nc", size($"toks").as("nt"),
+          aggregate($"toks", lit(0), (a, w) => a + length(w)).as("sl"),
+          array_max(transform($"toks", w => length(w))).as("mw"),
+          size(array_distinct($"toks")).as("nd"))
+      val c1 = $"nc" >= 100
+      val c2 = c1 && $"nt" >= 20
+      val c3 = c2 && $"sl" >= $"nt" * 3 && $"sl" <= $"nt" * 10
+      val c4 = c3 && $"mw" <= 50
+      val c5 = c4 && $"nd" * 10 >= $"nt" * 3
+      base.agg(
+          count(lit(1)).as("n0"),
+          count(when(c1, 1)).as("n1"),
+          count(when(c2, 1)).as("n2"),
+          count(when(c3, 1)).as("n3"),
+          count(when(c4, 1)).as("n4"),
+          count(when(c5, 1)).as("n5"))
+        .select(
+          expr("""stack(6,
+            0, 'all', n0,
+            1, 'min_chars_100', n1,
+            2, 'min_tokens_20', n2,
+            3, 'mean_word_len_3_10', n3,
+            4, 'max_word_len_50', n4,
+            5, 'distinct_ratio_30', n5) AS (stage, rule, n_surviving)"""),
+          $"n0")
+        .select($"stage", $"rule", $"n_surviving",
+          round($"n_surviving" / $"n0", 4).as("frac"))
+        .orderBy($"stage")
+    },
+
     // Text cleaning + PII redaction: synthesize dirty text (HTML tag, email,
     // phone) deterministically per doc, then clean — both engines build and
     // clean the same string with the same RE2-safe regexes.
