@@ -32,9 +32,15 @@ object SessionFactory {
     val Stale = "graft-warehouse-([0-9]+)".r
     Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
       f.getName match {
-        case Stale(pid) if pid.toLong != ProcessHandle.current().pid() &&
-            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
-          rm(f)
+        // toLongOption: tmpdir is shared, so a foreign dir named
+        // graft-warehouse-<20+ digits> must be skipped, not throw out of
+        // builder() and block every session start until hand-removed
+        case Stale(pid) => pid.toLongOption match {
+          case Some(p) if p != ProcessHandle.current().pid() &&
+              !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false) =>
+            rm(f)
+          case _ => ()
+        }
         case _ => ()
       }
     }

@@ -74,7 +74,18 @@ object IndexStore {
     * so concurrent claims from DIFFERENT processes cannot last-writer-win
     * each other's entries; the publish itself stays atomic (temp+rename).
     * A claim of the CURRENT dir is a cheap no-op, so build paths call it
-    * unconditionally. */
+    * unconditionally — AFTER the build commits, so a failed build leaves
+    * the previous vintage and its registry entry untouched (the registry
+    * never points at a dir that was never built).
+    *
+    * Deletes are CONTAINED to the canonical graft-index root (trailing-
+    * separator prefix, the Bucketed.rmContained bar): a poisoned registry
+    * value outside it — Spark scratch, Derby locks, a `graft-index-evil`
+    * sibling — is refused, never deleted. Residual risk, accepted: the
+    * stale delete is immediate, so a concurrent process still SERVING the
+    * old vintage can lose files mid-read; exposure is one failed query on
+    * a fingerprint-keyed path that only changes when the source data is
+    * regenerated under a live reader. */
   def claim(logicalId: String, dir: String): Unit = claimLock.synchronized {
     val reg = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-index/REGISTRY")
     Files.createDirectories(reg.getParent)
@@ -98,11 +109,18 @@ object IndexStore {
       val prev = Option(props.getProperty(key))
       if (!prev.contains(dir)) {
         prev.foreach { stale =>
-          // containment: the registry only ever holds dirs under graft-index/
-          // or explicit artifact dirs we wrote; refuse anything else outright
+          // containment, the Bucketed.rmContained bar: only dirs STRICTLY
+          // under the canonical graft-index root are deletable — that is
+          // the only place this engine writes registry-tracked artifacts.
+          // The trailing File.separator matters: a bare startsWith would
+          // let a poisoned value like <root>-evil pass. Anything else in a
+          // poisoned registry (Spark scratch, Derby locks, foreign tmpdir
+          // files) is refused outright, never deleted.
           val staleFile = new java.io.File(stale)
+          val rootCanon = new java.io.File(
+            s"${sys.props("java.io.tmpdir")}/graft-index").getCanonicalPath
           if (staleFile.getCanonicalPath.startsWith(
-              new java.io.File(sys.props("java.io.tmpdir")).getCanonicalPath))
+              rootCanon + java.io.File.separator))
             deleteRecursively(staleFile)
         }
         props.setProperty(key, dir)

@@ -194,10 +194,6 @@ object IvfIndex {
     // is a different codebook, and the queries served from it are rows-only
     // (no oracle) — a partial key would silently serve stale geometry.
     val dir = IndexStore.indexDir("ivf-centroids", cacheKey, s"k$k-i$iters-s$trainSampleN")
-    // vacuum: cacheKey embeds the data fingerprint, so a regenerated source
-    // strands the old vintage's codebook — the caller-supplied stable id
-    // lets the registry reclaim it (IndexStore.claim)
-    claimId.foreach(id => IndexStore.claim(id, dir))
     val path = s"$dir/centroids.bin"
     val cents: Array[(Int, Array[Double])] =
       IndexStore.load[Array[(Int, Array[Double])]](path).getOrElse {
@@ -209,6 +205,16 @@ object IvfIndex {
         IndexStore.save(path, trained)
         trained
       }
+    // vacuum: cacheKey embeds the data fingerprint, so a regenerated source
+    // strands the old vintage's codebook — the registry reclaims it. Two
+    // deliberate choices: (a) claim AFTER the load-or-train above, so a
+    // failed training run leaves both the previous vintage and its registry
+    // entry intact (never a registry pointing at a dir that was never
+    // built); (b) the FULL training geometry is folded into the logical id,
+    // not just the caller's k-based id — codebooks trained with different
+    // iters/sampleN are different artifacts, and a shared id would make
+    // them vacuum each other on every call, silently retraining forever.
+    claimId.foreach(id => IndexStore.claim(s"$id|i$iters|s$trainSampleN", dir))
     centroidFrame(spark, cents.toSeq)
   }
 

@@ -549,9 +549,11 @@ object ExtensionBattery {
       // embeddings table must miss the old index and rebuild, never serve it
       val dir = IvfIndex.indexDir(d, 8) +
         "-maint-" + graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet")
-      graft.ext.IndexStore.claim(s"ivf-maint|$d|k8", dir) // vacuum prior vintage
       IvfIndex.buildIndex(emb.filter($"id" >= 200), dir, nClusters = 8)
       IvfIndex.appendDelta(emb.filter($"id" < 200), dir, txn = Some("maint" -> 1L))
+      // claim AFTER the build+delta commit: a failed build must leave the
+      // prior vintage and its registry entry intact (vacuums it otherwise)
+      graft.ext.IndexStore.claim(s"ivf-maint|$d|k8", dir)
       IvfIndex.searchIndexed(s, emb.filter($"id" < 10), dir, k = 5, nprobe = 8)
         .select($"query_id", $"neighbor_id", $"cos", $"rank")
         .orderBy($"query_id", $"rank")
@@ -721,8 +723,8 @@ object ExtensionBattery {
       // discipline, extended to every persisted-index entry)
       val dir = IvfIndex.indexDir(d, nClusters = 16) + "-" +
         graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet")
-      graft.ext.IndexStore.claim(s"ivf-indexed|$d|k16", dir) // vacuum prior vintage
       IvfIndex.buildIndex(emb, dir, nClusters = 16)
+      graft.ext.IndexStore.claim(s"ivf-indexed|$d|k16", dir) // claim-after-build
       IvfIndex.searchIndexed(s, emb.filter($"id" < 10), dir, k = 5, nprobe = 4)
         .orderBy($"query_id", $"rank")
     },
@@ -1069,8 +1071,10 @@ object ExtensionBattery {
       // corpus must rebuild, never serve the stale codes
       val dir = graft.ext.IndexStore.indexDir("pq", d,
         "m16k256-" + graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet"))
-      graft.ext.IndexStore.claim(s"pq|$d|m16k256", dir) // vacuum prior vintage
       graft.ext.PqIndex.buildIndex(emb, dir, m = 16, k = 256, sampleN = 2000, iters = 5)
+      // claim AFTER the build: a failed build must leave the prior vintage
+      // and its registry entry intact (vacuums the prior vintage otherwise)
+      graft.ext.IndexStore.claim(s"pq|$d|m16k256", dir)
       graft.ext.PqIndex.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10)
         .orderBy($"query_id", $"rank")
     },
@@ -1084,8 +1088,9 @@ object ExtensionBattery {
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
       val dir = graft.ext.IndexStore.indexDir("opq", d,
         "m16k256-" + graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet"))
-      graft.ext.IndexStore.claim(s"opq|$d|m16k256", dir) // vacuum prior vintage
       graft.ext.Opq.buildIndex(emb, dir, m = 16, k = 256, sampleN = 2000, iters = 5)
+      graft.ext.IndexStore.claim(s"opq|$d|m16k256", dir) // claim-after-build
+
       graft.ext.Opq.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10)
         .orderBy($"query_id", $"rank")
     },
@@ -1097,8 +1102,9 @@ object ExtensionBattery {
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
       val dir = graft.ext.IndexStore.indexDir("ivfpq", d,
         "n16m16k256-" + graft.ext.IndexStore.dataFingerprint(s"$d/embeddings.parquet"))
-      graft.ext.IndexStore.claim(s"ivfpq|$d|n16m16k256", dir) // vacuum prior vintage
       graft.ext.IvfPq.buildIndex(emb, dir, nlist = 16, m = 16, k = 256, sampleN = 2000)
+      graft.ext.IndexStore.claim(s"ivfpq|$d|n16m16k256", dir) // claim-after-build
+
       graft.ext.IvfPq.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10, nprobe = 4)
         .orderBy($"query_id", $"rank")
     },

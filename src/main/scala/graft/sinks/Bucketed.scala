@@ -49,7 +49,10 @@ object Bucketed {
     * No-op when the table already exists in the session catalog.
     * Returns true when a build actually ran. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Boolean = {
-    val lock = buildLocks.computeIfAbsent(table, _ => new Object)
+    // lock key is lowercased to match the catalog's and the warehouse
+    // dir's case-insensitive identity: 'Foo' and 'foo' are the SAME table
+    // to both, so they must take the same build lock
+    val lock = buildLocks.computeIfAbsent(table.toLowerCase, _ => new Object)
     lock.synchronized {
       val spark = df.sparkSession
       if (spark.catalog.tableExists(table)) false
