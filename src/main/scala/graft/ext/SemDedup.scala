@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * SCALE: the within-cell self-join shuffles each side once on cluster_id;
   * pair cost is Σ|cell|², never |corpus|². Resolution (grid bits / k) is
-  * the knob that bounds cell size; a hot cell is salted or split like any
-  * skewed join key. The duplicate graph is tiny relative to the corpus
+  * the coarse knob that bounds cell size; a hot cell is split like any
+  * skewed join key — [[splitHotCells]] refines oversized cells by
+  * secondary hyperplane bits until every cell fits `maxCellSize`
+  * ([[dedupBounded]] composes it with the dedup core). The duplicate
+  * graph is tiny relative to the corpus
   * (only above-threshold pairs), so [[Components]]' bounded-collect fast
   * path usually resolves it locally and the survivors join back broadcast.
   *
@@ -55,6 +58,88 @@ object SemDedup {
   def kmeansCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
     IvfIndex.build(vectors.select(col("id"), col("v").as("vec")), centroids)
       .select(col("id"), col("vec").as("v"), col("cluster_id").cast("int").as("cluster_id"))
+
+  /** Hot-cell guard: refine any cell holding more than `maxCellSize`
+    * vectors by appending secondary hyperplane sign bits until every cell
+    * fits (or `maxRounds` planes are exhausted). The within-cell pair cost
+    * of [[dedup]] is Σ|cell|², so ONE pathological cell — a corpus whose
+    * embeddings concentrate in a single grid/k-means region — degrades the
+    * self-join toward |corpus|²; this is the skewed-join-key split applied
+    * to the clustering itself.
+    *
+    * Mechanics: cluster ids become PATH strings (`"7"` → `"7.1.0"`), so a
+    * split cell's children can never collide with an untouched cell's id.
+    * Split planes are [[Similarity.portablePlanes]] rows `firstPlane +
+    * round` — deterministic, and disjoint from [[gridCells]]'s planes
+    * (rows 0..gridBits-1) as long as firstPlane ≥ gridBits, so a split
+    * re-uses no bit the cell was built from (re-using one would split
+    * nothing: every member shares that sign by construction). Each round
+    * costs one count aggregate over the corpus plus one ids-only join
+    * against the hot-cell set — bounded by maxRounds, never data-sized on
+    * the driver.
+    *
+    * RECALL: identical in kind to the cell-boundary trade the family
+    * already makes — a near-dup pair straddling a split boundary stops
+    * being a candidate. Splitting only triggers past maxCellSize, so the
+    * trade is paid exactly where the quadratic blow-up would be.
+    *
+    * IRREDUCIBLE cells — e.g. > maxCellSize bit-identical vectors, which
+    * no hyperplane can separate — survive all rounds; they are reported
+    * loudly on stderr and left intact (for true duplicates the |cell|²
+    * pairs ARE the dedup's work product; run exact dedup first if a corpus
+    * is dominated by byte-identical embeddings). */
+  def splitHotCells(cells: DataFrame, maxCellSize: Long, dim: Int = 64,
+      maxRounds: Int = 6, firstPlane: Int = 32): DataFrame = {
+    require(maxCellSize > 0, "maxCellSize must be positive")
+    require(firstPlane >= 0 && maxRounds >= 0, "negative plane range")
+    val planes = Similarity.portablePlanes(firstPlane + maxRounds, dim)
+    var cur = cells.withColumn("cluster_id", col("cluster_id").cast("string"))
+    var round = 0
+    var anyHot = true
+    while (round < maxRounds && anyHot) {
+      val hot = cur.groupBy("cluster_id").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxCellSize).select("cluster_id")
+      if (hot.limit(1).count() == 0L) anyHot = false
+      else {
+        val bit = when(graft.functions.VectorDistances
+            .dot_product(col("v"), lit(planes(firstPlane + round))) > 0.0,
+          lit("1")).otherwise(lit("0"))
+        cur = cur.join(hot.withColumn("_hot", lit(1)), Seq("cluster_id"), "left")
+          .withColumn("cluster_id",
+            when(col("_hot").isNotNull, concat(col("cluster_id"), lit("."), bit))
+              .otherwise(col("cluster_id")))
+          .drop("_hot")
+        round += 1
+      }
+    }
+    if (anyHot) {
+      // last round may still have resolved everything — recheck before
+      // declaring a residual; a surviving hot cell must be LOUD, because
+      // the caller's pair cost is about to be quadratic in its size
+      val residual = cur.groupBy("cluster_id").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxCellSize)
+        .agg(count(lit(1)).as("cells"), max(col("_n")).as("largest"))
+        .collect()(0)
+      if (residual.getLong(0) > 0)
+        System.err.println(
+          s"[semdedup] ${residual.getLong(0)} cell(s) still exceed " +
+          s"maxCellSize=$maxCellSize after $maxRounds split rounds " +
+          s"(largest=${residual.getLong(1)}): vectors are too similar for " +
+          "hyperplane splits - run exact dedup first or raise maxCellSize")
+    }
+    cur
+  }
+
+  /** [[dedup]] behind the hot-cell guard: cells are [[splitHotCells]]-
+    * refined to at most `maxCellSize` members first, so the within-cell
+    * pair cost is ≤ Σ min(|cell|, maxCellSize)² by construction. The
+    * production entry point for corpora whose embedding distribution is
+    * not known to be spread. */
+  def dedupBounded(cells: DataFrame, minCos: Double, maxCellSize: Long,
+      roundTo: Int = 6, dim: Int = 64, maxRounds: Int = 6,
+      firstPlane: Int = 32): DataFrame =
+    dedup(splitHotCells(cells, maxCellSize, dim, maxRounds, firstPlane),
+      minCos, roundTo)
 
   /** The dedup core: within-cluster pairs with round(cos, roundTo) ≥ minCos
     * form the duplicate graph; connected components label groups; each

@@ -54,6 +54,103 @@ class SemDedupSpec extends SparkSpec {
     assert(keepSet(out) == Set(1L, 10L, 20L))
   }
 
+  /** Concentrated fixture for the hot-cell guard: `n` DIVERSE vectors that
+    * all land in one 4-bit grid cell. Random vectors are biased toward the
+    * all-positive quadrant of planes 0..3 (adding 0.5·Σp_r), then filtered
+    * to the largest actual cell — so cell membership is exact by
+    * construction while the vectors stay random otherwise, which is what
+    * lets SECONDARY planes divide them (a cell of near-copies of one base
+    * would agree on most secondary signs too). */
+  private def concentrated(n: Int): Seq[(Long, Array[Double])] = {
+    val p = Similarity.portablePlanes(4, dim)
+    def sig(v: Array[Double]): Int =
+      (0 until 4).map { r =>
+        if ((0 until dim).map(i => v(i) * p(r)(i)).sum > 0) 1 << r else 0
+      }.sum
+    // bias kept small (0.3): a heavy bias correlates the fixture with
+    // SECONDARY planes too (dot(Σp_r, p_s) ≠ 0), which wastes split rounds
+    // on planes every member agrees on — more candidates instead
+    val cands = (0 until 900).map { s =>
+      val v = randVec(1000 + s)
+      (0 until dim).map(i =>
+        v(i) + 0.3 * (p(0)(i) + p(1)(i) + p(2)(i) + p(3)(i))).toArray
+    }
+    val best = cands.groupBy(sig).maxBy(_._2.size)._2
+    assert(best.size >= n, s"fixture sanity: largest cell ${best.size} < $n")
+    best.take(n).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
+
+  private def cellSizes(cells: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    cells.groupBy(col("cluster_id").cast("string").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+
+  test("splitHotCells bounds every cell and therefore the quadratic pair cost") {
+    val df = concentrated(48).toDF("id", "v")
+    val cells = SemDedup.gridCells(df, gridBits = 4)
+    val before = cellSizes(cells)
+    assert(before.size == 1 && before.values.head == 48L,
+      "fixture sanity: all 48 vectors start in ONE cell")
+    val split = SemDedup.splitHotCells(cells, maxCellSize = 10, maxRounds = 12)
+    val after = cellSizes(split)
+    assert(split.count() == 48, "splitting must lose no rows")
+    assert(after.values.sum == 48L)
+    assert(after.values.max <= 10L,
+      s"every cell must fit maxCellSize after splitting, got $after")
+    // the scale property the guard exists for: pair cost drops from
+    // |cell|² to Σ|cell|² ≤ maxCellSize·N
+    assert(after.values.map(x => x * x).sum <= 10L * 48,
+      "post-split pair cost must be bounded by maxCellSize·N")
+    // membership is REFINED, never reshuffled: each split id is a path
+    // extension of the original cell id
+    val orig = before.keys.head
+    assert(after.keys.forall(c => c == orig || c.startsWith(orig + ".")),
+      s"split cells must be path-children of the original cell, got ${after.keys}")
+  }
+
+  test("splitHotCells is a no-op on cells already within bound") {
+    val df = fixture.toDF("id", "v")
+    val cells = SemDedup.gridCells(df, gridBits = 4)
+    val split = SemDedup.splitHotCells(cells, maxCellSize = 100)
+    assert(cellSizes(split) == cellSizes(cells),
+      "no cell over the bound → identical cell assignment (modulo string cast)")
+  }
+
+  test("dedupBounded still drops co-located duplicates after splitting") {
+    // positive scalings share EVERY hyperplane sign (scale-invariance), so
+    // planted dup pairs co-locate through any number of split rounds —
+    // splitting bounds cost without touching these pairs' candidacy
+    val base = concentrated(24)
+    val dups = base.take(4).map { case (id, v) => (id + 1000L, v.map(_ * 1.01)) }
+    val df = (base ++ dups).toDF("id", "v")
+    val out = SemDedup.dedupBounded(
+      SemDedup.gridCells(df, gridBits = 4), minCos = 0.95, maxCellSize = 8)
+    assert(out.count() == 28, "one row per input vector")
+    assert(keepSet(out) == base.map(_._1).toSet,
+      "each planted dup group keeps its minimum id; all originals survive")
+  }
+
+  test("an irreducible hot cell survives all rounds and warns loudly") {
+    // bit-identical vectors: no hyperplane can ever separate them
+    val v = randVec(777)
+    val df = (0 until 12).map(i => (i.toLong, v)).toDF("id", "v")
+    val cells = SemDedup.gridCells(df, gridBits = 4)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val split =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true))
+        val s = SemDedup.splitHotCells(cells, maxCellSize = 8, maxRounds = 3)
+        s.count() // force the residual check before restoring stderr
+        s
+      } finally System.setErr(realErr)
+    assert(cellSizes(split).values.toSeq == Seq(12L),
+      "identical vectors stay one cell — splitting must not scatter them")
+    assert(errBuf.toString.contains("[semdedup]") &&
+        errBuf.toString.contains("maxCellSize=8"),
+      s"irreducible hot cell must warn loudly, got: '${errBuf.toString}'")
+  }
+
   test("cell-boundary near-dups survive — the family's documented recall trade") {
     // Construct two near-identical vectors on OPPOSITE sides of grid plane 0:
     // v = b - ((d0-1)/64)·p0 has p0·v = +1, w = b - ((d0+1)/64)·p0 has
