@@ -16,12 +16,16 @@ import org.apache.spark.sql.SparkSession
   *     min over any subset of completed measurements is a measurement;
   *   - the process exits 0 as long as at least the partial pass ran.
   *
-  * Per-query MINIMUM across however many passes fit the budget: pass 1
-  * doubles as warm-up (first execution of each shape absorbs one-time
-  * JIT/codegen/classloader cost, measured ~3x steady state); later passes
-  * are insurance against JIT deopt / GC hiccups. On a fast machine this
-  * still yields the old min-of-3; on a slow one it degrades to min-of-2,
-  * then single-pass, then a partial pass — never to nothing.
+  * Per-query MINIMUM across however many passes fit the budget. Before any
+  * measured pass, a SMALL-SF WARM-UP SWEEP runs every query once at the
+  * smallest sibling scale factor (sf0.001), excluded from minima: the
+  * one-time JIT/codegen/classloader costs it absorbs are data-size
+  * independent, so the first MEASURED pass is already near steady state and
+  * two measured passes yield warm minima where the old cold-pass-1 design
+  * needed three (which stopped fitting the 360 s budget at 185 queries —
+  * BENCH_r11 ran `complete: false` with cold-dominated minima). On a slow
+  * host the sweep truncates at its own cap and the design degrades to the
+  * old behavior, never to nothing.
   *
   * KNOWN BOUND: the budget and the periodic emit are both checked BETWEEN
   * queries — a single query that hangs runs unbounded, and if the driver
@@ -79,7 +83,7 @@ object Bench {
 
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val headline = Seq(
+    val headline = Seq[String](
       "q_pricing_summary", "q_shipping_priority", "q_join_multiway",
       "q_bucketed_join", "q_window_topk", "q_rollup", "q_sessionize", "q_asof_join",
       "q_range_join", "q_dedup_exact", "q_minhash_neardup",
@@ -90,14 +94,61 @@ object Bench {
       "q_ddb_unwrap", "q_load_verification", "q_theta_overlap", "q_freq_topk",
       "q_edit_join")
 
+    // Stable order so a truncated pass 1 covers a deterministic prefix —
+    // HEADLINE queries first: when a host-throttle window truncates pass 1
+    // (BENCH_r08 covered 63/159 alphabetically), the surviving partial now
+    // contains the full cross-round-comparable subset instead of an
+    // arbitrary alphabetic prefix; the rest follows alphabetically.
+    val headlineRank = headline.zipWithIndex.toMap
+    val queryList = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (headlineRank.getOrElse(name, Int.MaxValue), name) }
+
+    // SMALL-SF WARM-UP SWEEP (round-11 verdict item 1): run every registry
+    // query once against the SMALLEST sibling scale factor before any
+    // measured pass. The per-query one-time costs that used to inflate the
+    // measured pass 1 ~2-3x — codegen, JIT, classloading, UDF/encoder init —
+    // are data-size-independent, so paying them at sf0.001 buys warm-quality
+    // minima from TWO measured passes where the old design needed three
+    // (185 queries x ~120 s cold no longer fits 3x in a 360 s budget).
+    // Excluded from minima (different data scale — its timings mean
+    // nothing), budget-capped so a throttled host degrades to a partial
+    // warm-up + the old cold-pass behavior, never past the kill window.
+    // Artifact caches (bucketed tables, IVF/PQ index dirs) key on the
+    // source dir + data fingerprint, so the sweep builds sf0.001-vintage
+    // artifacts and never touches the measured dir's.
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_DIR", {
+      val parent = new java.io.File(sfDir).getParentFile
+      val cand = new java.io.File(parent, "sf0.001")
+      if (cand.isDirectory && cand.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
+        cand.getAbsolutePath
+      else "none"
+    })
+    var warmupN = 0
+    if (warmupDir != "none") {
+      val warmupDeadline = math.min(budgetSec * 0.25, elapsed() + 90.0)
+      val it = queryList.iterator
+      while (it.hasNext && elapsed() < warmupDeadline) {
+        val (_, fn) = it.next()
+        try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+        warmupN += 1
+      }
+    }
+    val warmupT = elapsed()
+
     // Running per-query minimum across all completed measurements so far.
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val benchBaseline = BenchGate.loadBaseline()
     var fullPasses = 0
     def emit(pass: Int, complete: Boolean): Unit = {
       // The driver captures only the tail, so each line stays well under
       // 2000 chars: full-battery total + a fixed headline subset.
       val qs = headline.flatMap(k => best.get(k).map(v => s"\"$k\":${r3(v)}"))
         .mkString("{", ",", "}")
+      // Regression gate (round-11 verdict item 4): names whose current min
+      // exceeds baseline x 1.5 x host factor, worst first, capped at 8 so
+      // the line stays bounded; regressions_n carries the uncapped count.
+      val regs = BenchGate.regressions(best.toMap, benchBaseline, calibSpark)
+      val regsJson = regs.take(8).map(n => s"\"$n\"").mkString("[", ",", "]")
       val total = if (best.nonEmpty) best.values.sum else 0.0
       // calibration in Mops/s; *_post stay 0.0 until the post-run probes fire
       val calib = s""""calib_st_pre":${r3(calibStPre)},"calib_mt_pre":${r3(calibMtPre)},"calib_st_post":${r3(calibStPost)},"calib_mt_post":${r3(calibMtPost)},"calib_spark":${r3(calibSpark)}"""
@@ -109,25 +160,18 @@ object Bench {
       // aborting with full_passes=2 means the minima rest on two COMPLETE
       // sweeps (a valid measurement), not a partial signal — the r11 run-1
       // misread ("complete:false" despite two finished passes)
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,"full_passes":$fullPasses,$calib,"queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,"full_passes":$fullPasses,"warmup_n":$warmupN,"warmup_t":${r3(warmupT)},"regressions":$regsJson,"regressions_n":${regs.size},$calib,"queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
     }
 
-    // Stable order so a truncated pass 1 covers a deterministic prefix —
-    // HEADLINE queries first: when a host-throttle window truncates pass 1
-    // (BENCH_r08 covered 63/159 alphabetically), the surviving partial now
-    // contains the full cross-round-comparable subset instead of an
-    // arbitrary alphabetic prefix; the rest follows alphabetically.
-    val headlineRank = headline.zipWithIndex.toMap
-    val queryList = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (headlineRank.getOrElse(name, Int.MaxValue), name) }
     var lastEmit = 0.0
     var pass = 0
     var outOfTime = false
     var lastComplete = false
-    // Always start the next pass if budget remains: pass 1 is cold (~2-3×
-    // steady state), so predicting pass 2 from it would skip warm passes
-    // that easily fit. The per-query deadline check below aborts an
+    // Always start the next pass if budget remains: pass 1 still carries
+    // whatever one-time cost the warm-up sweep didn't absorb (sf0.1-sized
+    // IO, AQE re-plans), so predicting pass 2 from it would skip warm
+    // passes that easily fit. The per-query deadline check below aborts an
     // in-flight pass cleanly, and a min over the measurements completed so
     // far is still a valid measurement — so over-starting costs nothing.
     while (pass < 3 && !outOfTime) {

@@ -1,0 +1,86 @@
+package graft
+
+/** Calib-normalized per-query regression gate for [[Bench]].
+  *
+  * The bench's calibration fields (SpinProbe + the fixed 256M-row
+  * `calib_spark` job) exist so a judge can normalize cross-round timings by
+  * host vintage. This object turns that manual arithmetic into a machine
+  * check: the shipped baseline (`graft/bench-baseline.properties`, a
+  * quiet-window warm capture of every registry query plus the
+  * `calib_spark` reading of that same capture) is compared against the
+  * current run's per-query minima, scaled by the observed
+  * `calib_spark` ratio — and any query that is slower than
+  * `baseline x factor x hostFactor` is emitted in the bench JSON line as a
+  * named regression, so a cross-round slowdown is a field in the artifact
+  * instead of a forensic exercise.
+  *
+  * Gate semantics (each choice is load-bearing):
+  *   - `hostFactor = max(1, calibRun / calibRef)`: a slower host widens the
+  *     allowance proportionally (Spark work tracks `calib_spark` across
+  *     rounds — SURVEY §8's r9-vs-r11 forensics); a FASTER host does not
+  *     tighten it below the quiet-window baseline, so a fast host never
+  *     manufactures flags on noise.
+  *   - an absolute floor (default 0.30 s) exempts sub-floor timings: a
+  *     0.05 s -> 0.12 s wobble is scheduler noise, not a regression, and
+  *     flagging it would train readers to ignore the field.
+  *   - queries missing from the baseline (new this round) are skipped —
+  *     they have no prior to regress against; the NEXT baseline refresh
+  *     picks them up.
+  */
+object BenchGate {
+
+  /** Per-query baseline minima plus the calib_spark of the capture that
+    * produced them. `calibSparkRef <= 0` disables normalization (treated
+    * as hostFactor 1). */
+  final case class Baseline(mins: Map[String, Double], calibSparkRef: Double)
+
+  val resourcePath = "graft/bench-baseline.properties"
+
+  /** Loads the shipped baseline; `Baseline(Map.empty, 0)` when the resource
+    * is absent or unreadable — the gate then flags nothing (a bench with no
+    * baseline must never fail, it IS the tool that creates the baseline). */
+  def loadBaseline(): Baseline = {
+    val in = Option(getClass.getClassLoader.getResourceAsStream(resourcePath))
+    in match {
+      case None => Baseline(Map.empty, 0.0)
+      case Some(s) =>
+        try {
+          val lines = scala.io.Source.fromInputStream(s, "UTF-8").getLines()
+            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+          val kv = lines.flatMap { l =>
+            l.split("=", 2) match {
+              case Array(k, v) => v.toDoubleOption.map(k.trim -> _)
+              case _ => None
+            }
+          }.toMap
+          Baseline(kv - "calib_spark_ref", kv.getOrElse("calib_spark_ref", 0.0))
+        } catch { case _: Throwable => Baseline(Map.empty, 0.0) }
+        finally s.close()
+    }
+  }
+
+  /** Names of queries whose current minimum exceeds
+    * `max(floorSec, baseline x factor x max(1, calibRun/calibRef))`,
+    * sorted worst-ratio-first so a truncated emission keeps the most
+    * regressed entries. */
+  def regressions(
+      current: Map[String, Double],
+      baseline: Baseline,
+      calibSparkRun: Double,
+      factor: Double = 1.5,
+      floorSec: Double = 0.30): Seq[String] = {
+    val hostFactor =
+      if (baseline.calibSparkRef > 0 && calibSparkRun > 0)
+        math.max(1.0, calibSparkRun / baseline.calibSparkRef)
+      else 1.0
+    current.toSeq
+      .flatMap { case (name, cur) =>
+        baseline.mins.get(name).flatMap { base =>
+          val bound = math.max(floorSec, base * factor * hostFactor)
+          if (cur > bound) Some((name, cur / math.max(base, 1e-9))) else None
+        }
+      }
+      .sortBy(-_._2)
+      .map(_._1)
+  }
+}

@@ -115,6 +115,58 @@ object ExtensionBattery {
        |ORDER BY lang""".stripMargin
   }
 
+  // Mirrors IvfIndex.train(k=4, iters=2) + build on 8-dim INTEGER-quantized
+  // vectors (see q_ivf_train_exact for the bit-determinism argument). The
+  // structure is the train loop unrolled: seed = 4 lowest-id vectors
+  // numbered in id order; each iteration = argmax-cosine assignment of the
+  // sample (ties → lowest cluster_id, exactly the assign UDF's
+  // strictly-greater scan) followed by per-(cluster, dim) means; final
+  // output = full-table assignment against the last centroids. Dot products
+  // and norms are list_reduce left folds over index-order products — the
+  // same operand sequence as the UDF's ascending-j loop. Empty clusters
+  // drop out of the mean CTE on both sides identically; zero norms take
+  // the same literal-0.0 branch.
+  private val ivfTrainExactOracleSql: String = {
+    val dims = 8
+    def fold(term: String) =
+      s"list_reduce(list_transform(generate_series(1, $dims), i -> $term), (acc, x) -> acc + x)"
+    val nx = fold("p.v[i] * p.v[i]")
+    val nc = fold("c.c[i] * c.c[i]")
+    val dot = fold("p.v[i] * c.c[i]")
+    val cos =
+      s"CASE WHEN $nx = 0 OR $nc = 0 THEN 0.0 ELSE $dot / (sqrt($nx) * sqrt($nc)) END"
+    def assignCte(name: String, ptsRel: String, centRel: String) =
+      s"""$name AS (
+         |  SELECT id, v, cluster_id FROM (
+         |    SELECT p.id, p.v, c.cluster_id,
+         |      row_number() OVER (PARTITION BY p.id ORDER BY $cos DESC, c.cluster_id) AS rn
+         |    FROM $ptsRel p CROSS JOIN $centRel c)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(name: String, assignRel: String) =
+      s"""$name AS (
+         |  SELECT cluster_id, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.cluster_id, t.i AS pos, avg(a.v[t.i]) AS m
+         |    FROM $assignRel a CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) t
+         |    GROUP BY a.cluster_id, t.i)
+         |  GROUP BY cluster_id)""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding[1:$dims],
+       |      x -> floor(CAST(x AS DOUBLE) * 8.0::DOUBLE + 0.5::DOUBLE)) AS v
+       |  FROM embeddings),
+       |samp AS (SELECT id, v FROM pts ORDER BY id LIMIT 4096),
+       |seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster_id, v AS c
+       |  FROM (SELECT id, v FROM samp ORDER BY id LIMIT 4)),
+       |${assignCte("a1", "samp", "seed")},
+       |${meanCte("c1", "a1")},
+       |${assignCte("a2", "samp", "c1")},
+       |${meanCte("c2", "a2")},
+       |${assignCte("fin", "pts", "c2")}
+       |SELECT id, CAST(cluster_id AS INTEGER) AS cluster_id
+       |FROM fin ORDER BY id""".stripMargin
+  }
+
   // Mirrors Similarity.portableNearDupPairs in DuckDB SQL. Every dot/norm
   // is a left fold over the index-order products list — the exact sequence
   // of double additions the codegen'd DotProduct/CosineSimilarity loops
@@ -688,6 +740,38 @@ object ExtensionBattery {
           partials = Seq("s" -> sum($"l_quantity"), "c" -> count(lit(1))),
           finals = Seq(round(sum($"s"), 2).as("sum_qty"), sum($"c").as("n")))
         .orderBy($"l_returnflag")
+    },
+
+    // FIXED-POINT LLOYD'S, FULLY ORACLED (the derived-partsupp technique
+    // applied to k-means — round-11 verdict item 5): quantize the first 8
+    // embedding dims to integers (float→double is exact, ×8 is a mantissa
+    // shift, floor(x+0.5) is engine-neutral), then run the REAL
+    // IvfIndex.train + build on them. Every step is then bit-deterministic
+    // across engines:
+    //   - per-(cluster, dim) means: sums of integer-valued doubles are
+    //     EXACT (< 2^53), so the aggregation is order-independent and the
+    //     one division per mean is exactly rounded identically;
+    //   - cosine assignment: the assign UDF folds dot/norms in ascending
+    //     index order, reproduced in DuckDB as a list_reduce left fold over
+    //     the index-order products (the q_cosine_neardup_lsh device) —
+    //     identical operand sequences of exactly-rounded IEEE ops give
+    //     bit-identical doubles, so the argmax (ties → lowest cluster_id,
+    //     both sides) picks the same cluster;
+    //   - the deterministic seed (k lowest-id vectors, numbered in id
+    //     order) and the sample (lowest trainSampleN ids) are plain SQL.
+    // Output is pure integers (id, cluster_id) — nothing to round. This
+    // puts the TRAINING path of the IVF family inside the hash-checked
+    // battery; the float-embedding entries stay rows-only by the
+    // float-k-means rule.
+    sql("q_ivf_train_exact", ivfTrainExactOracleSql) { (s, d) =>
+      import s.implicits._
+      val pts = Tables.embeddings(s, d).select($"vec_id".as("id"),
+        expr("transform(slice(embedding, 1, 8), x -> floor(CAST(x AS DOUBLE) * 8.0D + 0.5D))")
+          .as("vec"))
+      val centroids = IvfIndex.train(pts, k = 4, iters = 2, trainSampleN = 4096)
+      IvfIndex.build(pts, centroids)
+        .select($"id", $"cluster_id".cast("int").as("cluster_id"))
+        .orderBy($"id")
     },
 
     // IVF approximate top-k (scale path #2): coarse centroids, assigned

@@ -109,4 +109,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(key(IvfIndex.searchIndexed(spark, queries, dir, k = 5, nprobe = 3)
       .select($"query_id", $"neighbor_id", $"cos", $"rank")) == key(rebuilt))
   }
+
+  test("integer-quantized train (q_ivf_train_exact): bit-deterministic across partition layouts") {
+    // The fixed-point regime's whole claim is that Lloyd's on integer-valued
+    // vectors is order-independent (exact sums < 2^53) — so the assignment
+    // must be IDENTICAL under a different shuffle-partition setting, where a
+    // float-valued train could legally drift in the last mantissa bits.
+    val d = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("q_ivf_train_exact")
+    def run(): Seq[(Long, Int)] =
+      q(spark, d).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val a = run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try { spark.conf.set("spark.sql.shuffle.partitions", "7"); run() }
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b, "integer-regime assignment must not depend on partition layout")
+    // non-degenerate: every vector assigned, more than one cluster in use
+    assert(a.map(_._1).distinct.size == a.size)
+    assert(a.map(_._2).distinct.size > 1)
+    assert(a.map(_._2).forall(c => c >= 0 && c < 4))
+  }
 }
