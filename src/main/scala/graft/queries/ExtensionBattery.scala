@@ -126,15 +126,31 @@ object ExtensionBattery {
   // same operand sequence as the UDF's ascending-j loop. Empty clusters
   // drop out of the mean CTE on both sides identically; zero norms take
   // the same literal-0.0 branch.
-  private val ivfTrainExactOracleSql: String = {
+  /** 8-dim integer-quantized embedding vectors — the fixed-point regime's
+    * input, shared by q_ivf_train_exact / q_ivf_search_exact: float→double
+    * is exact, ×8 is a mantissa shift, floor(x+0.5) is engine-neutral, so
+    * both engines derive the identical integer-valued vectors. */
+  private def intQuantizedVecs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      expr("transform(slice(embedding, 1, 8), x -> floor(CAST(x AS DOUBLE) * 8.0D + 0.5D))")
+        .as("vec"))
+
+  private val (ivfTrainExactOracleSql, ivfSearchExactOracleSql) = {
     val dims = 8
     def fold(term: String) =
       s"list_reduce(list_transform(generate_series(1, $dims), i -> $term), (acc, x) -> acc + x)"
-    val nx = fold("p.v[i] * p.v[i]")
-    val nc = fold("c.c[i] * c.c[i]")
-    val dot = fold("p.v[i] * c.c[i]")
-    val cos =
-      s"CASE WHEN $nx = 0 OR $nc = 0 THEN 0.0 ELSE $dot / (sqrt($nx) * sqrt($nc)) END"
+    // cosine between two list-valued relations' columns, with the operand
+    // order and the zero-norm branch of the engine path being mirrored:
+    // `zeroAs` is "0.0" for the assign UDF, "NULL" for the codegen
+    // CosineSimilarity expression used by IvfIndex.search.
+    def cosExpr(a: String, b: String, zeroAs: String) = {
+      val na = fold(s"$a[i] * $a[i]")
+      val nb = fold(s"$b[i] * $b[i]")
+      val dot = fold(s"$a[i] * $b[i]")
+      s"CASE WHEN $na = 0 OR $nb = 0 THEN $zeroAs ELSE $dot / (sqrt($na) * sqrt($nb)) END"
+    }
+    val cos = cosExpr("p.v", "c.c", "0.0")
     def assignCte(name: String, ptsRel: String, centRel: String) =
       s"""$name AS (
          |  SELECT id, v, cluster_id FROM (
@@ -149,22 +165,58 @@ object ExtensionBattery {
          |    FROM $assignRel a CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) t
          |    GROUP BY a.cluster_id, t.i)
          |  GROUP BY cluster_id)""".stripMargin
-    s"""WITH pts AS (
-       |  SELECT vec_id AS id,
-       |    list_transform(embedding[1:$dims],
-       |      x -> floor(CAST(x AS DOUBLE) * 8.0::DOUBLE + 0.5::DOUBLE)) AS v
-       |  FROM embeddings),
-       |samp AS (SELECT id, v FROM pts ORDER BY id LIMIT 4096),
-       |seed AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster_id, v AS c
-       |  FROM (SELECT id, v FROM samp ORDER BY id LIMIT 4)),
-       |${assignCte("a1", "samp", "seed")},
-       |${meanCte("c1", "a1")},
-       |${assignCte("a2", "samp", "c1")},
-       |${meanCte("c2", "a2")},
-       |${assignCte("fin", "pts", "c2")}
-       |SELECT id, CAST(cluster_id AS INTEGER) AS cluster_id
-       |FROM fin ORDER BY id""".stripMargin
+    // Shared CTE chain: quantized points → deterministic seed → two
+    // unrolled Lloyd's iterations → final full-table assignment (`fin` =
+    // the inverted lists; `c2` = the served centroids).
+    val ctes =
+      s"""pts AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding[1:$dims],
+         |      x -> floor(CAST(x AS DOUBLE) * 8.0::DOUBLE + 0.5::DOUBLE)) AS v
+         |  FROM embeddings),
+         |samp AS (SELECT id, v FROM pts ORDER BY id LIMIT 4096),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster_id, v AS c
+         |  FROM (SELECT id, v FROM samp ORDER BY id LIMIT 4)),
+         |${assignCte("a1", "samp", "seed")},
+         |${meanCte("c1", "a1")},
+         |${assignCte("a2", "samp", "c1")},
+         |${meanCte("c2", "a2")},
+         |${assignCte("fin", "pts", "c2")}""".stripMargin
+    val trainSql =
+      s"""WITH $ctes
+         |SELECT id, CAST(cluster_id AS INTEGER) AS cluster_id
+         |FROM fin ORDER BY id""".stripMargin
+    // Search at nprobe=2 < k: probe ranking mirrors IvfIndex.search's
+    // row_number over (codegen cosine DESC, cluster_id) — NULLS LAST pins
+    // the expression's null-on-zero-norm semantics to Spark's desc
+    // ordering; candidate cosines are integer/√integer (exact operands,
+    // order-free), rounded to 6 BEFORE ranking with ties to the smaller
+    // neighbor_id, exactly TopKAggregate's comparator.
+    val probeCos = cosExpr("q.v", "c.c", "NULL")
+    val candCos = cosExpr("p.qv", "f.v", "NULL")
+    val searchSql =
+      s"""WITH $ctes,
+         |q AS (SELECT id, v FROM pts WHERE id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, cluster_id FROM (
+         |    SELECT q.id AS query_id, q.v AS qv, c.cluster_id,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY $probeCos DESC NULLS LAST, c.cluster_id) AS rn
+         |    FROM q CROSS JOIN c2 c)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.query_id, f.id AS neighbor_id, round($candCos, 6) AS cos
+         |  FROM probes p JOIN fin f ON p.cluster_id = f.cluster_id
+         |  WHERE p.query_id <> f.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    (trainSql, searchSql)
   }
 
   // Mirrors Similarity.portableNearDupPairs in DuckDB SQL. Every dot/norm
@@ -765,13 +817,28 @@ object ExtensionBattery {
     // float-k-means rule.
     sql("q_ivf_train_exact", ivfTrainExactOracleSql) { (s, d) =>
       import s.implicits._
-      val pts = Tables.embeddings(s, d).select($"vec_id".as("id"),
-        expr("transform(slice(embedding, 1, 8), x -> floor(CAST(x AS DOUBLE) * 8.0D + 0.5D))")
-          .as("vec"))
+      val pts = intQuantizedVecs(s, d)
       val centroids = IvfIndex.train(pts, k = 4, iters = 2, trainSampleN = 4096)
       IvfIndex.build(pts, centroids)
         .select($"id", $"cluster_id".cast("int").as("cluster_id"))
         .orderBy($"id")
+    },
+
+    // The SERVING half of the fixed-point regime: the full IVF query path —
+    // train, build, probe nprobe=2 of 4 lists, rank candidates — fully
+    // hash-oracled at nprobe < k (q_cosine_topk_maintained could only be
+    // oracled at nprobe = nClusters, where IVF degenerates to brute force;
+    // here the PRUNED search itself is checked, probe selection included).
+    // Probe ranking uses the codegen CosineSimilarity (null on zero norm,
+    // mirrored with NULLS LAST); candidate cosines are integer/√integer —
+    // exact operands, so rounding to 6 is engine-neutral.
+    sql("q_ivf_search_exact", ivfSearchExactOracleSql) { (s, d) =>
+      import s.implicits._
+      val pts = intQuantizedVecs(s, d)
+      val centroids = IvfIndex.train(pts, k = 4, iters = 2, trainSampleN = 4096)
+      IvfIndex.search(pts.filter($"id" < 10), IvfIndex.build(pts, centroids),
+          centroids, k = 5, nprobe = 2)
+        .orderBy($"query_id", $"rank")
     },
 
     // IVF approximate top-k (scale path #2): coarse centroids, assigned
