@@ -123,10 +123,17 @@ object Bench {
         cand.getAbsolutePath
       else "none"
     })
+    // Sweep order maximizes absorbed one-time cost when the cap truncates
+    // it: queries with NO baseline first (new this round — unknown cold
+    // inflation, and the regression gate can't contextualize them), then
+    // descending baseline time (the shapes whose cold execution inflates
+    // the measured total most, in absolute terms).
+    val benchBaseline = BenchGate.loadBaseline()
     var warmupN = 0
     if (warmupDir != "none") {
       val warmupDeadline = math.min(budgetSec * 0.25, elapsed() + 90.0)
-      val it = queryList.iterator
+      val it = queryList.sortBy { case (name, _) =>
+        -benchBaseline.mins.getOrElse(name, Double.MaxValue) }.iterator
       while (it.hasNext && elapsed() < warmupDeadline) {
         val (_, fn) = it.next()
         try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
@@ -137,7 +144,6 @@ object Bench {
 
     // Running per-query minimum across all completed measurements so far.
     val best = scala.collection.mutable.Map.empty[String, Double]
-    val benchBaseline = BenchGate.loadBaseline()
     var fullPasses = 0
     def emit(pass: Int, complete: Boolean): Unit = {
       // The driver captures only the tail, so each line stays well under
