@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{IvfIndex, MinHash, Multimodal, SimHash, Similarity, TextAnalysis, TextClean}
+import graft.ext.{IvfIndex, MinHash, Multimodal, PqIndex, SimHash, Similarity, TextAnalysis, TextClean}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension surface: text analysis, dedup family
@@ -230,6 +230,84 @@ object ExtensionBattery {
          |SELECT query_id, neighbor_id, cos, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     (trainSql, searchSql)
+  }
+
+  // Mirrors PqIndex.train(m=2, k=4, iters=2) + encode + ADC search on the
+  // same 8-dim integer-quantized vectors as the q_ivf_*_exact pair. The
+  // driver-side per-subspace Lloyd's is deterministic by construction
+  // (sample = first ids; seeds = first-occurrence-distinct subvectors;
+  // argmin strict-less → lowest code on ties; EMPTY clusters KEEP their
+  // previous centroid — the LEFT JOIN/coalesce below, where IvfIndex drops
+  // them), and the integer regime makes it engine-neutral: subspace sums
+  // are exact, squared-distance folds run ascending-index both sides, and
+  // the ADC score is a sum of m=2 doubles — IEEE addition is commutative,
+  // so a 2-addend SUM needs no fold-order pinning (m > 2 would).
+  private val (pqEncodeExactOracleSql, pqSearchExactOracleSql) = {
+    val sub = 4 // dims per subspace: 8-dim vectors, m = 2
+    def fold(term: String) =
+      s"list_reduce(list_transform(generate_series(1, $sub), i -> $term), (acc, x) -> acc + x)"
+    val distPC = fold("(p.sv[i] - c.c[i]) * (p.sv[i] - c.c[i])")
+    val distQC = fold("(q.sv[i] - c.c[i]) * (q.sv[i] - c.c[i])")
+    def assignCte(name: String, rel: String, cent: String) =
+      s"""$name AS (
+         |  SELECT id, j, sv, cid FROM (
+         |    SELECT p.id, p.j, p.sv, c.cid,
+         |      row_number() OVER (PARTITION BY p.id, p.j ORDER BY $distPC ASC, c.cid) AS rn
+         |    FROM $rel p JOIN $cent c ON p.j = c.j)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(name: String, arel: String, prev: String) =
+      s"""$name AS (
+         |  SELECT s.j, s.cid, coalesce(m.c, s.c) AS c
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT j, cid, list(mm ORDER BY pos) AS c FROM (
+         |      SELECT a.j, a.cid, t.i AS pos, avg(a.sv[t.i]) AS mm
+         |      FROM $arel a CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) t
+         |      GROUP BY a.j, a.cid, t.i)
+         |    GROUP BY j, cid) m ON s.j = m.j AND s.cid = m.cid)""".stripMargin
+    val ctes =
+      s"""pts AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding[1:8],
+         |      x -> floor(CAST(x AS DOUBLE) * 8.0::DOUBLE + 0.5::DOUBLE)) AS v
+         |  FROM embeddings),
+         |spts AS (
+         |  SELECT id, 0 AS j, v[1:4] AS sv FROM pts
+         |  UNION ALL SELECT id, 1 AS j, v[5:8] AS sv FROM pts),
+         |sids AS (SELECT id FROM pts ORDER BY id LIMIT 4096),
+         |samp AS (SELECT s.id, s.j, s.sv FROM spts s JOIN sids USING (id)),
+         |seed AS (
+         |  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY fid) - 1 AS INTEGER) AS cid,
+         |    sv AS c
+         |  FROM (SELECT j, sv, min(id) AS fid FROM samp GROUP BY j, sv)
+         |  QUALIFY row_number() OVER (PARTITION BY j ORDER BY fid) <= 4),
+         |${assignCte("a1", "samp", "seed")},
+         |${meanCte("c1", "a1", "seed")},
+         |${assignCte("a2", "samp", "c1")},
+         |${meanCte("c2", "a2", "c1")},
+         |${assignCte("enc", "spts", "c2")}""".stripMargin
+    val encodeSql =
+      s"""WITH $ctes
+         |SELECT id, CAST(j AS INTEGER) AS sub, CAST(cid AS INTEGER) AS code
+         |FROM enc ORDER BY id, sub""".stripMargin
+    val searchSql =
+      s"""WITH $ctes,
+         |q AS (SELECT id AS query_id, j, sv FROM spts WHERE id < 10),
+         |tbl AS (
+         |  SELECT q.query_id, c.j, c.cid, $distQC AS dist
+         |  FROM q JOIN c2 c ON q.j = c.j),
+         |cand AS (
+         |  SELECT t.query_id, e.id AS neighbor_id, round(sum(t.dist), 6) AS adist
+         |  FROM enc e JOIN tbl t ON t.j = e.j AND t.cid = e.cid
+         |  WHERE t.query_id <> e.id
+         |  GROUP BY t.query_id, e.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, neighbor_id) AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, adist, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    (encodeSql, searchSql)
   }
 
   // Mirrors Similarity.portableNearDupPairs in DuckDB SQL. Every dot/norm
@@ -1234,6 +1312,38 @@ object ExtensionBattery {
     // vectors), per-query ADC tables, candidates scored by table lookups
     // only, ranked by the bounded top-k aggregate. Recall vs exact L2
     // pinned in PqIndexSpec. Rows-only (codebooks are engine-trained).
+    // FIXED-POINT PQ, FULLY ORACLED (the q_ivf_*_exact technique applied to
+    // the compact-code tier): per-subspace Lloyd's (m=2, k=4, iters=2) on
+    // the integer-quantized vectors, then the code assignment of EVERY
+    // vector hash-checked against DuckDB's re-run of the same training —
+    // so the codebook contents, the tie rule (strict-less argmin → lowest
+    // code), and the empty-cluster keep-old rule are all pinned
+    // cross-engine. See pqEncodeExactOracleSql for the determinism
+    // argument. The float-embedding PQ/OPQ entries remain rows-only.
+    sql("q_pq_encode_exact", pqEncodeExactOracleSql) { (s, d) =>
+      import s.implicits._
+      val pts = intQuantizedVecs(s, d)
+      val books = PqIndex.train(pts, m = 2, k = 4, sampleN = 4096, iters = 2)
+      val unpack = udf((b: Array[Byte]) => b.map(x => x & 0xFF))
+      PqIndex.encode(pts, books)
+        .select($"id", posexplode(unpack($"code")).as(Seq("sub", "code")))
+        .orderBy($"id", $"sub")
+    },
+
+    // ...and the ADC SERVING path: the per-query m×k distance table, the
+    // byte-indexed lookups, and the bounded top-k ranking reproduce in
+    // DuckDB because the table entries are exactly-rounded doubles from
+    // identical operand sequences and the m=2 score sum is commutative
+    // (two addends — no fold-order pinning needed).
+    sql("q_pq_search_exact", pqSearchExactOracleSql) { (s, d) =>
+      import s.implicits._
+      val pts = intQuantizedVecs(s, d)
+      val books = PqIndex.train(pts, m = 2, k = 4, sampleN = 4096, iters = 2)
+      PqIndex.search(pts.filter($"id" < 10), PqIndex.encode(pts, books),
+          books, topK = 5)
+        .orderBy($"query_id", $"rank")
+    },
+
     rowsOnly("q_pq_topk") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))

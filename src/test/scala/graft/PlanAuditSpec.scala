@@ -190,9 +190,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_bm25_indexed", "q_bm25_search", "q_chisq_independence",
       "q_cosine_topk", "q_cosine_topk_ivf", "q_cosine_topk_ivf_indexed",
       "q_cosine_topk_maintained", "q_cross_join", "q_important_stock",
-      // fixed-point IVF serving: 10-query × 4-centroid probe ranking,
-      // bounded by construction (same family as q_cosine_topk*)
-      "q_ivf_search_exact",
+      // fixed-point ANN serving: 10-query probe/LUT broadcast, bounded by
+      // construction (same family as q_cosine_topk* / q_pq_topk)
+      "q_ivf_search_exact", "q_pq_search_exact",
       "q_inactive_rich_cust", "q_jaccard_pairs", "q_lm_perplexity",
       "q_min_cost_supplier", "q_opq_topk", "q_parts_supplier_count",
       "q_pq_topk", "q_quantize_topk", "q_source_overlap_matrix",

@@ -64,4 +64,26 @@ class PqIndexSpec extends SparkSpec {
     val recall = (exact intersect got).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall@10 = $recall") // 64x compression, byte codes
   }
+
+  test("integer-quantized PQ (q_pq_*_exact): bit-deterministic across partition layouts") {
+    // Same claim as the IVF fixed-point entries: training sums on
+    // integer-valued subvectors are exact, so codes and ADC rankings must
+    // be IDENTICAL under a different shuffle layout.
+    val d = "/root/testdata/sf0.001"
+    val enc = graft.SparkEntry.queries("q_pq_encode_exact")
+    val srch = graft.SparkEntry.queries("q_pq_search_exact")
+    def run(): (Seq[(Long, Int, Int)], Seq[(Long, Long, Double, Int)]) = (
+      enc(spark, d).collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq,
+      srch(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq)
+    val a = run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try { spark.conf.set("spark.sql.shuffle.partitions", "7"); run() }
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b, "integer-regime PQ must not depend on partition layout")
+    // non-degenerate: both subspaces use more than one code
+    val bySub = a._1.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size)
+    assert(bySub.values.forall(_ > 1), s"degenerate codebooks: $bySub")
+    assert(a._2.nonEmpty && a._2.forall(t => t._4 >= 1 && t._4 <= 5))
+  }
 }
