@@ -141,6 +141,54 @@ object SemDedup {
     dedup(splitHotCells(cells, maxCellSize, dim, maxRounds, firstPlane),
       minCos, roundTo)
 
+  /** DELTA-vs-CORPUS form (the [[SetSimJoin.joinDelta]] discipline applied
+    * to semantic dedup): decide keep/drop for a DELTA batch against a
+    * standing corpus WITHOUT re-pairing the corpus. Candidate edges are
+    * delta–delta and delta–corpus pairs within shared cells only — the
+    * corpus–corpus |corpus|² term the full [[dedup]] would pay is never
+    * generated, so a daily ingest costs Σ_cell (|delta_c|² + |delta_c|·
+    * |corpus_c|), linear in the corpus. Both sides must be clustered with
+    * the SAME backend/planes (one [[gridCells]]/[[kmeansCells]] call over
+    * each side with shared parameters).
+    *
+    * Semantics: connected components over those edges, keep = component
+    * MINIMUM id — [[dedup]]'s canonical rule, so with time-ordered ids
+    * (corpus ingested before delta ⇒ smaller ids, the natural ingest
+    * layout) a delta doc semantically matching the corpus is always
+    * dropped in favor of the standing copy. Output covers DELTA rows only:
+    * (vec_id, cluster_id, keep).
+    *
+    * EQUIVALENCE (spec-pinned): when the corpus is internally dup-free at
+    * `minCos` — which it is in steady state, being the output of a prior
+    * dedup at the same threshold — corpus–corpus edges don't exist, so
+    * this incremental form returns exactly [[dedup]](corpus ∪ delta)
+    * restricted to delta rows. A corpus with residual internal dups only
+    * weakens transitive merging ACROSS its dup groups (components that a
+    * corpus–corpus edge would have bridged), never the direct
+    * delta-vs-corpus verdicts. */
+  def dedupDelta(corpusCells: DataFrame, deltaCells: DataFrame,
+      minCos: Double, roundTo: Int = 6): DataFrame = {
+    val da = deltaCells.select(col("id").as("id_a"), col("v").as("va"), col("cluster_id"))
+    val dd = da
+      .join(deltaCells.select(col("id").as("id_b"), col("v").as("vb"), col("cluster_id")),
+        "cluster_id")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.cosine(col("va"), col("vb")), roundTo) >= minCos)
+      .select("id_a", "id_b")
+    val dc = da
+      .join(corpusCells.select(col("id").as("id_b"), col("v").as("vb"), col("cluster_id")),
+        "cluster_id")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(round(Similarity.cosine(col("va"), col("vb")), roundTo) >= minCos)
+      .select("id_a", "id_b")
+    val dropped = Components.connectedComponents(dd.unionByName(dc), "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id")).withColumn("_drop", lit(1))
+    deltaCells.select(col("id"), col("cluster_id"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster_id"), col("_drop").isNull.as("keep"))
+  }
+
   /** The dedup core: within-cluster pairs with round(cos, roundTo) ≥ minCos
     * form the duplicate graph; connected components label groups; each
     * group keeps its MINIMUM id. Returns one row per input vector:

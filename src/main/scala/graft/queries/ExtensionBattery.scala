@@ -413,6 +413,49 @@ object ExtensionBattery {
        |FROM cells ORDER BY vec_id""".stripMargin
   }
 
+  // Mirrors SemDedup.dedupDelta over the same md5-grid cells as q_semdedup:
+  // corpus = vec_id < 300, delta = the rest. The edge set is EXACTLY the
+  // incremental one — delta–delta plus delta–corpus within shared cells,
+  // never corpus–corpus — and the same local-minima-seeded recursive CTE
+  // resolves components over it; keep = component minimum, output filtered
+  // to delta rows.
+  private val semdedupDeltaOracleSql: String = {
+    val planes = Similarity.portablePlanes(semdedupGridBits, 64)
+    def fold(term: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $term), (acc, x) -> acc + x)"
+    def planeLit(p: Array[Double]) =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val cellBits = (0 until semdedupGridBits).map { r =>
+      val pl = planeLit(planes(r))
+      s"(CASE WHEN ${fold(s"v[i] * (CAST($pl AS DOUBLE[]))[i]")} > 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cells AS MATERIALIZED (SELECT id, v, CAST($cellBits AS INT) AS cluster_id FROM e),
+       |corp AS (SELECT * FROM cells WHERE id < 300),
+       |delta AS (SELECT * FROM cells WHERE id >= 300),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst
+       |  FROM delta a JOIN delta b ON a.cluster_id = b.cluster_id AND a.id < b.id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+       |  UNION ALL
+       |  SELECT a.id AS src, b.id AS dst
+       |  FROM delta a JOIN corp b ON a.cluster_id = b.cluster_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |seeds AS (SELECT src AS id FROM edges GROUP BY src HAVING min(dst) > src),
+       |reach AS (
+       |  WITH RECURSIVE r(id, anc) AS (
+       |    SELECT id, id FROM seeds
+       |    UNION
+       |    SELECT e2.dst, r.anc FROM edges e2 JOIN r ON r.id = e2.src)
+       |  SELECT id, min(anc) AS component FROM r GROUP BY id),
+       |dropped AS (SELECT id FROM reach WHERE id <> component)
+       |SELECT id AS vec_id, cluster_id,
+       |  (id NOT IN (SELECT id FROM dropped)) AS keep
+       |FROM delta ORDER BY vec_id""".stripMargin
+  }
+
   private val cosineTopk5OracleSql =
     """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
       |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -822,6 +865,23 @@ object ExtensionBattery {
         .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
       graft.ext.SemDedup
         .dedup(graft.ext.SemDedup.gridCells(emb, semdedupGridBits), minCos = 0.3)
+        .orderBy($"vec_id")
+    },
+
+    // INCREMENTAL semantic dedup (the daily-ingest shape): a delta batch
+    // decided against the standing corpus WITHOUT re-pairing the corpus —
+    // edges are delta–delta and delta–corpus within shared grid cells
+    // only, so the cost is linear in the corpus where re-running the full
+    // dedup would re-pay Σ|cell|² over everything. Fully oracled on the
+    // same md5-grid cells as q_semdedup; equivalence to the full dedup on
+    // a dup-free corpus is spec-pinned in SemDedupSpec.
+    sql("q_semdedup_delta", semdedupDeltaOracleSql) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      val cells = graft.ext.SemDedup.gridCells(emb, semdedupGridBits)
+      graft.ext.SemDedup.dedupDelta(
+          cells.filter($"id" < 300), cells.filter($"id" >= 300), minCos = 0.3)
         .orderBy($"vec_id")
     },
 

@@ -54,6 +54,30 @@ class SemDedupSpec extends SparkSpec {
     assert(keepSet(out) == Set(1L, 10L, 20L))
   }
 
+  test("dedupDelta ≡ full dedup on delta rows when the corpus is dup-free") {
+    // corpus = the three canonical concept vectors (internally dup-free at
+    // the threshold — the steady-state precondition); delta = everything
+    // else from the fixture plus a genuinely new concept (id 30)
+    val all = fixture :+ (30L, randVec(505))
+    val df = all.toDF("id", "v")
+    val cells = SemDedup.gridCells(df, gridBits = 4)
+    val corpusIds = Set(1L, 10L, 20L)
+    val corpus = cells.filter(col("id").isin(corpusIds.toSeq: _*))
+    val delta = cells.filter(!col("id").isin(corpusIds.toSeq: _*))
+    val incr = SemDedup.dedupDelta(corpus, delta, minCos = 0.95)
+    // the incremental verdicts must equal the full dedup's, row for row
+    val full = SemDedup.dedup(cells, minCos = 0.95)
+      .filter(!col("vec_id").isin(corpusIds.toSeq: _*))
+    def rows(r: org.apache.spark.sql.DataFrame) = r
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(rows(incr) == rows(full),
+      "incremental must reproduce the full dedup on a dup-free corpus")
+    // direct semantics: corpus-matched deltas dropped, new concept kept
+    assert(keepSet(incr) == Set(30L),
+      "deltas matching the standing corpus are dropped; novel content survives")
+    assert(incr.count() == delta.count(), "one verdict per delta row")
+  }
+
   /** Concentrated fixture for the hot-cell guard: `n` DIVERSE vectors that
     * all land in one 4-bit grid cell. Random vectors are biased toward the
     * all-positive quadrant of planes 0..3 (adding 0.5·Σp_r), then filtered
