@@ -123,6 +123,74 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming semantic-dedup ingest: each micro-batch of (id, v) vectors
+    * is grid-clustered, decided against the STANDING corpus snapshot with
+    * [[graft.ext.SemDedup.dedupDelta]] (delta–delta + delta–corpus edges
+    * only — cost per batch is linear in the corpus), and only the KEPT
+    * rows are committed — the corpus table stays semantically dup-free as
+    * it grows, which is the training-data ingestion contract: a document
+    * whose embedding semantically matches anything already accepted never
+    * enters the corpus.
+    *
+    * Scale shape: the corpus table is hive-partitioned by `cluster_id`,
+    * and the batch's cell set (≤ 2^gridBits, collected driver-side — the
+    * [[graft.ext.IvfIndex.searchIndexed]] probe-set device) prunes the
+    * corpus read at the manifest level, so a batch touching 3 cells reads
+    * 3 partitions of the corpus, not all of it.
+    *
+    * Exactly-once: commits carry the (appId, batchId) txn watermark. On
+    * failure + replay the verdicts are recomputed (possibly against a
+    * corpus that already contains this batch's kept rows — harmless:
+    * same-id self-matches are excluded, and the canonical rows that caused
+    * drops are still present) and the commit no-ops on the watermark. */
+  def startSemDedupIngest(
+      stream: DataFrame, // (id, v)
+      corpusTable: String,
+      checkpointDir: String,
+      minCos: Double,
+      gridBits: Int = 4,
+      dim: Int = 64,
+      appId: String = "graft-semdedup-ingest",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cells = graft.ext.SemDedup.gridCells(
+            batch.toDF().select(col("id"), col("v")), gridBits, dim)
+          val probed: Set[String] = cells
+            .select(col("cluster_id").cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          def emptyCorpus = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cells.schema)
+          val corpusCells =
+            if (graft.sinks.Snapshots.versions(spark, corpusTable).isEmpty) emptyCorpus
+            else try
+              graft.sinks.Snapshots.read(spark, corpusTable,
+                  partitionFilter = spec => spec.get("cluster_id").exists(probed))
+                .select(col("id"), col("v"), col("cluster_id").cast("int").as("cluster_id"))
+            catch {
+              // the batch's cells overlap NO corpus partition (read refuses
+              // an all-pruned filter): nothing to compare against
+              case _: IllegalArgumentException => emptyCorpus
+            }
+          val kept = cells.join(
+            graft.ext.SemDedup.dedupDelta(corpusCells, cells, minCos)
+              .filter(col("keep")).select(col("vec_id").as("id")), "id")
+          graft.sinks.Snapshots.commitPartitioned(
+            kept.select(col("id"), col("v"), col("cluster_id")),
+            corpusTable, Seq("cluster_id"),
+            org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))
+          ()
+        }
+      }
+      .start()
+
   /** Exactly-once streaming commit into a [[graft.sinks.Snapshots]] table:
     * each micro-batch publishes as one ATOMIC snapshot version carrying the
     * (appId, batchId) transaction watermark in the manifest. On failure +

@@ -54,6 +54,43 @@ class SemDedupSpec extends SparkSpec {
     assert(keepSet(out) == Set(1L, 10L, 20L))
   }
 
+  test("streaming semantic-dedup ingest keeps the corpus dup-free across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-semingest").toString
+    val table = s"$dir/corpus"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingOps.startSemDedupIngest(
+      mem.toDF().toDF("id", "v"), table, s"$dir/ckpt", minCos = 0.95,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val byId = fixture.map { case (id, v) => id -> v.toSeq }.toMap
+    // batch 1: the three concepts — all novel, all accepted
+    mem.addData(Seq(1L, 10L, 20L).map(id => (id, byId(id))))
+    q.processAllAvailable()
+    def corpusIds() = graft.sinks.Snapshots.read(spark, table)
+      .select("id").as[Long].collect().toSet
+    assert(corpusIds() == Set(1L, 10L, 20L))
+    // batch 2: dups of standing concepts + one genuinely new concept —
+    // only the new concept enters; within-batch dups (2,3 both ≈ concept 1)
+    // are also rejected against the standing copy
+    mem.addData((fixture.filterNot(f => Set(1L, 10L, 20L)(f._1))
+      :+ (30L, randVec(505))).map { case (id, v) => (id, v.toSeq) })
+    q.processAllAvailable()
+    q.stop()
+    assert(corpusIds() == Set(1L, 10L, 20L, 30L),
+      "corpus admits only semantically novel vectors")
+    // replay containment: re-committing the last batch's rows with the same
+    // (appId, batchId) watermark is a no-op at the table
+    val lastBatch = graft.sinks.Snapshots.lastTxn(spark, table, "graft-semdedup-ingest").get
+    val before = graft.sinks.Snapshots.versions(spark, table)
+    graft.sinks.Snapshots.commitPartitioned(
+      graft.sinks.Snapshots.read(spark, table).limit(1)
+        .select(col("id"), col("v"), col("cluster_id")),
+      table, Seq("cluster_id"), org.apache.spark.sql.SaveMode.Append,
+      txn = Some("graft-semdedup-ingest" -> lastBatch))
+    assert(graft.sinks.Snapshots.versions(spark, table) == before)
+  }
+
   test("dedupDelta ≡ full dedup on delta rows when the corpus is dup-free") {
     // corpus = the three canonical concept vectors (internally dup-free at
     // the threshold — the steady-state precondition); delta = everything
