@@ -310,6 +310,80 @@ object ExtensionBattery {
     (encodeSql, searchSql)
   }
 
+  // Mirrors the PRODUCTION q_pq_topk end-to-end — FLOAT embeddings, m=16,
+  // k=256, iters=5 — in DuckDB. Why a float k-means is oracle-able here
+  // when the distributed IvfIndex one is not: PqIndex.trainOnPoints runs
+  // at the DRIVER over the ordered sample, so every float sum has ONE
+  // fixed operand order (members in id order, accumulated left to right)
+  // that SQL reproduces with list_reduce over `list(x ORDER BY id)`;
+  // distributed training's partition-order sums have no such order to
+  // mirror. Same for the ADC score: a left fold over the m per-subspace
+  // distances in subspace order (16 addends — unlike the m=2 exact entry,
+  // order matters and is pinned). Iteration CTEs are MATERIALIZED — each
+  // is referenced twice (assign + empty-cluster carryover), and DuckDB
+  // inlines plain CTEs, which re-evaluates the whole chain exponentially.
+  private val pqTopkOracleSql: String = {
+    val (m, k, iters, sub, sampleN, topK) = (16, 256, 5, 4, 2000, 10)
+    def fold4(term: String) =
+      s"list_reduce(list_transform(generate_series(1, $sub), i -> $term), (acc, x) -> acc + x)"
+    val distPC = fold4("(p.sv[i] - c.c[i]) * (p.sv[i] - c.c[i])")
+    val distQC = fold4("(q.sv[i] - c.c[i]) * (q.sv[i] - c.c[i])")
+    def assignCte(name: String, rel: String, cent: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT id, j, sv, cid FROM (
+         |    SELECT p.id, p.j, p.sv, c.cid,
+         |      row_number() OVER (PARTITION BY p.id, p.j ORDER BY $distPC ASC, c.cid) AS rn
+         |    FROM $rel p JOIN $cent c ON p.j = c.j)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(name: String, arel: String, prev: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT s.j, s.cid, coalesce(m.c, s.c) AS c
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT j, cid, list(mm ORDER BY pos) AS c FROM (
+         |      SELECT a.j, a.cid, t.i AS pos,
+         |        list_reduce(list(a.sv[t.i] ORDER BY a.id), (acc, x) -> acc + x) / count(*) AS mm
+         |      FROM $arel a CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) t
+         |      GROUP BY a.j, a.cid, t.i)
+         |    GROUP BY j, cid) m ON s.j = m.j AND s.cid = m.cid)""".stripMargin
+    val slices = (0 until m).map(j =>
+      s"SELECT id, $j AS j, v[${j * sub + 1}:${(j + 1) * sub}] AS sv FROM pts")
+      .mkString("\n  UNION ALL ")
+    val chain = (1 to iters).flatMap { it =>
+      val prev = if (it == 1) "seed" else s"c${it - 1}"
+      Seq(assignCte(s"a$it", "samp", prev), meanCte(s"c$it", s"a$it", prev))
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |spts AS MATERIALIZED (
+       |  $slices),
+       |sids AS (SELECT id FROM pts ORDER BY id LIMIT $sampleN),
+       |samp AS MATERIALIZED (SELECT s.id, s.j, s.sv FROM spts s JOIN sids USING (id)),
+       |seed AS MATERIALIZED (
+       |  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY fid) - 1 AS INTEGER) AS cid,
+       |    sv AS c
+       |  FROM (SELECT j, sv, min(id) AS fid FROM samp GROUP BY j, sv)
+       |  QUALIFY row_number() OVER (PARTITION BY j ORDER BY fid) <= $k),
+       |$chain,
+       |${assignCte("enc", "spts", s"c$iters")},
+       |q AS (SELECT id AS query_id, j, sv FROM spts WHERE id < 5),
+       |tbl AS MATERIALIZED (
+       |  SELECT q.query_id, c.j, c.cid, $distQC AS dist
+       |  FROM q JOIN c$iters c ON q.j = c.j),
+       |cand AS (
+       |  SELECT t.query_id, e.id AS neighbor_id,
+       |    round(list_reduce(list(t.dist ORDER BY t.j), (acc, x) -> acc + x), 6) AS adist
+       |  FROM enc e JOIN tbl t ON t.j = e.j AND t.cid = e.cid
+       |  WHERE t.query_id <> e.id
+       |  GROUP BY t.query_id, e.id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id) AS INTEGER) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, adist, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   // Mirrors Similarity.portableNearDupPairs in DuckDB SQL. Every dot/norm
   // is a left fold over the index-order products list — the exact sequence
   // of double additions the codegen'd DotProduct/CosineSimilarity loops
@@ -454,6 +528,43 @@ object ExtensionBattery {
        |SELECT id AS vec_id, cluster_id,
        |  (id NOT IN (SELECT id FROM dropped)) AS keep
        |FROM delta ORDER BY vec_id""".stripMargin
+  }
+
+  // Mirrors Quantize.quantize + cosineInt8 ranking: per-vector max-abs
+  // scale, int8 codes via floor(x/scale + 0.5) clamped to ±127 (Java
+  // Math.round semantics — NOT DuckDB round(), which rounds negative
+  // halves away from zero), exact integer dot/norms, one division.
+  private val quantizeTopkOracleSql: String = {
+    def fold(term: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $term), (a, x) -> a + x)"
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc AS (
+       |  SELECT id, v, CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+       |  FROM (SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e)),
+       |qz AS MATERIALIZED (
+       |  SELECT id, list_transform(v,
+       |    x -> CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS BIGINT)) AS qv
+       |  FROM sc),
+       |q AS (SELECT id AS query_id, qv AS qa FROM qz WHERE id < 5),
+       |cand AS (
+       |  SELECT q.query_id, c.id AS neighbor_id,
+       |    ${fold("q.qa[i] * c.qv[i]")} AS dot,
+       |    ${fold("q.qa[i] * q.qa[i]")} AS na,
+       |    ${fold("c.qv[i] * c.qv[i]")} AS nb
+       |  FROM qz c CROSS JOIN q WHERE q.query_id <> c.id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(CASE WHEN na = 0 OR nb = 0 THEN NULL
+       |          ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END,
+       |      6) AS cos
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC NULLS LAST, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   private val cosineTopk5OracleSql =
@@ -1404,7 +1515,13 @@ object ExtensionBattery {
         .orderBy($"query_id", $"rank")
     },
 
-    rowsOnly("q_pq_topk") { (s, d) =>
+    // FULLY ORACLED as of round 12 (was rows-only under the float-k-means
+    // rule): PQ training runs at the DRIVER over the ordered sample, so
+    // unlike distributed k-means every float sum has one fixed operand
+    // order — which pqTopkOracleSql mirrors with ordered-list folds. The
+    // production geometry (m=16, k=256, iters=5, float embeddings) is
+    // what's checked; nothing about the entry changed but its oracle.
+    sql("q_pq_topk", pqTopkOracleSql) { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
       // build-once (idempotent no-op when the index exists), search-only
@@ -1721,8 +1838,13 @@ object ExtensionBattery {
 
     // Int8-quantized brute-force top-k: 4× smaller vectors, integer dot
     // products, identical ranking machinery — recall vs exact pinned in
-    // QuantizeSpec. Rows-only (quantized scores are engine-specific).
-    rowsOnly("q_quantize_topk") { (s, d) =>
+    // QuantizeSpec. FULLY ORACLED as of round 12 (was rows-only): nothing
+    // in the path is engine-specific after all — maxAbs and the int8 codes
+    // are order-free (max is exact; Java Math.round(x) ≡ floor(x + 0.5),
+    // which is what the SQL uses — DuckDB's own round() differs on
+    // negative halves), integer dot/norms are exact, and the one float op
+    // is a single exactly-rounded division.
+    sql("q_quantize_topk", quantizeTopkOracleSql) { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val qz = Tables.embeddings(s, d)
