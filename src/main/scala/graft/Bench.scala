@@ -116,13 +116,8 @@ object Bench {
     // Artifact caches (bucketed tables, IVF/PQ index dirs) key on the
     // source dir + data fingerprint, so the sweep builds sf0.001-vintage
     // artifacts and never touches the measured dir's.
-    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_DIR", {
-      val parent = new java.io.File(sfDir).getParentFile
-      val cand = new java.io.File(parent, "sf0.001")
-      if (cand.isDirectory && cand.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
-        cand.getAbsolutePath
-      else "none"
-    })
+    val warmupDir = BenchGate.warmupDirFor(sfDir,
+      sys.env.get("SPARK_GRAFT_BENCH_WARMUP_DIR"))
     // Sweep order maximizes absorbed one-time cost when the cap truncates
     // it: queries with NO baseline first (new this round — unknown cold
     // inflation, and the regression gate can't contextualize them), then

@@ -59,6 +59,21 @@ object BenchGate {
     }
   }
 
+  /** Warm-up directory for a measured `sfDir`: the explicit override when
+    * set (`"none"` disables the sweep), else the smallest sibling
+    * (`sf0.001`) when it exists and differs from the measured dir — a
+    * bench pointed AT sf0.001 must not warm up on itself (that would be a
+    * hidden extra measured-scale pass). */
+  def warmupDirFor(sfDir: String, overrideDir: Option[String]): String =
+    overrideDir.getOrElse {
+      val measured = new java.io.File(sfDir)
+      val cand = new java.io.File(
+        Option(measured.getParentFile).getOrElse(new java.io.File(".")), "sf0.001")
+      if (cand.isDirectory && cand.getAbsolutePath != measured.getAbsolutePath)
+        cand.getAbsolutePath
+      else "none"
+    }
+
   /** Names of queries whose current minimum exceeds
     * `max(floorSec, baseline x factor x max(1, calibRun/calibRef))`,
     * sorted worst-ratio-first so a truncated emission keeps the most

@@ -53,6 +53,22 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.regressions(Map("q_mid" -> 1.00), noCalib, 0.50) == Seq("q_mid"))
   }
 
+  test("warm-up dir: sibling sf0.001, never the measured dir itself") {
+    val parent = java.nio.file.Files.createTempDirectory("graft-wu")
+    val small = java.nio.file.Files.createDirectory(parent.resolve("sf0.001"))
+    val big = java.nio.file.Files.createDirectory(parent.resolve("sf0.1"))
+    assert(BenchGate.warmupDirFor(big.toString, None) == small.toString)
+    // benching sf0.001 itself: no warm-up (it would be a hidden measured-scale pass)
+    assert(BenchGate.warmupDirFor(small.toString, None) == "none")
+    // no sibling: no warm-up
+    val lone = java.nio.file.Files.createTempDirectory("graft-wu2").resolve("sf0.1")
+    java.nio.file.Files.createDirectories(lone)
+    assert(BenchGate.warmupDirFor(lone.toString, None) == "none")
+    // explicit override wins, including the disable sentinel
+    assert(BenchGate.warmupDirFor(big.toString, Some("/elsewhere")) == "/elsewhere")
+    assert(BenchGate.warmupDirFor(big.toString, Some("none")) == "none")
+  }
+
   test("shipped baseline resource loads and covers the headline queries") {
     val b = BenchGate.loadBaseline()
     // the resource ships with the repo; a parse failure would yield empty

@@ -69,4 +69,12 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("an empty edge set yields an empty labeling (dedup's no-duplicates path)") {
+    // dedup/dedupDelta feed whatever pairs survive the threshold straight
+    // in; a clean corpus means ZERO edges and every caller then expects
+    // "no rows" = "everyone keeps" — pin that the empty frame round-trips
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponents(edges).count() == 0L)
+  }
 }
