@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end driver contract for the bench main, in a REAL forked JVM:
+  * the driver tails stdout, keeps the last parseable JSON line, and kills
+  * the process on a wall-clock timeout — so the contract is "every emitted
+  * line is complete, self-describing, parseable, and bounded, and the
+  * process exits 0 even when the budget truncates a pass". Round 7 lost an
+  * entire capture to exactly this class of failure (one line at the very
+  * end, driver timeout mid-run → nothing parseable), which is why this is
+  * pinned as a spec and not an assumption.
+  *
+  * The fork runs with a deliberately TINY budget at sf0.001 (warm-up
+  * disabled), so the run is a truncated pass 1 — the worst case the
+  * contract must survive.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  test("bench emits bounded, parseable, self-calibrating JSON and exits 0 under a truncating budget") {
+    val script = new java.io.File("tools/run.sh")
+    assume(script.canExecute, "tools/run.sh not present/executable")
+    val pb = new ProcessBuilder(script.getAbsolutePath, "graft.Bench")
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    pb.environment().put("SPARK_GRAFT_BENCH_BUDGET_SEC", "25")
+    pb.environment().put("SPARK_GRAFT_BENCH_WARMUP_DIR", "none")
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val lines = Iterator.continually(out.readLine()).takeWhile(_ != null).toVector
+    assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+      "bench did not finish under the spec timeout")
+    assert(proc.exitValue() == 0, s"bench exited nonzero; stdout:\n${lines.mkString("\n")}")
+
+    val jsonLines = lines.filter(_.startsWith("{"))
+    assert(jsonLines.nonEmpty, s"no JSON lines emitted:\n${lines.mkString("\n")}")
+    // the driver's tail buffer bound — EVERY line must respect it
+    jsonLines.foreach { l =>
+      assert(l.length < 2000, s"line exceeds the driver tail bound (${l.length}):\n$l")
+    }
+    // the line the driver keeps: last parseable one
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val last = JsonMethods.parse(jsonLines.last).asInstanceOf[JObject].values
+    assert(last("metric") == "total")
+    assert(last("unit") == "sec")
+    val requiredKeys = Seq("value", "t", "n_queries", "pass", "complete",
+      "full_passes", "warmup_n", "warmup_t", "regressions", "regressions_n",
+      "calib_st_pre", "calib_mt_pre", "calib_st_post", "calib_mt_post",
+      "calib_spark", "queries", "sf")
+    requiredKeys.foreach(k => assert(last.contains(k), s"missing field $k"))
+    assert(last("n_queries").asInstanceOf[BigInt] >= 1, "no measurements recorded")
+    assert(last("calib_spark").asInstanceOf[Double] > 0.0, "calib_spark not measured")
+    // post-run probes fire even on a truncated run (the final re-emit)
+    assert(last("calib_st_post").asInstanceOf[Double] > 0.0, "post probe missing")
+    assert(last("queries").isInstanceOf[Map[_, _]], "queries must be an object")
+    // a 25 s budget cannot fit a full 190-query pass: truncation must be
+    // visible and honest
+    assert(last("complete") == false && last("full_passes") == BigInt(0))
+  }
+}
