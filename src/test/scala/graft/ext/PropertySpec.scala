@@ -250,4 +250,45 @@ class PropertySpec extends SparkSpec {
       tags.indices.foreach(i => assert(out.contains(s""""k$i":""")))
     }
   }
+
+  test("dedupDelta ≡ full dedup on random corpora whose standing part is dup-free") {
+    // Random vector populations with planted near-dup structure: base
+    // concepts plus scaled copies (cosine exactly 1 to their base). The
+    // corpus is what a prior full dedup kept — dup-free BY CONSTRUCTION at
+    // the threshold — which is the documented precondition under which the
+    // incremental form must reproduce the full run exactly.
+    val dim = 16
+    val vecGen: Gen[Array[Double]] =
+      Gen.listOfN(dim, Gen.choose(-1.0, 1.0)).map(_.toArray)
+    val popGen: Gen[Seq[(Long, Array[Double])]] = for {
+      nBases <- Gen.choose(2, 5)
+      bases <- Gen.listOfN(nBases, vecGen)
+      copies <- Gen.listOfN(nBases, Gen.choose(0, 3))
+      scales <- Gen.listOfN(12, Gen.choose(0.2, 3.0))
+    } yield {
+      val rows = bases.zip(copies).zipWithIndex.flatMap { case ((b, nc), i) =>
+        (0 to nc).map(c => b.map(_ * scales((i * 4 + c) % 12)))
+      }
+      rows.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+    }
+    forSamples(popGen, n = 6) { pop =>
+      val df = pop.toDF("id", "v")
+      val cells = SemDedup.gridCells(df, gridBits = 3, dim = dim)
+      val full = SemDedup.dedup(cells, minCos = 0.999)
+      val keptIds = full.filter(org.apache.spark.sql.functions.col("keep"))
+        .select("vec_id").as[Long].collect().toSet
+      // corpus = the survivors of the full run; delta = everything else
+      val corpus = cells.filter($"id".isin(keptIds.toSeq: _*))
+      val delta = cells.filter(!$"id".isin(keptIds.toSeq: _*))
+      if (delta.count() > 0) {
+        val incr = SemDedup.dedupDelta(corpus, delta, minCos = 0.999)
+          .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+        // every delta row was dropped by the full run in favor of a kept
+        // canonical that is still standing — the incremental run must agree
+        assert(incr.values.forall(_ == false),
+          s"incremental kept a vector the full run dropped: $incr")
+        assert(incr.keySet == pop.map(_._1).toSet -- keptIds)
+      }
+    }
+  }
 }
