@@ -594,6 +594,28 @@ object ExtensionBattery {
         .orderBy($"doc_id")
     },
 
+    // LEARNED subword tokenization (ext/Bpe): 200 BPE merges trained on the
+    // bounded deterministic sample at the driver (the PQ-codebook
+    // discipline — real subword vocabs train on samples), applied map-side
+    // with the ranked merge table in the task closure. Rows-only WITH
+    // JUSTIFICATION: the merge list is data-learned and the greedy apply is
+    // a per-word iterative merge loop — re-deriving both in one static SQL
+    // string is out of scope; the invariants that matter (hand-checked
+    // argmax with deterministic ties, exact detokenization round-trip,
+    // training determinism, monotone compression) are pinned in BpeSpec.
+    rowsOnly("q_bpe_tokens") { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      // 30 merges against this corpus's ~31-word vocabulary: enough to
+      // learn the frequent stems, small enough that words still split —
+      // n_subwords sits strictly between n_words and character count
+      val merges = graft.ext.Bpe.train(docs, "doc_id", "text", nMerges = 30)
+      docs.select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_words"),
+          size(graft.ext.Bpe.tokens($"text", merges)).as("n_subwords"))
+        .orderBy($"doc_id")
+    },
+
     // Language ID: stopword-hit argmax with fixed precedence.
     sql("q_lang_id", {
       val (en, es, de, fr, zh) = (hitsSql("en"), hitsSql("es"), hitsSql("de"), hitsSql("fr"), hitsSql("zh"))

@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** BPE invariants: hand-checked first merge on the classic Sennrich
+  * corpus, exact detokenization, determinism, and monotone compression. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the Sennrich paper's running example, frequencies included
+  private def corpus = Seq(
+    (1L, Array.fill(5)("low").mkString(" ")),
+    (2L, Array.fill(2)("lower").mkString(" ")),
+    (3L, Array.fill(6)("newest").mkString(" ")),
+    (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+
+  test("first learned merge is the hand-computed argmax with lexicographic ties") {
+    // (e,s) and (s,t</w>) both occur 9 times (newest x6 + widest x3);
+    // the deterministic tie rule picks the lexicographically smaller pair
+    val merges = Bpe.train(corpus, "doc_id", "text", nMerges = 3)
+    assert(merges.head == ("e", "s"), s"got $merges")
+    // with (e,s) fused, (es,t</w>) now counts 9 — it must be next
+    assert(merges(1) == ("es", "t</w>"), s"got $merges")
+  }
+
+  test("detokenize ∘ tokens is identity up to whitespace normalization") {
+    val merges = Bpe.train(corpus, "doc_id", "text", nMerges = 10)
+    val texts = Seq("newest widest low", "  lower\tnewest ", "a lone xyzzy")
+    texts.foreach { t =>
+      val df = Seq(Tuple1(t)).toDF("t")
+      val got = df.select(Bpe.tokens(df("t"), merges).as("k"))
+        .collect()(0).getSeq[String](0)
+      val norm = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(Bpe.detokenize(got) == norm, s"round-trip broke for '$t': $got")
+    }
+  }
+
+  test("training is deterministic and more merges never increase token count") {
+    val m1 = Bpe.train(corpus, "doc_id", "text", nMerges = 8)
+    val m2 = Bpe.train(corpus, "doc_id", "text", nMerges = 8)
+    assert(m1 == m2, "same corpus must learn the same ranked merges")
+    val doc = Seq(Tuple1("newest widest lowest")).toDF("t")
+    val counts = Seq(0, 2, 4, 8).map { n =>
+      val m = Bpe.train(corpus, "doc_id", "text", nMerges = n)
+      doc.select(org.apache.spark.sql.functions.size(Bpe.tokens(doc("t"), m)))
+        .collect()(0).getInt(0)
+    }
+    assert(counts == counts.sorted.reverse, s"token counts must be non-increasing: $counts")
+    // zero merges = characters (with the end marker fused, count = chars)
+    assert(counts.head == "newestwidestlowest".length)
+  }
+
+  test("rare pairs below minPairCount are never merged (no one-off memorization)") {
+    val merges = Bpe.train(corpus, "doc_id", "text", nMerges = 1000)
+    // every learned merge had support >= 2 in the sample; the singleton
+    // words' unique pairs ("lower"'s r</w>) can only appear via support
+    val df = Seq(Tuple1("qzj")).toDF("t")
+    val toks = df.select(Bpe.tokens(df("t"), merges).as("k")).collect()(0).getSeq[String](0)
+    assert(toks == Seq("q", "z", "j</w>"), s"unseen word must fall back to chars: $toks")
+  }
+}
