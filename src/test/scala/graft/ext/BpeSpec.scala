@@ -50,6 +50,43 @@ class BpeSpec extends SparkSpec {
     assert(counts.head == "newestwidestlowest".length)
   }
 
+  test("BPE token counts drive the sharded sequence packer (the corpus-shaping composition)") {
+    // the q_pack_sequences shape — sharded running-sum pack assignment —
+    // fed by LEARNED subword counts instead of whitespace counts: the
+    // pipeline a token-budgeted training-batch builder actually runs
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val words = Seq("low", "lower", "newest", "widest")
+    val docs = (1L to 20L).map { i =>
+      (i, (0 until (i % 5 + 1).toInt).map(j => words(((i + j) % 4).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "doc_id", "text", nMerges = 10)
+    val budget = 16
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def packed = docs
+      .select($"doc_id", ($"doc_id" % 4).as("shard"),
+        size(Bpe.tokens($"text", merges)).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .select($"doc_id", $"n_tok",
+        ($"shard" * 1000000 + floor(($"cum" - $"n_tok") / budget)).cast("long").as("pack_id"))
+    val rows = packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    // a pack overruns the budget only when a single doc alone exceeds it
+    rows.groupBy(_._3).foreach { case (pid, members) =>
+      val total = members.map(_._2).sum
+      assert(total <= budget + members.map(_._2).max,
+        s"pack $pid exceeds budget + one-doc slack: $members")
+    }
+    // deterministic under a different shuffle layout
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val again = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("rare pairs below minPairCount are never merged (no one-off memorization)") {
     val merges = Bpe.train(corpus, "doc_id", "text", nMerges = 1000)
     // every learned merge had support >= 2 in the sample; the singleton
