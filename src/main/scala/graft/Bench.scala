@@ -92,7 +92,11 @@ object Bench {
       "q_cosine_neardup_lsh", "q_cosine_neardup_lsh_fast", "q_semdedup",
       "q_lang_id", "q_token_count",
       "q_ddb_unwrap", "q_load_verification", "q_theta_overlap", "q_freq_topk",
-      "q_edit_join")
+      "q_edit_join",
+      // round-12 flagships: fixed-point serving, incremental semantic
+      // dedup, learned tokenization, the newly-oracled production PQ
+      "q_ivf_search_exact", "q_pq_search_exact", "q_semdedup_delta",
+      "q_bpe_tokens", "q_pq_topk")
 
     // Stable order so a truncated pass 1 covers a deterministic prefix —
     // HEADLINE queries first: when a host-throttle window truncates pass 1
