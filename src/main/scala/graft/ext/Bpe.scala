@@ -136,12 +136,15 @@ object Bpe {
   }
 
   /** array<string> of subword tokens for a text column — whitespace words
-    * each greedy-encoded; word-final subwords carry the `</w>` marker. */
+    * each greedy-encoded; word-final subwords carry the `</w>` marker.
+    * Lowercases with Locale.ROOT so apply-time casing matches [[train]]'s
+    * locale-independent Spark `lower()` regardless of the executor JVM's
+    * default locale (e.g. Turkish dotted/dotless I). */
   def tokens(text: Column, merges: Merges): Column = {
     val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     udf((t: String) => {
       if (t == null) null
-      else t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      else t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         .flatMap(w => encodeWord(w, rank)).toSeq
     }).apply(text)
   }

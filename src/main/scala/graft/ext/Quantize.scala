@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** struct(scale: double, q: binary) — q(i) = round(v(i)/scale), scale =
-    * maxAbs/127. Zero vectors quantize to all-zero bytes with scale 1. */
+  /** struct(scale: double, q: binary) — q(i) = floor(v(i)/scale + 0.5),
+    * scale = maxAbs/127. Zero vectors quantize to all-zero bytes with
+    * scale 1. */
   def quantize(vec: Column): Column =
     udf((v: Seq[Double]) => {
       if (v == null) null
@@ -29,7 +30,11 @@ object Quantize {
         val q = new Array[Byte](v.length)
         var i = 0
         while (i < v.length) {
-          q(i) = math.max(-127, math.min(127, math.round(v(i) / scale))).toByte
+          // floor(x + 0.5), NOT Math.round: since Java 7 Math.round differs
+          // on IEEE edges (0.49999999999999994 rounds up under x + 0.5);
+          // the DuckDB oracle mirrors floor(x/scale + 0.5) so both engines
+          // must evaluate the identical expression.
+          q(i) = math.max(-127.0, math.min(127.0, math.floor(v(i) / scale + 0.5))).toByte
           i += 1
         }
         (scale, q)

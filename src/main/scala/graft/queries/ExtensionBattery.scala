@@ -531,9 +531,11 @@ object ExtensionBattery {
   }
 
   // Mirrors Quantize.quantize + cosineInt8 ranking: per-vector max-abs
-  // scale, int8 codes via floor(x/scale + 0.5) clamped to ±127 (Java
-  // Math.round semantics — NOT DuckDB round(), which rounds negative
-  // halves away from zero), exact integer dot/norms, one division.
+  // scale, int8 codes via floor(x/scale + 0.5) clamped to ±127 — the
+  // Scala side computes this EXACT expression (not Math.round, which
+  // since Java 7 diverges on IEEE edges like 0.49999999999999994; and
+  // not DuckDB round(), which rounds negative halves away from zero) —
+  // exact integer dot/norms, one division.
   private val quantizeTopkOracleSql: String = {
     def fold(term: String) =
       s"list_reduce(list_transform(generate_series(1, 64), i -> $term), (a, x) -> a + x)"
@@ -1862,10 +1864,12 @@ object ExtensionBattery {
     // products, identical ranking machinery — recall vs exact pinned in
     // QuantizeSpec. FULLY ORACLED as of round 12 (was rows-only): nothing
     // in the path is engine-specific after all — maxAbs and the int8 codes
-    // are order-free (max is exact; Java Math.round(x) ≡ floor(x + 0.5),
-    // which is what the SQL uses — DuckDB's own round() differs on
-    // negative halves), integer dot/norms are exact, and the one float op
-    // is a single exactly-rounded division.
+    // are order-free (max is exact; both engines compute the literal
+    // floor(x/scale + 0.5) — Quantize.quantize uses that expression
+    // directly rather than Math.round, which diverges on IEEE edges —
+    // and DuckDB's own round() differs on negative halves), integer
+    // dot/norms are exact, and the one float op is a single
+    // exactly-rounded division.
     sql("q_quantize_topk", quantizeTopkOracleSql) { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window

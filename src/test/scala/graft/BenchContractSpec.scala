@@ -60,7 +60,7 @@ class BenchContractSpec extends AnyFunSuite {
     // post-run probes fire even on a truncated run (the final re-emit)
     assert(last("calib_st_post").asInstanceOf[Double] > 0.0, "post probe missing")
     assert(last("queries").isInstanceOf[Map[_, _]], "queries must be an object")
-    // a 25 s budget cannot fit a full 190-query pass: truncation must be
+    // a 10 s budget cannot fit a full 190+-query pass: truncation must be
     // visible and honest
     assert(last("complete") == false && last("full_passes") == BigInt(0))
   }

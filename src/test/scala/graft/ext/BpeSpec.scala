@@ -30,7 +30,8 @@ class BpeSpec extends SparkSpec {
       val df = Seq(Tuple1(t)).toDF("t")
       val got = df.select(Bpe.tokens(df("t"), merges).as("k"))
         .collect()(0).getSeq[String](0)
-      val norm = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val norm = t.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
       assert(Bpe.detokenize(got) == norm, s"round-trip broke for '$t': $got")
     }
   }
