@@ -14,6 +14,40 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Executed-plan strings for EVERY query execution triggered while
+    * building `run` — eagerly-executed subtrees (the Components gate-probe
+    * collect, ANN index build/train actions, checkpoint materializations)
+    * included via a [[QueryExecutionListener]] — plus the returned
+    * DataFrame's own plan. The listener bus is asynchronous, so the sweep
+    * flushes it by executing a uniquely-marked query and waiting for its
+    * event: the bus is FIFO, so once the marker lands every earlier event
+    * has landed too. */
+  private def sweepExecutedPlans(name: String, run: => org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    def grab(qe: QueryExecution): Unit = {
+      val s = scala.util.Try(qe.executedPlan.toString).getOrElse("")
+      captured.synchronized { captured += s }
+    }
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = grab(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = grab(qe)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val returned = scala.util.Try(run.queryExecution.executedPlan.toString).getOrElse("")
+      val marker = s"plan-audit-flush-$name"
+      spark.range(1).select(lit(marker).as("m")).collect()
+      val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+      while (!captured.synchronized(captured.exists(_.contains(marker))) &&
+             System.nanoTime < deadline) Thread.sleep(5)
+      assert(captured.synchronized(captured.exists(_.contains(marker))),
+        s"listener bus did not flush within 20 s for $name")
+      captured.synchronized(captured.filterNot(_.contains(marker)).toVector) :+ returned
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("filter + projection reach the scan: PushedFilters and pruned ReadSchema") {
     val q = Tables.lineitem(spark, sf)
       .filter($"l_shipdate" > "1995-01-01" && $"l_quantity" > 30)
@@ -199,17 +233,45 @@ class PlanAuditSpec extends SparkSpec {
       "q_tfidf", "q_theta_decontaminate", "q_theta_overlap",
       // 1-row Σ n^α denominator broadcast-crossed into the |langs|-row
       // rate table — bounded by construction
-      "q_mix_temperature")
+      "q_mix_temperature",
+      // bounded vec_id < 300 slice broadcast-crossed for the exact
+      // near-dup ground truth (the documented oracle-tractable baseline;
+      // production path is the LSH family) — the BNLJ surfaces in the
+      // EAGER Components gate-probe collect, not the returned plan
+      "q_embed_neardup_canonical")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        val cart = plan.contains("CartesianProduct")
-        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        // sweep EVERY plan the build executes (gate probes, index builds,
+        // checkpoints), not just the returned DataFrame's — an eager
+        // cartesian is exactly as scale-fatal as a lazy one
+        val plans = sweepExecutedPlans(name, fn(spark, sf))
+        val cart = plans.exists(_.contains("CartesianProduct"))
+        val bnlj = plans.exists(_.contains("BroadcastNestedLoopJoin")) && !bnljAllowed(name)
         if (cart) Some(s"$name: CartesianProduct")
         else if (bnlj) Some(s"$name: unwhitelisted BroadcastNestedLoopJoin")
         else None
     }
     assert(offenders.isEmpty,
       s"scale-unsafe join plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("the sweep catches a cartesian product hidden inside an eager subtree") {
+    // The returned DataFrame is innocent — the cartesian executes DURING
+    // the build (a gate-probe-style count) and only the listener sees it.
+    // This is the exact shape the returned-plan-only audit was blind to.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plans = sweepExecutedPlans("planted-cartesian", {
+        val a = spark.range(50).toDF("a")
+        val b = spark.range(50).toDF("b")
+        a.crossJoin(b).filter($"a" =!= $"b").count() // eager, CartesianProduct
+        spark.range(1).toDF("x") // the returned plan is clean
+      })
+      assert(plans.last == plans.filterNot(_.contains("CartesianProduct")).last,
+        "the RETURNED plan must be clean in this fixture")
+      assert(plans.exists(_.contains("CartesianProduct")),
+        s"sweep missed the eagerly-executed cartesian:\n${plans.mkString("\n---\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 }
