@@ -141,6 +141,44 @@ object SemDedup {
     dedup(splitHotCells(cells, maxCellSize, dim, maxRounds, firstPlane),
       minCos, roundTo)
 
+  /** Joint hot-cell refinement for the delta-vs-corpus form: corpus and
+    * delta cells are [[splitHotCells]]-refined TOGETHER (one tagged union,
+    * shared split planes), so both sides land in IDENTICAL refined ids —
+    * the requirement for [[dedupDelta]]'s cluster-id equijoin. Refinement
+    * here is a DECISION-TIME device: the corpus table keeps its raw
+    * cluster-id layout (manifest pruning unchanged); only the pair
+    * generation sees refined cells, recomputed per call from the
+    * deterministic planes. */
+  def refineTogether(corpusCells: DataFrame, deltaCells: DataFrame,
+      maxCellSize: Long, dim: Int = 64, maxRounds: Int = 6,
+      firstPlane: Int = 32): (DataFrame, DataFrame) = {
+    val tagged = corpusCells.select(col("id"), col("v"), col("cluster_id"))
+      .withColumn("_side", lit("c"))
+      .unionByName(deltaCells.select(col("id"), col("v"), col("cluster_id"))
+        .withColumn("_side", lit("d")))
+    val refined = splitHotCells(tagged, maxCellSize, dim, maxRounds, firstPlane)
+      .localCheckpoint() // split rounds ran actions already; pin the result
+    (refined.filter(col("_side") === "c").drop("_side"),
+      refined.filter(col("_side") === "d").drop("_side"))
+  }
+
+  /** [[dedupDelta]] behind the hot-cell guard ([[refineTogether]]): each
+    * delta row pairs with at most `maxCellSize` members of its refined
+    * cell, so per-batch candidate-edge cost is ≤ |delta|·maxCellSize +
+    * Σ|delta_c|² REGARDLESS of how large any single corpus cell has grown
+    * — the streaming-ingest complement of [[dedupBounded]], fixing the
+    * exact skew that one hot corpus cell would otherwise impose on every
+    * batch that touches it. Same recall trade as all splitting: a
+    * delta–corpus near-dup straddling a split boundary stops being a
+    * candidate, paid only where the quadratic blow-up would be. */
+  def dedupDeltaBounded(corpusCells: DataFrame, deltaCells: DataFrame,
+      minCos: Double, maxCellSize: Long, roundTo: Int = 6, dim: Int = 64,
+      maxRounds: Int = 6, firstPlane: Int = 32): DataFrame = {
+    val (c, d) = refineTogether(corpusCells, deltaCells, maxCellSize, dim,
+      maxRounds, firstPlane)
+    dedupDelta(c, d, minCos, roundTo)
+  }
+
   /** DELTA-vs-CORPUS form (the [[SetSimJoin.joinDelta]] discipline applied
     * to semantic dedup): decide keep/drop for a DELTA batch against a
     * standing corpus WITHOUT re-pairing the corpus. Candidate edges are

@@ -125,24 +125,41 @@ object StreamingOps {
 
   /** Streaming semantic-dedup ingest: each micro-batch of (id, v) vectors
     * is grid-clustered, decided against the STANDING corpus snapshot with
-    * [[graft.ext.SemDedup.dedupDelta]] (delta–delta + delta–corpus edges
-    * only — cost per batch is linear in the corpus), and only the KEPT
-    * rows are committed — the corpus table stays semantically dup-free as
-    * it grows, which is the training-data ingestion contract: a document
-    * whose embedding semantically matches anything already accepted never
-    * enters the corpus.
+    * [[graft.ext.SemDedup.dedupDeltaBounded]] (delta–delta + delta–corpus
+    * edges only, behind the hot-cell guard), and only the KEPT rows are
+    * committed — the corpus table stays semantically dup-free as it grows,
+    * which is the training-data ingestion contract: a document whose
+    * embedding semantically matches anything already accepted never enters
+    * the corpus.
     *
-    * Scale shape: the corpus table is hive-partitioned by `cluster_id`,
+    * Corpus-biased keep: corpus ids are shifted below every possible delta
+    * id (by 2^62) before the component labeling, so a delta row matching
+    * the corpus ALWAYS drops in favor of the standing copy — the dup-free
+    * contract holds for ANY id order, not just monotonically-increasing
+    * ingest ids (ids must lie in (-2^62, 2^62), which any real key does).
+    * Delta–delta groups with no corpus member still keep their minimum id.
+    *
+    * Scale shape: the corpus table is hive-partitioned by RAW `cluster_id`,
     * and the batch's cell set (≤ 2^gridBits, collected driver-side — the
     * [[graft.ext.IvfIndex.searchIndexed]] probe-set device) prunes the
     * corpus read at the manifest level, so a batch touching 3 cells reads
-    * 3 partitions of the corpus, not all of it.
+    * 3 partitions of the corpus, not all of it. Within those cells the
+    * pair generation runs on [[graft.ext.SemDedup.refineTogether]]-split
+    * ids, so one HOT corpus cell costs each batch at most
+    * |delta|·maxCellSize candidate edges instead of |delta_c|·|corpus_c| —
+    * the same skew bound `dedupBounded` gives the batch path.
+    *
+    * Partition-overlap probe: the batch's cells are checked against the
+    * manifest's partition specs EXPLICITLY — a genuinely non-overlapping
+    * batch compares against an empty corpus and ingests, while a corrupted
+    * or unreadable corpus table FAILS the batch (no blanket exception
+    * catch that could silently admit duplicates).
     *
     * Exactly-once: commits carry the (appId, batchId) txn watermark. On
     * failure + replay the verdicts are recomputed (possibly against a
-    * corpus that already contains this batch's kept rows — harmless:
-    * same-id self-matches are excluded, and the canonical rows that caused
-    * drops are still present) and the commit no-ops on the watermark. */
+    * corpus that already contains this batch's kept rows — harmless: the
+    * replayed copy defers to its standing twin under the corpus bias) and
+    * the commit no-ops on the watermark. */
   def startSemDedupIngest(
       stream: DataFrame, // (id, v)
       corpusTable: String,
@@ -150,6 +167,7 @@ object StreamingOps {
       minCos: Double,
       gridBits: Int = 4,
       dim: Int = 64,
+      maxCellSize: Long = 4096,
       appId: String = "graft-semdedup-ingest",
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -161,6 +179,7 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val sideBias = 1L << 62
           val cells = graft.ext.SemDedup.gridCells(
             batch.toDF().select(col("id"), col("v")), gridBits, dim)
           val probed: Set[String] = cells
@@ -170,22 +189,32 @@ object StreamingOps {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cells.schema)
           val corpusCells =
             if (graft.sinks.Snapshots.versions(spark, corpusTable).isEmpty) emptyCorpus
-            else try
-              graft.sinks.Snapshots.read(spark, corpusTable,
+            else {
+              // explicit manifest overlap probe: distinguishes "no corpus
+              // partition matches this batch's cells" (fine — empty corpus
+              // side) from a genuine read error (must fail the batch)
+              val overlapping = graft.sinks.Snapshots.partitions(spark, corpusTable)
+                .exists(spec => graft.sinks.Snapshots.parseSpec(spec)
+                  .get("cluster_id").exists(probed))
+              if (!overlapping) emptyCorpus
+              else graft.sinks.Snapshots.read(spark, corpusTable,
                   partitionFilter = spec => spec.get("cluster_id").exists(probed))
                 .select(col("id"), col("v"), col("cluster_id").cast("int").as("cluster_id"))
-            catch {
-              // the batch's cells overlap NO corpus partition (read refuses
-              // an all-pruned filter): nothing to compare against
-              case _: IllegalArgumentException => emptyCorpus
             }
           val kept = cells.join(
-            graft.ext.SemDedup.dedupDelta(corpusCells, cells, minCos)
+            graft.ext.SemDedup.dedupDeltaBounded(
+                corpusCells.withColumn("id", col("id") - sideBias),
+                cells, minCos, maxCellSize, dim = dim)
               .filter(col("keep")).select(col("vec_id").as("id")), "id")
-          graft.sinks.Snapshots.commitPartitioned(
-            kept.select(col("id"), col("v"), col("cluster_id")),
-            corpusTable, Seq("cluster_id"),
-            org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))
+            .localCheckpoint() // pin: probed once for emptiness, then committed
+          // a batch may keep NOTHING (every row matched the corpus) — no
+          // commit then; a replay recomputes the same empty verdict set, so
+          // the missing txn watermark costs nothing
+          if (!kept.isEmpty)
+            graft.sinks.Snapshots.commitPartitioned(
+              kept.select(col("id"), col("v"), col("cluster_id")),
+              corpusTable, Seq("cluster_id"),
+              org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))
           ()
         }
       }

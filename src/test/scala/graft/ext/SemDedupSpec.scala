@@ -122,7 +122,7 @@ class SemDedupSpec extends SparkSpec {
     * construction while the vectors stay random otherwise, which is what
     * lets SECONDARY planes divide them (a cell of near-copies of one base
     * would agree on most secondary signs too). */
-  private def concentrated(n: Int): Seq[(Long, Array[Double])] = {
+  private def concentrated(n: Int, pool: Int = 900): Seq[(Long, Array[Double])] = {
     val p = Similarity.portablePlanes(4, dim)
     def sig(v: Array[Double]): Int =
       (0 until 4).map { r =>
@@ -131,7 +131,7 @@ class SemDedupSpec extends SparkSpec {
     // bias kept small (0.3): a heavy bias correlates the fixture with
     // SECONDARY planes too (dot(Σp_r, p_s) ≠ 0), which wastes split rounds
     // on planes every member agrees on — more candidates instead
-    val cands = (0 until 900).map { s =>
+    val cands = (0 until pool).map { s =>
       val v = randVec(1000 + s)
       (0 until dim).map(i =>
         v(i) + 0.3 * (p(0)(i) + p(1)(i) + p(2)(i) + p(3)(i))).toArray
@@ -210,6 +210,93 @@ class SemDedupSpec extends SparkSpec {
     assert(errBuf.toString.contains("[semdedup]") &&
         errBuf.toString.contains("maxCellSize=8"),
       s"irreducible hot cell must warn loudly, got: '${errBuf.toString}'")
+  }
+
+  test("joint refinement bounds delta-corpus candidate edges as the corpus grows") {
+    // One hot raw cell. Raw dedupDelta pairs every delta row with EVERY
+    // corpus co-member — |delta|·|corpus_c|, growing with the corpus.
+    // refineTogether splits the cell until ≤ maxCellSize members, so each
+    // delta row sees at most maxCellSize - 1 corpus co-members no matter
+    // how big the corpus cell gets: the per-batch edge bound the streaming
+    // ingest inherits.
+    val all = concentrated(104, pool = 4000)
+    val delta = all.take(8)
+    def corpusSlice(n: Int) = all.slice(8, 8 + n)
+    val maxCell = 12L
+    def edges(corpusN: Int, refine: Boolean): Long = {
+      val cCells = SemDedup.gridCells(corpusSlice(corpusN).toDF("id", "v"), gridBits = 4)
+      val dCells = SemDedup.gridCells(delta.toDF("id", "v"), gridBits = 4)
+      val (c, d) =
+        if (refine) SemDedup.refineTogether(cCells, dCells, maxCell, maxRounds = 24)
+        else (cCells, dCells)
+      d.select(col("cluster_id").cast("string").as("cluster_id"), col("id").as("id_a"))
+        .join(c.select(col("cluster_id").cast("string").as("cluster_id"),
+          col("id").as("id_b")), "cluster_id")
+        .count()
+    }
+    assert(edges(48, refine = false) == 8L * 48 && edges(96, refine = false) == 8L * 96,
+      "fixture sanity: unrefined edges grow linearly with the corpus (one hot cell)")
+    val bound = 8L * (maxCell - 1) // each delta row: ≤ maxCell-1 co-members
+    val (e48, e96) = (edges(48, refine = true), edges(96, refine = true))
+    assert(e48 <= bound && e96 <= bound,
+      s"refined edges must stay under |delta|·(maxCellSize-1)=$bound " +
+        s"independent of corpus size, got $e48 (corpus 48) / $e96 (corpus 96)")
+  }
+
+  test("streaming ingest drops a corpus-matching delta whose id is SMALLER (corpus bias)") {
+    // Under the plain min-id keep rule this delta (id 5 < corpus id 100)
+    // would become the component minimum and be ACCEPTED, planting a
+    // semantic dup pair in the corpus. The ingest's corpus-side id bias
+    // makes the standing copy win for any id order.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-semingest-bias").toString
+    val table = s"$dir/corpus"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingOps.startSemDedupIngest(
+      mem.toDF().toDF("id", "v"), table, s"$dir/ckpt", minCos = 0.95,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val b = randVec(606)
+    mem.addData(Seq((100L, b.toSeq)))
+    q.processAllAvailable()
+    mem.addData(Seq((5L, b.map(_ * 1.01).toSeq))) // semantic dup, smaller id
+    q.processAllAvailable()
+    q.stop()
+    val ids = graft.sinks.Snapshots.read(spark, table)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(100L),
+      s"the standing corpus copy must win regardless of id order, got $ids")
+  }
+
+  test("non-overlapping batch ingests against an empty corpus side; corrupted table fails") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-semingest-probe").toString
+    val table = s"$dir/corpus"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingOps.startSemDedupIngest(
+      mem.toDF().toDF("id", "v"), table, s"$dir/ckpt", minCos = 0.95,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val b = randVec(707)
+    mem.addData(Seq((1L, b.toSeq)))
+    q.processAllAvailable()
+    // -b flips every hyperplane sign → a cell disjoint from the corpus's:
+    // exercises the explicit overlap probe's "no matching partition" leg
+    mem.addData(Seq((2L, b.map(-_).toSeq)))
+    q.processAllAvailable()
+    assert(graft.sinks.Snapshots.read(spark, table)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L),
+      "a batch overlapping no corpus partition must still ingest")
+    // corrupt every manifest: the next overlapping batch must FAIL, not
+    // silently compare against an empty corpus and admit duplicates
+    new java.io.File(s"$table/_manifests").listFiles()
+      .foreach(f => java.nio.file.Files.write(f.toPath, "not json{".getBytes))
+    mem.addData(Seq((3L, b.toSeq)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(ex.getMessage != null)
+    q.stop()
   }
 
   test("cell-boundary near-dups survive — the family's documented recall trade") {
