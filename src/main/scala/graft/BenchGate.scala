@@ -20,14 +20,40 @@ package graft
   *     rounds — SURVEY §8's r9-vs-r11 forensics); a FASTER host does not
   *     tighten it below the quiet-window baseline, so a fast host never
   *     manufactures flags on noise.
-  *   - an absolute floor (default 0.30 s) exempts sub-floor timings: a
+  *   - an absolute floor (default 0.50 s) exempts sub-floor timings: a
   *     0.05 s -> 0.12 s wobble is scheduler noise, not a regression, and
-  *     flagging it would train readers to ignore the field.
+  *     flagging it would train readers to ignore the field. The floor was
+  *     raised from 0.30 after BOTH live flags to date (`q_percentiles`
+  *     mid-round-12, `q_asof_tolerance` in the r12 driver capture) proved
+  *     to be fast-window baseline artifacts on sub-0.5 s entries with
+  *     untouched code — a gate that cries wolf teaches readers to ignore
+  *     it. A genuine regression on a tiny query that matters will push it
+  *     past 0.5 s; one that stays under 0.5 s is not a scale signal.
   *   - queries missing from the baseline (new this round) are skipped —
   *     they have no prior to regress against; the NEXT baseline refresh
   *     picks them up.
+  *   - baselines are combined from MULTIPLE quiet captures
+  *     ([[combineCaptures]], mirrored by tools/mk_baseline.py): the upper
+  *     median of each query's per-capture minima, so one fast-window
+  *     capture can never set a floor-adjacent baseline that flags the
+  *     next normal run.
   */
 object BenchGate {
+
+  /** Multi-capture baseline policy: for each query, the UPPER MEDIAN of
+    * its minima across the captures that measured it (sorted, element at
+    * index n/2 — with 2 captures that is the slower one, with 3 the
+    * middle). A single anomalously FAST capture therefore never defines
+    * the baseline, which is exactly how both false-positive flags to date
+    * were minted. tools/mk_baseline.py implements the same rule when
+    * blessing dump files into the shipped resource. */
+  def combineCaptures(captures: Seq[Map[String, Double]]): Map[String, Double] = {
+    require(captures.nonEmpty, "need at least one capture")
+    captures.flatMap(_.keys).distinct.map { q =>
+      val vs = captures.flatMap(_.get(q)).sorted
+      q -> vs(vs.size / 2)
+    }.toMap
+  }
 
   /** Per-query baseline minima plus the calib_spark of the capture that
     * produced them. `calibSparkRef <= 0` disables normalization (treated
@@ -83,7 +109,7 @@ object BenchGate {
       baseline: Baseline,
       calibSparkRun: Double,
       factor: Double = 1.5,
-      floorSec: Double = 0.30): Seq[String] = {
+      floorSec: Double = 0.50): Seq[String] = {
     val hostFactor =
       if (baseline.calibSparkRef > 0 && calibSparkRun > 0)
         math.max(1.0, calibSparkRun / baseline.calibSparkRef)

@@ -580,6 +580,46 @@ object ExtensionBattery {
       |  FROM q, c WHERE q.vec_id <> c.vec_id) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // Fixed hand-written BPE merge table for the ORACLED apply-path twin of
+  // q_bpe_tokens. WELL-FORMED by construction (each output is created by
+  // exactly one merge and equals no earlier merge's operand), which makes
+  // greedy lowest-rank-first encoding ≡ one left-to-right pass per rank in
+  // order — the property that lets a non-iterative SQL mirror exist
+  // (BpeSpec pins the equivalence on this corpus's full vocabulary).
+  // Merges chosen to actually fire on the documents text, with two-level
+  // hierarchy on both plain ("t h"→"th"→"the</w>") and end-marked
+  // ("o w</w>"→"ow</w>"→"row</w>") symbols.
+  private[graft] val fixedBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e</w>"), ("o", "w</w>"), ("r", "ow</w>"),
+    ("e", "r"), ("i", "n"), ("a", "l"), ("s", "t"))
+
+  // One CTE per merge rank: a left-fold over the chr(31)-delimited symbol
+  // string that fuses every left-to-right non-overlapping (a, b) adjacency
+  // — `acc || x` IS the merge (concatenating b onto the trailing a), and a
+  // freshly-merged symbol can never re-trigger (a+b = a needs empty b).
+  // This is the list_reduce ordered-fold discipline of the ANN oracles
+  // applied to the tokenizer.
+  private val fixedBpeOracleSql: String = {
+    val ctes = fixedBpeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"""s${i + 1} AS (SELECT doc_id, wpos, list_reduce(string_split(sym, chr(31)), (acc, x) ->
+         |  CASE WHEN x = '$b' AND (acc = '$a' OR ends_with(acc, chr(31) || '$a'))
+         |       THEN acc || x ELSE acc || chr(31) || x END) AS sym FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> len(w) > 0) AS ws
+       |  FROM documents),
+       |words AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w FROM w0),
+       |s0 AS (
+       |  SELECT doc_id, wpos,
+       |    array_to_string(string_split_regex(w, ''), chr(31)) || '</w>' AS sym
+       |  FROM words),
+       |$ctes
+       |SELECT doc_id, flatten(list(string_split(sym, chr(31)) ORDER BY wpos)) AS toks
+       |FROM s${fixedBpeMerges.size} GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace + BPE-ish regex tokenizers.
@@ -615,6 +655,21 @@ object ExtensionBattery {
       docs.select($"doc_id",
           TextAnalysis.tokenCount($"text").as("n_words"),
           size(graft.ext.Bpe.tokens($"text", merges)).as("n_subwords"))
+        .orderBy($"doc_id")
+    },
+
+    // FIXED-table BPE apply, FULLY ORACLED (round-13 stretch — rows-only
+    // 10→9 in spirit: the learned entry above stays rows-only, but the
+    // greedy per-word merge-loop APPLY PATH itself now has a DuckDB
+    // mirror): the same Bpe.tokens code runs a hand-written 8-merge table
+    // whose well-formedness makes greedy ≡ rank-ordered passes, so the SQL
+    // unrolls to one ordered list_reduce fold per rank — both sides emit
+    // the exact token arrays, not just counts. The oracle SQL is GENERATED
+    // from the same Scala merge list, so the two engines cannot drift.
+    sql("q_bpe_tokens_fixed", fixedBpeOracleSql) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", graft.ext.Bpe.tokens($"text", fixedBpeMerges).as("toks"))
         .orderBy($"doc_id")
     },
 

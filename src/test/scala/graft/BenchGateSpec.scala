@@ -39,9 +39,56 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("sub-floor timings are exempt (scheduler noise, not regressions)") {
-    // q_fast tripled but still under the 0.30s floor
-    assert(BenchGate.regressions(Map("q_fast" -> 0.29), base, 0.50).isEmpty)
-    assert(BenchGate.regressions(Map("q_fast" -> 0.31), base, 0.50) == Seq("q_fast"))
+    // q_fast close to 5x its baseline but still under the 0.50s floor —
+    // the exact class both live false positives fell in (q_percentiles
+    // 0.31s vs a 0.149s fast-window baseline, q_asof_tolerance 0.44s vs
+    // 0.267s): sub-half-second wobble on an untouched path is noise
+    assert(BenchGate.regressions(Map("q_fast" -> 0.49), base, 0.50).isEmpty)
+    assert(BenchGate.regressions(Map("q_fast" -> 0.51), base, 0.50) == Seq("q_fast"))
+  }
+
+  test("multi-capture baseline: upper median, never a lone fast window") {
+    // three captures of q_x: one anomalously fast window (0.15), two
+    // normal (0.42, 0.45) — the policy must bless 0.42, not 0.15, so the
+    // next normal run (0.44) is inside 0.42 * 1.5 instead of flagged
+    val b = BenchGate.combineCaptures(Seq(
+      Map("q_x" -> 0.15, "q_y" -> 1.00),
+      Map("q_x" -> 0.42, "q_y" -> 1.10),
+      Map("q_x" -> 0.45)))
+    assert(b("q_x") == 0.42, "upper median of (0.15, 0.42, 0.45)")
+    // q_y measured in only two captures: upper median = the SLOWER one —
+    // with an even count the conservative (non-flagging) side wins
+    assert(b("q_y") == 1.10)
+    val regs = BenchGate.regressions(
+      Map("q_x" -> 0.55), BenchGate.Baseline(b, 0.5), calibSparkRun = 0.5)
+    assert(regs.isEmpty, "a normal re-run must not flag against the median baseline")
+  }
+
+  test("headline subset is FROZEN: additions only, recorded in SURVEY §8") {
+    // cross-round headline sums are the only comparable aggregate; a
+    // silent membership change would corrupt every comparison. If this
+    // test fails you either removed/renamed an entry (don't) or added one
+    // without extending this pin + SURVEY §8 (do both).
+    val frozen = Seq(
+      "q_pricing_summary", "q_shipping_priority", "q_join_multiway",
+      "q_bucketed_join", "q_window_topk", "q_rollup", "q_sessionize", "q_asof_join",
+      "q_range_join", "q_dedup_exact", "q_minhash_neardup",
+      "q_minhash_neardup_fast", "q_simhash_neardup", "q_simhash_neardup_fast",
+      "q_cosine_topk", "q_cosine_topk_ivf", "q_cosine_topk_ivf_indexed",
+      "q_cosine_neardup_lsh", "q_cosine_neardup_lsh_fast", "q_semdedup",
+      "q_lang_id", "q_token_count",
+      "q_ddb_unwrap", "q_load_verification", "q_theta_overlap", "q_freq_topk",
+      "q_edit_join",
+      "q_ivf_search_exact", "q_pq_search_exact", "q_semdedup_delta",
+      "q_bpe_tokens", "q_pq_topk")
+    assert(Bench.headline.take(frozen.size) == frozen,
+      "frozen prefix of the headline subset changed")
+    assert(Bench.headline.size == frozen.size,
+      s"headline grew to ${Bench.headline.size} — extend this pin AND note it in SURVEY §8")
+    // every headline entry must exist in the registry (a rename would
+    // silently drop its timing from the bench line)
+    Bench.headline.foreach(q =>
+      assert(SparkEntry.queries.contains(q), s"headline entry $q not in registry"))
   }
 
   test("queries absent from the baseline are skipped, not flagged") {

@@ -88,6 +88,43 @@ class BpeSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("fixed merge table: greedy encode ≡ rank-ordered passes (the oracle's premise)") {
+    // q_bpe_tokens_fixed's DuckDB mirror applies the 8 merges as ONE
+    // left-to-right pass per rank, in rank order. That equals the engine's
+    // greedy lowest-rank-first loop ONLY for a well-formed table (no
+    // merge's output equals an earlier merge's operand — applying rank r
+    // can then never re-enable a rank < r). Pin the well-formedness
+    // structurally AND the end-to-end equivalence over every word of the
+    // real documents corpus plus adversarial shapes.
+    val merges = graft.queries.ExtensionBattery.fixedBpeMerges
+    // structural well-formedness: output of rank r ∉ operands of ranks < r
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      val out = a + b
+      merges.take(r).foreach { case (pa, pb) =>
+        assert(out != pa && out != pb,
+          s"merge $r output '$out' equals an earlier operand — table not well-formed")
+      }
+    }
+    val rank = merges.zipWithIndex.toMap
+    def greedy(w: String): Vector[String] = Bpe.encodeWord(w, rank)
+    def sequential(w: String): Vector[String] =
+      merges.foldLeft(Bpe.baseSymbols(w)) { case (sym, (a, b)) =>
+        Bpe.applyMerge(sym, a, b)
+      }
+    import org.apache.spark.sql.functions.{explode, split, lower, trim, length}
+    val corpusWords = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .filter(length($"w") > 0).distinct().as[String].collect()
+    val adversarial = Seq("the", "other", "row", "rows", "throw", "thow",
+      "erin", "stale", "alin", "thethe", "rowow", "x")
+    (corpusWords ++ adversarial).foreach { w =>
+      assert(greedy(w) == sequential(w),
+        s"greedy and rank-ordered encodes diverge on '$w': " +
+          s"${greedy(w)} vs ${sequential(w)}")
+    }
+  }
+
   test("rare pairs below minPairCount are never merged (no one-off memorization)") {
     val merges = Bpe.train(corpus, "doc_id", "text", nMerges = 1000)
     // every learned merge had support >= 2 in the sample; the singleton

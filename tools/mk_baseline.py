@@ -1,25 +1,54 @@
 #!/usr/bin/env python3
-"""Regenerate the BenchGate baseline resource from a bench capture.
+"""Regenerate the BenchGate baseline resource from QUIET bench captures.
 
-Usage: tools/mk_baseline.py <dump.json> <calib_spark_of_that_run>
+Usage: tools/mk_baseline.py <dump1.json>:<calib1> [<dump2.json>:<calib2> ...]
 
-<dump.json> comes from running graft.Bench with SPARK_GRAFT_BENCH_DUMP=<path>
-on a quiet host (check the capture's full_passes >= 2 and its spin probes
-against SURVEY §8 before blessing it as the baseline); <calib_spark> is the
-"calib_spark" field of the same run's final JSON line.
+Each <dump.json> comes from running graft.Bench with
+SPARK_GRAFT_BENCH_DUMP=<path> on a quiet host (check each capture's
+full_passes >= 2 and its spin probes against SURVEY §8 before blessing);
+<calib> is the "calib_spark" field of that run's final JSON line.
+
+POLICY (mirrors BenchGate.combineCaptures, pinned in BenchGateSpec): the
+baseline of each query is the UPPER MEDIAN of its minima across the
+captures that measured it (sorted, element at index n//2 — with 2 captures
+the slower one, with 3 the middle). One anomalously FAST capture therefore
+never defines a floor-adjacent baseline that flags the next normal run —
+the failure mode behind both live false-positive flags (q_percentiles r12
+mid-round, q_asof_tolerance r12 driver capture). Prefer >= 2-3 captures;
+a single capture degrades to itself (warn-worthy, not an error).
+calib_spark_ref combines the same way.
 """
 import json, sys
 
-dump_path, calib = sys.argv[1], float(sys.argv[2])
-d = json.load(open(dump_path))
+pairs = []
+for arg in sys.argv[1:]:
+    path, calib = arg.rsplit(":", 1)
+    pairs.append((json.load(open(path)), float(calib)))
+if not pairs:
+    sys.exit(__doc__)
+if len(pairs) < 2:
+    print("WARNING: single capture - the median policy needs >=2 quiet "
+          "captures to absorb fast windows", file=sys.stderr)
+
+def upper_median(vs):
+    vs = sorted(vs)
+    return vs[len(vs) // 2]
+
+queries = sorted({q for d, _ in pairs for q in d})
+combined = {q: upper_median([d[q] for d, _ in pairs if q in d]) for q in queries}
+calib = upper_median([c for _, c in pairs])
+
 lines = [
-    "# Per-query warm minima from a 2-full-pass local capture at sf0.1 (round 12),",
-    "# plus the calib_spark reading of that same capture. Consumed by BenchGate:",
-    "# a run flags q when min(q) > baseline * 1.5 * max(1, calib_spark/calib_spark_ref).",
-    "# Refresh by running graft.Bench with SPARK_GRAFT_BENCH_DUMP and tools/mk_baseline.py.",
+    "# Per-query warm minima: UPPER MEDIAN across quiet multi-pass captures",
+    f"# ({len(pairs)} capture(s), round 13), plus the combined calib_spark of",
+    "# those captures. Consumed by BenchGate: a run flags q when",
+    "# min(q) > max(0.5, baseline * 1.5 * max(1, calib_spark/calib_spark_ref)).",
+    "# Refresh: run graft.Bench with SPARK_GRAFT_BENCH_DUMP 2-3x on a quiet",
+    "# host, then tools/mk_baseline.py dump1.json:calib1 dump2.json:calib2 ...",
     f"calib_spark_ref={calib}",
 ]
-lines += [f"{k}={d[k]}" for k in sorted(d)]
+lines += [f"{q}={combined[q]}" for q in queries]
 out = "src/main/resources/graft/bench-baseline.properties"
 open(out, "w").write("\n".join(lines) + "\n")
-print(f"wrote {out}: {len(d)} queries, calib_spark_ref={calib}")
+print(f"wrote {out}: {len(combined)} queries from {len(pairs)} capture(s), "
+      f"calib_spark_ref={calib}")
