@@ -530,6 +530,62 @@ object ExtensionBattery {
        |FROM delta ORDER BY vec_id""".stripMargin
   }
 
+  // Mirrors SemDedup.dedupBounded: the q_semdedup grid cells, but
+  // splitHotCells-refined to maxCellSize=12 BEFORE pair generation. Each
+  // split round appends one sign bit (planes 32..37 — disjoint from the
+  // grid's 0..3) to the cluster-id path of every member of a currently-hot
+  // cell. The SQL applies all 6 rounds unconditionally, which is exact:
+  // cell counts never grow, so hot rounds form a PREFIX — once no cell is
+  // hot, later rounds append nothing in both engines, and the Scala
+  // early-exit consumes plane indices at the same rate as the SQL rounds.
+  private val semdedupBoundedOracleSql: String = {
+    val maxRounds = 6
+    val firstPlane = 32
+    val maxCell = 12
+    val planes = Similarity.portablePlanes(firstPlane + maxRounds, 64)
+    def fold(term: String) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> $term), (acc, x) -> acc + x)"
+    def planeLit(p: Array[Double]) =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val cellBits = (0 until semdedupGridBits).map { r =>
+      val pl = planeLit(planes(r))
+      s"(CASE WHEN ${fold(s"v[i] * (CAST($pl AS DOUBLE[]))[i]")} > 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString(" + ")
+    val rounds = (0 until maxRounds).map { r =>
+      val pl = planeLit(planes(firstPlane + r))
+      s"""c${r + 1} AS MATERIALIZED (
+         |  SELECT id, v, CASE
+         |    WHEN count(*) OVER (PARTITION BY cluster_id) > $maxCell THEN
+         |      cluster_id || '.' ||
+         |      (CASE WHEN ${fold(s"v[i] * (CAST($pl AS DOUBLE[]))[i]")} > 0
+         |            THEN '1' ELSE '0' END)
+         |    ELSE cluster_id END AS cluster_id
+         |  FROM c$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT id, v, CAST(CAST($cellBits AS INT) AS VARCHAR) AS cluster_id FROM e),
+       |$rounds,
+       |cells AS MATERIALIZED (SELECT * FROM c$maxRounds),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst
+       |  FROM cells a JOIN cells b ON a.cluster_id = b.cluster_id AND a.id < b.id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |seeds AS (SELECT src AS id FROM edges GROUP BY src HAVING min(dst) > src),
+       |reach AS (
+       |  WITH RECURSIVE r(id, anc) AS (
+       |    SELECT id, id FROM seeds
+       |    UNION
+       |    SELECT e2.dst, r.anc FROM edges e2 JOIN r ON r.id = e2.src)
+       |  SELECT id, min(anc) AS component FROM r GROUP BY id),
+       |dropped AS (SELECT id FROM reach WHERE id <> component)
+       |SELECT id AS vec_id, cluster_id,
+       |  (id NOT IN (SELECT id FROM dropped)) AS keep
+       |FROM cells ORDER BY vec_id""".stripMargin
+  }
+
   // Mirrors Quantize.quantize + cosineInt8 ranking: per-vector max-abs
   // scale, int8 codes via floor(x/scale + 0.5) clamped to ±127 — the
   // Scala side computes this EXACT expression (not Math.round, which
@@ -1075,6 +1131,25 @@ object ExtensionBattery {
         .orderBy($"vec_id")
     },
 
+    // BOUNDED semantic dedup (the production entry point for corpora with
+    // unknown embedding spread): same grid cells, but splitHotCells-refined
+    // to maxCellSize=12 before pair generation, so the within-cell pair
+    // cost is Σ min(|cell|, 12+)² by construction — the knob the round-13
+    // measured scaling curve (SURVEY §9.1) shows fixed-resolution cells
+    // need. At sf0.01 (500 vectors / 16 cells ≈ 31 each) splitting is
+    // EXERCISED, not idle, and the whole refine→pair→components pipeline
+    // still hash-oracles end-to-end because split bits are the same md5
+    // ±1 plane signs (rows 32..37) the grid itself uses.
+    sql("q_semdedup_bounded", semdedupBoundedOracleSql) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+      graft.ext.SemDedup.dedupBounded(
+          graft.ext.SemDedup.gridCells(emb, semdedupGridBits),
+          minCos = 0.3, maxCellSize = 12)
+        .orderBy($"vec_id")
+    },
+
     // PRODUCTION semantic dedup: same dedup core over IVF k-means cells
     // (the clustering the SemDeDup/D4 papers use — centroid-shaped cells
     // track the data distribution, so near-dups co-locate with higher
@@ -1445,6 +1520,64 @@ object ExtensionBattery {
         .select($"doc_id", $"n_positions", $"n_dup",
           round($"n_dup".cast("double") / $"n_positions", 6).as("dup_frac"))
         .orderBy($"doc_id")
+    },
+
+    // Duplicated-SPAN extraction (the cut-out step of Lee et al. 2022's
+    // ExactSubstr dedup, downstream of q_dup_ngram_spans' statistics): a
+    // position is duplicated when its token 8-gram appears in ≥ 2 distinct
+    // documents; MAXIMAL runs of consecutive duplicated positions are the
+    // spans a rewrite would remove — a run of R positions covers R+7
+    // tokens. Any duplicated substring of ≥ 8 tokens contains a duplicated
+    // 8-gram at every position, so maximal islands recover exactly the
+    // union of ≥8-token duplicated substrings WITHOUT a suffix array:
+    // islands = the classic gaps-and-islands grouping (i − row_number) per
+    // doc. Scale shape: the gram→df join is q_dup_ngram_spans' (uniform
+    // string keys, dup-gram side AQE-broadcastable); the window runs over
+    // DUPLICATED positions only (a small fraction of the corpus),
+    // partitioned by doc_id — never a global sort.
+    sql("q_dup_longest_span",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:(i+7)], ' ') AS gram
+        |  FROM tok, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |df AS (SELECT gram FROM grams GROUP BY gram
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT g.doc_id, g.i FROM grams g JOIN df USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM dup)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.documents(s, d)
+        .withColumn("toks", filter(split(lower($"text"), "\\s+"), w => length(w) > 0))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => struct(i.as("i"),
+              array_join(slice($"toks", i, lit(8)), " ").as("gram")))).as("x"))
+        .select($"doc_id", $"x.i".as("i"), $"x.gram".as("gram"))
+      val dupGrams = g.groupBy($"gram")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+        .filter($"n_docs" >= 2)
+        .select($"gram")
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      g.join(dupGrams, Seq("gram"))
+        .select($"doc_id", $"i")
+        .withColumn("grp", $"i" - row_number().over(w))
+        .groupBy($"doc_id", $"grp")
+        .agg(min($"i").cast("long").as("span_start"),
+          (count(lit(1)) + 7).cast("long").as("span_tokens"))
+        .select($"doc_id", $"span_start", $"span_tokens")
+        .orderBy($"doc_id", $"span_start")
     },
 
     // Repetition quality signals (Gopher/C4-style): top-term share and
