@@ -1580,6 +1580,85 @@ object ExtensionBattery {
         .orderBy($"doc_id", $"span_start")
     },
 
+    // Duplicated-span REWRITE (the final step of the Lee et al. 2022
+    // ExactSubstr loop: statistics → span extraction → cut the spans out):
+    // every token covered by a duplicated 8-gram (position i covers tokens
+    // i..i+7) is removed; the survivors reassemble in original order into
+    // the cleaned document. Output text is the TOKENIZED reassembly
+    // (lowercased, whitespace-normalized) — the form the downstream
+    // tokenizer consumes anyway. Docs shorter than 8 tokens carry no grams
+    // and pass through unchanged. Scale shape: covered positions explode
+    // from DUPLICATED gram positions only (8 rows each, deduped per
+    // token); the reassembly is a per-doc sort_array over kept tokens —
+    // grouped by doc_id, never a global sort.
+    sql("q_dup_span_rewrite",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:(i+7)], ' ') AS gram
+        |  FROM tok, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |df AS (SELECT gram FROM grams GROUP BY gram
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT g.doc_id, j
+        |  FROM grams g JOIN df USING (gram),
+        |    unnest(generate_series(g.i, g.i + 7)) AS v(j)),
+        |pos AS (
+        |  SELECT doc_id, i AS idx, toks[i] AS w
+        |  FROM tok, unnest(generate_series(1, len(toks))) AS u(i)),
+        |kept AS (
+        |  SELECT p.doc_id, p.idx, p.w FROM pos p
+        |  LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.idx = c.j
+        |  WHERE c.j IS NULL)
+        |SELECT t.doc_id,
+        |  CAST(len(t.toks) AS BIGINT) AS n_orig,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(k.text_clean, '') AS text_clean
+        |FROM tok t LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY idx) AS text_clean
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .withColumn("toks", filter(split(lower($"text"), "\\s+"), w => length(w) > 0))
+        .select($"doc_id", $"toks")
+      val g = tok.filter(size($"toks") >= 8)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => struct(i.as("i"),
+              array_join(slice($"toks", i, lit(8)), " ").as("gram")))).as("x"))
+        .select($"doc_id", $"x.i".as("i"), $"x.gram".as("gram"))
+      val dupGrams = g.groupBy($"gram")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+        .filter($"n_docs" >= 2)
+        .select($"gram")
+      // covered shares lineage with pos (both derive from tok), so the join
+      // keys must be RENAMED, not disambiguated by DataFrame reference —
+      // same-lineage refs resolve to one attribute and the predicate
+      // collapses to trivially-true.
+      val covered = g.join(dupGrams, Seq("gram"))
+        .select($"doc_id".as("c_doc"), explode(sequence($"i", $"i" + 7)).as("j"))
+        .distinct()
+      val kept = tok
+        .select($"doc_id", posexplode($"toks").as(Seq("p", "w")))
+        .withColumn("idx", $"p" + 1).drop("p")
+        .join(covered, $"doc_id" === $"c_doc" && $"idx" === $"j", "left_anti")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct($"idx", $"w"))), x => x("w")),
+            " ").as("text_clean"))
+      tok.join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", size($"toks").cast("long").as("n_orig"),
+          coalesce($"n_kept", lit(0L)).cast("long").as("n_kept"),
+          coalesce($"text_clean", lit("")).as("text_clean"))
+        .orderBy($"doc_id")
+    },
+
     // Repetition quality signals (Gopher/C4-style): top-term share and
     // distinct-token ratio per doc — two algebraic aggregates over the
     // per-(doc, word) counts.
