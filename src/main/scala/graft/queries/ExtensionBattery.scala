@@ -1580,6 +1580,64 @@ object ExtensionBattery {
         .orderBy($"doc_id", $"span_start")
     },
 
+    // DELTA-vs-CORPUS duplicated spans (the SemDedup.dedupDelta discipline
+    // applied to the exact-substring family): decide which spans of an
+    // ingest batch (doc_id ≥ 250) duplicate the standing corpus
+    // (doc_id < 250) or repeat within the batch, WITHOUT re-pairing the
+    // corpus — a delta position is duplicated when its 8-gram appears
+    // anywhere in the corpus gram index OR in ≥ 2 distinct delta docs.
+    // Per-ingest cost is |delta grams| joined against the gram index
+    // (bucketed by gram at scale), linear in the corpus; the corpus–corpus
+    // work a full q_dup_longest_span would re-pay is never generated.
+    sql("q_dup_span_delta",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:(i+7)], ' ') AS gram
+        |  FROM tok, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |cidx AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 250),
+        |dg AS (SELECT doc_id, i, gram FROM grams WHERE doc_id >= 250),
+        |ddup AS (SELECT gram FROM dg GROUP BY gram
+        |         HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT gram FROM cidx UNION SELECT gram FROM ddup),
+        |dup AS (SELECT DISTINCT d.doc_id, d.i FROM dg d JOIN hit USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM dup)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.documents(s, d)
+        .withColumn("toks", filter(split(lower($"text"), "\\s+"), w => length(w) > 0))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => struct(i.as("i"),
+              array_join(slice($"toks", i, lit(8)), " ").as("gram")))).as("x"))
+        .select($"doc_id", $"x.i".as("i"), $"x.gram".as("gram"))
+      val corpusIdx = g.filter($"doc_id" < 250).select($"gram").distinct()
+      val deltaG = g.filter($"doc_id" >= 250)
+      val deltaDup = deltaG.groupBy($"gram")
+        .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
+        .select($"gram")
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      deltaG.join(corpusIdx.unionByName(deltaDup).distinct(), Seq("gram"))
+        .select($"doc_id", $"i").distinct()
+        .withColumn("grp", $"i" - row_number().over(w))
+        .groupBy($"doc_id", $"grp")
+        .agg(min($"i").cast("long").as("span_start"),
+          (count(lit(1)) + 7).cast("long").as("span_tokens"))
+        .select($"doc_id", $"span_start", $"span_tokens")
+        .orderBy($"doc_id", $"span_start")
+    },
+
     // Duplicated-span REWRITE (the final step of the Lee et al. 2022
     // ExactSubstr loop: statistics → span extraction → cut the spans out):
     // every token covered by a duplicated 8-gram (position i covers tokens

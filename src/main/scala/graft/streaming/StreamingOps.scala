@@ -256,6 +256,125 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming exact-substring ingest (the [[startSemDedupIngest]]
+    * discipline applied to the token-gram family — the q_dup_span_delta
+    * decision run as a corpus gate): each micro-batch of (doc_id, text)
+    * documents is tokenized, its `gramN`-gram positions are flagged as
+    * duplicated when the gram appears in the STANDING gram index or in a
+    * lower-id document of the same batch (canonical-keep: exact twins in
+    * one batch admit the minimum doc_id), and a document is ACCEPTED when
+    * its duplicated-position fraction is ≤ `maxDupFrac`. Accepted docs
+    * commit to `docsTable` and their grams to `gramTable`; a document that
+    * substantially duplicates anything already admitted never enters the
+    * corpus — the Lee-et-al dedup run as an ingestion contract instead of
+    * a batch rewrite.
+    *
+    * Scale shape: the gram index is hive-partitioned by `bucket` =
+    * pmod(xxhash64(gram), buckets), and the batch's bucket set (≤
+    * `buckets`, collected driver-side — the cells-probe device) prunes the
+    * index read at the manifest level; batch grams then join index grams
+    * per bucket — per-ingest cost is |batch grams| against the touched
+    * buckets, linear in the corpus, and the corpus–corpus work a full
+    * re-dedup would pay is never generated. Bucket count is the
+    * parallelism knob, not a correctness one.
+    *
+    * Exactly-once: docs commit FIRST, grams second, with separate
+    * (appId-docs / appId-grams, batchId) watermarks. Replay after a crash
+    * between the two recomputes verdicts against an index that cannot yet
+    * contain this batch's grams (they commit last), so the SAME accepted
+    * set re-derives; the docs commit no-ops on its watermark and the gram
+    * commit completes the pair. Replay after both committed recomputes
+    * verdicts that may now see the batch's own grams in the index —
+    * harmless, because both commits no-op on their watermarks. */
+  def startDupSpanIngest(
+      stream: DataFrame, // (doc_id: Long, text: String)
+      docsTable: String,
+      gramTable: String,
+      checkpointDir: String,
+      maxDupFrac: Double = 0.5,
+      gramN: Int = 8,
+      buckets: Int = 64,
+      appId: String = "graft-dupspan-ingest",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val docs = batch.toDF().select(col("doc_id"), col("text"))
+            .withColumn("toks",
+              filter(split(lower(col("text")), "\\s+"), w => length(w) > 0))
+            .localCheckpoint()
+          val grams = docs.filter(size(col("toks")) >= gramN)
+            .select(col("doc_id"), explode(
+              transform(sequence(lit(1), size(col("toks")) - (gramN - 1)),
+                i => struct(i.as("i"),
+                  array_join(slice(col("toks"), i, lit(gramN)), " ").as("gram")))).as("x"))
+            .select(col("doc_id"), col("x.i").as("i"), col("x.gram").as("gram"))
+            .withColumn("bucket", pmod(xxhash64(col("gram")), lit(buckets)))
+            .localCheckpoint()
+          val probed: Set[String] = grams
+            .select(col("bucket").cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+          def emptyIndex = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("gram",
+                org.apache.spark.sql.types.StringType))))
+          val indexGrams =
+            if (graft.sinks.Snapshots.versions(spark, gramTable).isEmpty) emptyIndex
+            else {
+              // explicit manifest overlap probe, as in startSemDedupIngest:
+              // a non-overlapping batch sees an empty index; a read error
+              // fails the batch rather than admitting duplicates
+              val overlapping = graft.sinks.Snapshots.partitions(spark, gramTable)
+                .exists(spec => graft.sinks.Snapshots.parseSpec(spec)
+                  .get("bucket").exists(probed))
+              if (!overlapping) emptyIndex
+              else graft.sinks.Snapshots.read(spark, gramTable,
+                  partitionFilter = spec => spec.get("bucket").exists(probed))
+                .select(col("gram")).distinct()
+            }
+          // canonical-keep within the batch: a gram flags every holder but
+          // its minimum doc_id, so exact twins admit exactly one copy
+          val gramMin = grams.groupBy(col("gram").as("g2"))
+            .agg(min(col("doc_id")).as("mdoc"))
+          val corpusFlagged = grams
+            .join(indexGrams.select(col("gram").as("g2")), col("gram") === col("g2"))
+            .select(col("doc_id"), col("i"))
+          val batchFlagged = grams
+            .join(gramMin, col("gram") === col("g2") && col("doc_id") > col("mdoc"))
+            .select(col("doc_id"), col("i"))
+          val flagged = corpusFlagged.unionByName(batchFlagged).distinct()
+            .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+          val accepted = docs
+            .withColumn("n_pos", greatest(size(col("toks")) - (gramN - 1), lit(0)))
+            .join(flagged, Seq("doc_id"), "left")
+            .filter(col("n_pos") <= 0 ||
+              coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_pos") <= maxDupFrac)
+            .select(col("doc_id"), col("text"))
+            .localCheckpoint()
+          if (!accepted.isEmpty) {
+            graft.sinks.Snapshots.commit(accepted, docsTable,
+              org.apache.spark.sql.SaveMode.Append,
+              txn = Some(s"$appId-docs" -> batchId))
+            val acceptedGrams = grams
+              .join(accepted.select(col("doc_id")), "doc_id")
+              .select(col("bucket"), col("gram")).distinct()
+            if (!acceptedGrams.isEmpty)
+              graft.sinks.Snapshots.commitPartitioned(acceptedGrams, gramTable,
+                Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
+                txn = Some(s"$appId-grams" -> batchId))
+          }
+          ()
+        }
+      }
+      .start()
+
   // ---- rolling z-score anomaly detection ----------------------------------
 
   final case class ZEvent(event_id: Long, event_type: String, ts: Timestamp, value: Double)
