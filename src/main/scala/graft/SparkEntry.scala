@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every registered capability, in registration order. */
   def allQueries: Seq[QueryDef] =
     CoreBattery.all ++ RelationalBattery.all ++ PipelineBattery.all ++
-      ExtensionBattery.all ++ BreadthBattery.all ++ GraphBattery.all
+      ExtensionBattery.all ++ BreadthBattery.all ++ GraphBattery.all ++
+      CurationBattery.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -65,6 +65,35 @@ object Similarity {
         col("e.v").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the exact top-k most-similar candidates whose `label` DIFFERS from the
+    * query's — the "hard" negatives that sit closest to the decision
+    * boundary. Same bounded-heap discipline as [[bruteForceTopK]] (queries
+    * broadcast, candidates stream, ≤ k pairs per partial map-side); the
+    * label-mismatch predicate is applied before scoring so excluded pairs
+    * never enter the heap. Output: (query_id, neighbor_id, cos, rank). */
+  def hardNegatives(
+      queries: DataFrame, // (id, vec, label)
+      candidates: DataFrame, // (id, vec, label)
+      k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val idType = candidates.schema("id").dataType
+    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("qv"),
+      col("label").as("q_label"))
+    val c = candidates.select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"),
+      col("label").as("c_label"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.top_k(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").cast(idType).as("neighbor_id"),
+        col("e.v").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** splitmix64 finalizer — deterministic hash for hyperplane components. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Components, HybridSearch, SetSimJoin, Similarity, TextAnalysis, TextIndex}
+import graft.sources.Tables
+
+/** Corpus-curation battery: the composed shapes a training-data platform
+  * runs ON TOP of the individual operators — hybrid lexical+dense retrieval,
+  * hard-negative mining, leakage-safe dataset splitting, embedding-drift
+  * monitoring, and the full quality→dedup→decontaminate pretraining
+  * pipeline as ONE hash-oracled DAG. Every entry here composes operators
+  * that are already individually oracled (BM25, brute-force cosine,
+  * set-similarity join, connected components, n-gram decontamination), so
+  * these entries pin the COMPOSITIONS — stage order, gate thresholds, tie
+  * rules — not just the pieces.
+  *
+  * Scale notes per entry are on the entries; the common discipline: the
+  * corpus-scale legs (inverted index, banded candidate joins, broadcast
+  * benchmark sets) do the heavy lifting, and the composition layers are
+  * rank arithmetic / semi-joins on already-reduced sets.
+  */
+object CurationBattery {
+  import QueryDef._
+
+  private val toksSql =
+    "CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+  /** The min-label connected-components oracle fragment (recursive CTE
+    * seeded only at local-minimum nodes — linear in cluster size, see
+    * q_neardup_keep_canonical): expects an `edges(src, dst)` CTE in scope,
+    * yields `reach(id, component)` + `dropped(doc_id)`. */
+  private val componentsSqlFragment =
+    """seeds AS (SELECT src AS id FROM edges GROUP BY src HAVING min(dst) > src),
+      |reach AS (
+      |  WITH RECURSIVE r(id, anc) AS (
+      |    SELECT id, id FROM seeds
+      |    UNION
+      |    SELECT e.dst, r.anc FROM edges e JOIN r ON r.id = e.src)
+      |  SELECT id, min(anc) AS component FROM r GROUP BY id),
+      |dropped AS (SELECT id AS doc_id FROM reach WHERE id <> component)""".stripMargin
+
+  /** Exact Jaccard ≥ 0.8 pair CTEs over `tok2(doc_id, dtoks)` → `pairs`,
+    * `edges` — the quadratic ORACLE mirror of the prefix-filtered
+    * [[SetSimJoin]] (which never goes all-pairs on the engine side). */
+  private val jaccardEdgesSqlFragment =
+    """pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM tok2 a JOIN tok2 b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.dtoks, b.dtoks)) > 0
+      |    AND CAST(len(list_intersect(a.dtoks, b.dtoks)) AS DOUBLE)
+      |        / (len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks))) >= 0.8),
+      |edges AS MATERIALIZED (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs)""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+
+    // Hybrid retrieval: BM25 top-20 (lexical leg, served from the
+    // materialized postings index) fused with exact cosine top-20 for a
+    // query embedding (dense leg) by Reciprocal Rank Fusion, k=60. Rank
+    // arithmetic only — no cross-leg score normalization — so the fusion is
+    // deterministic (≤ 2 commutative addends per doc) and the fused input
+    // is 40 rows regardless of corpus size: the index and the ANN leg do
+    // the corpus-scale work. doc_id and vec_id index the same corpus rows.
+    sql("q_hybrid_search_rrf",
+      """WITH tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE len(word) > 0),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |terms AS (SELECT unnest(['spark', 'query', 'data']) AS word),
+        |lexs AS (
+        |  SELECT doc_id,
+        |    round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+        |  FROM tf
+        |  JOIN terms USING (word) JOIN df USING (word) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM lexs),
+        |dense AS (
+        |  SELECT neighbor_id AS doc_id, rnk FROM (
+        |    SELECT c.vec_id AS neighbor_id,
+        |      row_number() OVER (ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+        |        c.vec_id) AS rnk
+        |    FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0) q,
+        |         (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |          WHERE vec_id <> 0) c) t
+        |  WHERE rnk <= 20),
+        |u AS (SELECT doc_id, 1.0 / (60 + rnk) AS c FROM lex
+        |      UNION ALL SELECT doc_id, 1.0 / (60 + rnk) FROM dense),
+        |f AS (SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY 1)
+        |SELECT doc_id, rrf, CAST(rnk AS INT) AS rank FROM (
+        |  SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+        |  FROM f) ranked
+        |WHERE rnk <= 10 ORDER BY rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val postings = TextIndex.buildPostings(Tables.documents(s, d), "doc_id", "text")
+      val lex = HybridSearch.rankLeg(
+        TextIndex.searchBm25(postings, Seq("spark", "query", "data"), 20),
+        "doc_id", "bm25", 20)
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val dense = Similarity.bruteForceTopK(emb.filter($"id" === 0), emb, k = 20)
+        .select($"neighbor_id".as("doc_id"), $"rank")
+      HybridSearch.rrf(Seq(lex, dense), idCol = "doc_id", kRrf = 60, limit = 10)
+        .orderBy($"rank")
+    },
+
+    // Hard-negative mining for contrastive training: for each query
+    // vector, the top-5 most-similar DIFFERENT-label vectors — the
+    // negatives closest to the decision boundary, which is what an
+    // embedding-model trainer actually samples. Exact scoring with the
+    // bounded-heap top-k (≤ k pairs per partial); at corpus scale the
+    // candidate stream comes from the IVF/LSH serving path instead of the
+    // full scan, with this exact form as its recall oracle.
+    sql("q_hard_negatives",
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+        |  FROM q, c WHERE q.vec_id <> c.vec_id AND q.label <> c.label) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+      Similarity.hardNegatives(emb.filter($"id" < 10), emb, k = 5)
+        .select($"query_id", $"neighbor_id", $"cos", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // Leakage-safe train/val/test split: near-dup CLUSTERS (exact Jaccard
+    // ≥ 0.8 pairs → connected components, singletons = own doc) are the
+    // split unit, and each cluster lands in one split by a hash of its
+    // canonical id — so near-duplicate documents can never straddle the
+    // train/eval boundary (the contamination mode a row-level random split
+    // invites). ~80/10/10 via two md5 nibbles (204/26/26 of 256). The
+    // doc_id < 600 bound keeps the quadratic ORACLE tractable — the engine
+    // side is the prefix-filtered SetSimJoin, never all-pairs.
+    sql("q_leakage_split",
+      s"""WITH tok2 AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct($toksSql) AS dtoks
+         |  FROM documents WHERE doc_id < 600 AND len($toksSql) > 0),
+         |$jaccardEdgesSqlFragment,
+         |$componentsSqlFragment,
+         |cl AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(r.component, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.id
+         |  WHERE d.doc_id < 600),
+         |b AS (
+         |  SELECT doc_id, cluster_id,
+         |    strpos('123456789abcdef',
+         |      substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 1)) * 16 +
+         |    strpos('123456789abcdef',
+         |      substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 2, 1)) AS v
+         |  FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN v < 204 THEN 'train' WHEN v < 230 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 600)
+      val pairs = SetSimJoin.join(docs, "doc_id", "text", 0.8)
+      val comp = Components.connectedComponents(pairs, srcCol = "doc_a", dstCol = "doc_b")
+      val clusters = docs
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"component", $"doc_id").cast("long").as("cluster_id"))
+      val bucket = conv(
+        substring(md5(concat(lit("split:"), $"cluster_id".cast("string"))), 1, 2),
+        16, 10).cast("int")
+      clusters
+        .withColumn("split",
+          when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+        .orderBy($"doc_id")
+    },
+
+    // Embedding-distribution drift between two corpus slices (even vs odd
+    // vec_id — stand-in for week-over-week ingest vintages): per (label,
+    // dim) mean shift over integer-quantized components. Quantization is
+    // what makes the monitor hash-oracled cross-engine (integer sums are
+    // order-free; one exactly-rounded division per cell — the
+    // q_ivf_*_exact fixed-point discipline); production would widen to
+    // full-dim float means where bit-equality is not required. One
+    // map-side pass + one (label, dim)-keyed partial agg — no join, no
+    // window, linear at any corpus size.
+    sql("q_embedding_drift",
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 = 0 AS even, CAST(i AS INT) AS dim,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 8.0 + 0.5) AS qv
+        |  FROM embeddings, unnest(generate_series(1, 8)) AS t(i)),
+        |g AS (
+        |  SELECT label, dim,
+        |    sum(qv) FILTER (WHERE even) AS se, count(*) FILTER (WHERE even) AS n_e,
+        |    sum(qv) FILTER (WHERE NOT even) AS so, count(*) FILTER (WHERE NOT even) AS n_o
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label, dim,
+        |  round(se / n_e, 6) AS mean_even,
+        |  round(so / n_o, 6) AS mean_odd,
+        |  round(se / n_e - so / n_o, 6) AS drift
+        |FROM g WHERE n_e > 0 AND n_o > 0 ORDER BY label, dim""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"label", ($"vec_id" % 2 === 0).as("even"),
+          posexplode(expr(
+            "transform(slice(embedding, 1, 8), x -> floor(CAST(x AS DOUBLE) * 8.0D + 0.5D))"))
+            .as(Seq("pos", "qv")))
+        .groupBy($"label", ($"pos" + 1).cast("int").as("dim"))
+        .agg(
+          sum(when($"even", $"qv")).as("se"), count(when($"even", lit(1))).as("n_e"),
+          sum(when(!$"even", $"qv")).as("so"), count(when(!$"even", lit(1))).as("n_o"))
+        .filter($"n_e" > 0 && $"n_o" > 0)
+        .select($"label", $"dim",
+          round($"se" / $"n_e", 6).as("mean_even"),
+          round($"so" / $"n_o", 6).as("mean_odd"),
+          round($"se" / $"n_e" - $"so" / $"n_o", 6).as("drift"))
+        .orderBy($"label", $"dim")
+    },
+
+    // The full pretraining-corpus pipeline as ONE DAG, hash-oracled
+    // end-to-end: quality gate (≥100 chars, ≥20 tokens) → exact dedup
+    // (keep min doc_id per md5(text)) → near-dup dedup (Jaccard ≥ 0.8
+    // canonicalization via SetSimJoin + connected components) →
+    // benchmark decontamination (drop docs sharing ≥3 distinct 3-gram
+    // shingles with the doc_id < 10 eval set) → per-language doc/token
+    // yield. Each stage is individually oracled elsewhere; this entry pins
+    // the COMPOSITION — stage order and gate interactions — which is what
+    // a production corpus build actually ships. Stage costs at scale:
+    // map-side gates, one hash-shuffle dedup, the prefix-filtered
+    // similarity join (never all-pairs), a broadcast n-gram probe; the
+    // doc_id < 600 corpus bound exists for the quadratic ORACLE only.
+    sql("q_pretrain_pipeline",
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text, lang, $toksSql AS toks
+         |  FROM documents WHERE doc_id >= 10 AND doc_id < 600),
+         |q AS MATERIALIZED (
+         |  SELECT * FROM corpus WHERE length(text) >= 100 AND len(toks) >= 20),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |kept AS MATERIALIZED (SELECT q.* FROM q JOIN ex USING (doc_id)),
+         |tok2 AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(toks) AS dtoks FROM kept WHERE len(toks) > 0),
+         |$jaccardEdgesSqlFragment,
+         |$componentsSqlFragment,
+         |surv AS MATERIALIZED (
+         |  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |bgrams AS (
+         |  SELECT DISTINCT array_to_string(toks[i:(i+2)], ' ') AS gram
+         |  FROM (SELECT $toksSql AS toks FROM documents WHERE doc_id < 10) bt,
+         |       unnest(generate_series(1, len(toks) - 2)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         |sgrams AS (
+         |  SELECT doc_id, array_to_string(toks[i:(i+2)], ' ') AS gram
+         |  FROM surv, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT s.doc_id, count(DISTINCT s.gram) AS n_shared
+         |    FROM sgrams s JOIN bgrams USING (gram) GROUP BY 1)
+         |  WHERE n_shared >= 3)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val raw = Tables.documents(s, d)
+      val corpus = raw.filter($"doc_id" >= 10 && $"doc_id" < 600)
+        .withColumn("toks", TextAnalysis.tokens($"text"))
+      val quality = corpus.filter(length($"text") >= 100 && size($"toks") >= 20)
+      val exactIds = quality.groupBy(md5($"text")).agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val kept = quality.join(exactIds, Seq("doc_id"), "left_semi")
+      val pairs = SetSimJoin.join(kept, "doc_id", "text", 0.8)
+      val comp = Components.connectedComponents(pairs, srcCol = "doc_a", dstCol = "doc_b")
+      val dropIds = comp.filter($"id" =!= $"component").select($"id".as("doc_id"))
+      val surv = kept.join(dropIds, Seq("doc_id"), "left_anti")
+      def grams(df: DataFrame): DataFrame = df
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(transform(sequence(lit(1), size($"toks") - 2),
+          i => array_join(slice($"toks", i, lit(3)), " "))).as("gram"))
+      val bench = grams(raw.filter($"doc_id" < 10)
+          .withColumn("toks", TextAnalysis.tokens($"text")))
+        .select($"gram").distinct()
+      val contam = grams(surv).join(broadcast(bench), "gram")
+        .groupBy($"doc_id").agg(countDistinct($"gram").as("n_shared"))
+        .filter($"n_shared" >= 3).select($"doc_id")
+      surv.join(contam, Seq("doc_id"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
+        .orderBy($"lang")
+    })
+}

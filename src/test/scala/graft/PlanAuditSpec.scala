@@ -228,6 +228,13 @@ class PlanAuditSpec extends SparkSpec {
       // construction (same family as q_cosine_topk* / q_pq_topk)
       "q_ivf_search_exact", "q_pq_search_exact",
       "q_inactive_rich_cust", "q_jaccard_pairs", "q_lm_perplexity",
+      // hybrid retrieval: the BM25 leg's 1-row stats broadcast + the dense
+      // leg's bounded 1-query broadcast (q_cosine_topk family); the fusion
+      // itself is a 40-row epilogue
+      "q_hybrid_search_rrf",
+      // hard-negative mining: bounded 10-query broadcast, candidates
+      // stream — same family as q_cosine_topk*
+      "q_hard_negatives",
       "q_min_cost_supplier", "q_opq_topk", "q_parts_supplier_count",
       "q_pq_topk", "q_quantize_topk", "q_source_overlap_matrix",
       "q_tfidf", "q_theta_decontaminate", "q_theta_overlap",

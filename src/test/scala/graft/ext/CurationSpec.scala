@@ -1,0 +1,112 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-curation compositions (HybridSearch, hard-negative
+  * mining, and the CurationBattery invariants the DuckDB hash oracle can't
+  * express as cross-row properties). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rrf: fuses legs by reciprocal rank, ties to smaller id") {
+    // leg1: a=1, b=2; leg2: b=1, c=2 →
+    //   b = 1/62 + 1/61 (both legs), a = 1/61, c = 1/62 → order b, a, c
+    val leg1 = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val leg2 = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val out = HybridSearch.rrf(Seq(leg1, leg2), limit = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(20L, 10L, 30L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    val bScore = out.find(_.getLong(0) == 20L).get.getDouble(1)
+    assert(math.abs(bScore - (1.0 / 62 + 1.0 / 61)) < 2e-6)
+  }
+
+  test("rrf: doc present in one leg only still scores; equal scores tie by id") {
+    // both docs rank 1 in exactly one leg → identical scores, smaller id first
+    val leg1 = Seq((5L, 1)).toDF("id", "rank")
+    val leg2 = Seq((3L, 1)).toDF("id", "rank")
+    val out = HybridSearch.rrf(Seq(leg1, leg2), limit = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 5L))
+    assert(out(0).getDouble(1) == out(1).getDouble(1))
+  }
+
+  test("rankLeg: truncates to depth with positional 1-based ranks") {
+    val scored = Seq((1L, 0.9), (2L, 0.7), (3L, 0.8), (4L, 0.1))
+      .toDF("doc_id", "score")
+    val out = HybridSearch.rankLeg(scored, "doc_id", "score", depth = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 1), (3L, 2), (2L, 3)))
+  }
+
+  test("hardNegatives: never returns a same-label neighbor; ranks dense, cos descending") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(1, 0, 0), 1), (1L, v(0.99, 0.1, 0), 1), // same label as query 0
+      (2L, v(0.9, 0.3, 0), 2), (3L, v(0.5, 0.8, 0), 2),
+      (4L, v(0, 1, 0), 3), (5L, v(-1, 0, 0), 3)
+    ).toDF("id", "vec", "label")
+    val out = Similarity.hardNegatives(emb.filter($"id" === 0L), emb, k = 3)
+      .orderBy($"rank").collect()
+    // id 1 (cos ≈ 0.995, highest overall) is excluded — same label
+    assert(!out.map(_.getLong(1)).contains(1L))
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    val cos = out.map(_.getDouble(2)).toSeq
+    assert(cos == cos.sorted.reverse)
+    assert(out.head.getLong(1) == 2L) // nearest different-label vector
+  }
+
+  test("leakage split: a cluster never straddles splits; near-dup pairs co-assigned") {
+    val split = graft.SparkEntry.queries("q_leakage_split")(spark, sf).cache()
+    val straddling = split.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1)
+    assert(straddling.count() == 0, "cluster assigned to >1 split")
+    // the no-leakage contract, stated directly on the candidate pairs
+    val docs = graft.sources.Tables.documents(spark, sf).filter($"doc_id" < 600)
+    val pairs = SetSimJoin.join(docs, "doc_id", "text", 0.8)
+    val s1 = split.select($"doc_id".as("doc_a"), $"split".as("split_a"))
+    val s2 = split.select($"doc_id".as("doc_b"), $"split".as("split_b"))
+    val crossed = pairs.join(s1, "doc_a").join(s2, "doc_b")
+      .filter($"split_a" =!= $"split_b")
+    assert(crossed.count() == 0, "near-dup pair straddles the split boundary")
+    split.unpersist()
+  }
+
+  test("embedding drift: matches an independently-computed conditional mean") {
+    val out = graft.SparkEntry.queries("q_embedding_drift")(spark, sf)
+    // recompute through avg() filters (different aggregation path) and the
+    // raw parquet — the battery's sum/count quotients must agree
+    val ind = graft.sources.Tables.embeddings(spark, sf)
+      .select($"label", ($"vec_id" % 2 === 0).as("even"),
+        posexplode(expr(
+          "transform(slice(embedding, 1, 8), x -> floor(CAST(x AS DOUBLE) * 8.0D + 0.5D))"))
+          .as(Seq("pos", "qv")))
+      .groupBy($"label", ($"pos" + 1).cast("int").as("dim"))
+      .agg(avg(when($"even", $"qv")).as("ie"), avg(when(!$"even", $"qv")).as("io"))
+    val joined = out.join(ind, Seq("label", "dim"))
+      .select(abs($"mean_even" - $"ie").as("de"), abs($"mean_odd" - $"io").as("do"))
+      .agg(max($"de"), max($"do")).head()
+    assert(joined.getDouble(0) < 1e-6 && joined.getDouble(1) < 1e-6)
+    // every label carries exactly dims 1..8
+    val dims = out.groupBy($"label").agg(collect_set($"dim").as("ds"))
+      .select($"ds").as[Seq[Int]].collect()
+    assert(dims.nonEmpty && dims.forall(_.sorted == (1 to 8)))
+  }
+
+  test("pretrain pipeline: yields are monotone under each successive gate") {
+    val out = graft.SparkEntry.queries("q_pretrain_pipeline")(spark, sf).collect()
+    val kept = out.map(_.getLong(1)).sum
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" >= 10 && $"doc_id" < 600)
+      .withColumn("toks", TextAnalysis.tokens($"text"))
+    val quality = docs.filter(length($"text") >= 100 && size($"toks") >= 20)
+    val nQuality = quality.count()
+    val nExact = quality.select(md5($"text")).distinct().count()
+    // quality gate ≥ exact-dedup survivors ≥ final yield; tokens consistent
+    assert(nQuality >= nExact && nExact >= kept && kept > 0)
+    val langs = docs.select($"lang").distinct().as[String].collect().toSet
+    assert(out.map(_.getString(0)).forall(langs))
+  }
+}
