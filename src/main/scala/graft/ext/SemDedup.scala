@@ -73,10 +73,21 @@ object SemDedup {
     * round` — deterministic, and disjoint from [[gridCells]]'s planes
     * (rows 0..gridBits-1) as long as firstPlane ≥ gridBits, so a split
     * re-uses no bit the cell was built from (re-using one would split
-    * nothing: every member shares that sign by construction). Each round
-    * costs one count aggregate over the corpus plus one ids-only join
-    * against the hot-cell set — bounded by maxRounds, never data-sized on
-    * the driver.
+    * nothing: every member shares that sign by construction).
+    *
+    * EXECUTION is closed-form, not iterative: because hot cells split in
+    * LOCKSTEP (a cell is hot or not as a whole, so all members of a
+    * bit-prefix group stop or continue together), round-by-round
+    * refinement is equivalent to "each vector's final id is its SHORTEST
+    * bit-prefix whose group size ≤ maxCellSize" (prefix-group sizes are
+    * non-increasing in depth, so the small-prefix set is upward-closed
+    * and its minimum is exactly where the iteration stops). That collapses
+    * maxRounds dependent count+join rounds — whose growing lineage
+    * re-executed the input scan O(rounds²) times — into one bit
+    * projection, one prefix-size aggregate, and one join back by `id`
+    * (which must uniquely key rows — the invariant [[dedup]]'s
+    * min-id-canonical rule already relies on). Constant shuffle count
+    * regardless of maxRounds; nothing data-sized on the driver.
     *
     * RECALL: identical in kind to the cell-boundary trade the family
     * already makes — a near-dup pair straddling a split boundary stops
@@ -93,41 +104,61 @@ object SemDedup {
     require(maxCellSize > 0, "maxCellSize must be positive")
     require(firstPlane >= 0 && maxRounds >= 0, "negative plane range")
     val planes = Similarity.portablePlanes(firstPlane + maxRounds, dim)
-    var cur = cells.withColumn("cluster_id", col("cluster_id").cast("string"))
-    var round = 0
-    var anyHot = true
-    while (round < maxRounds && anyHot) {
-      val hot = cur.groupBy("cluster_id").agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > maxCellSize).select("cluster_id")
-      if (hot.limit(1).count() == 0L) anyHot = false
-      else {
-        val bit = when(graft.functions.VectorDistances
-            .dot_product(col("v"), lit(planes(firstPlane + round))) > 0.0,
-          lit("1")).otherwise(lit("0"))
-        cur = cur.join(hot.withColumn("_hot", lit(1)), Seq("cluster_id"), "left")
-          .withColumn("cluster_id",
-            when(col("_hot").isNotNull, concat(col("cluster_id"), lit("."), bit))
-              .otherwise(col("cluster_id")))
-          .drop("_hot")
-        round += 1
-      }
+    val base = cells.withColumn("cluster_id", col("cluster_id").cast("string"))
+    // candidate id at depth L: raw id, then raw id + "." + b1 [+ "." + b2 …]
+    // — byte-identical to the strings the round-by-round form produced
+    val bits = (0 until maxRounds).map { r =>
+      when(graft.functions.VectorDistances
+          .dot_product(col("v"), lit(planes(firstPlane + r))) > 0.0,
+        lit("1")).otherwise(lit("0"))
     }
-    if (anyHot) {
-      // last round may still have resolved everything — recheck before
-      // declaring a residual; a surviving hot cell must be LOUD, because
-      // the caller's pair cost is about to be quadratic in its size
-      val residual = cur.groupBy("cluster_id").agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > maxCellSize)
-        .agg(count(lit(1)).as("cells"), max(col("_n")).as("largest"))
-        .collect()(0)
-      if (residual.getLong(0) > 0)
-        System.err.println(
-          s"[semdedup] ${residual.getLong(0)} cell(s) still exceed " +
-          s"maxCellSize=$maxCellSize after $maxRounds split rounds " +
-          s"(largest=${residual.getLong(1)}): vectors are too similar for " +
-          "hyperplane splits - run exact dedup first or raise maxCellSize")
-    }
-    cur
+    // checkpoint right after the bit projection: everything downstream then
+    // references a materialized column instead of the 6×dim literal-plane
+    // expression tree, which Catalyst would otherwise inline into every
+    // prefix at every depth and re-analyze per action (~4.5 s of pure
+    // PLANNING per call at 2k rows before this cut)
+    val withBits = base.withColumn("_bits", array(bits: _*)).localCheckpoint()
+    val withIds = withBits
+      .withColumn("_ids", array((0 to maxRounds).map { l =>
+        if (l == 0) col("cluster_id")
+        else concat(col("cluster_id"), lit("."),
+          array_join(slice(col("_bits"), 1, l), "."))
+      }: _*))
+    // one aggregate: the size of every prefix group at every depth (map-side
+    // partial count absorbs the (maxRounds+1)× row expansion pre-shuffle);
+    // keep only the SMALL prefixes — the ones a vector may stop at
+    val smallPrefixes = withIds
+      .select(explode(col("_ids")).as("_pfx"))
+      .groupBy(col("_pfx")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxCellSize)
+      .select(col("_pfx"))
+    // each vector's refined id = its shallowest small prefix; vectors whose
+    // every prefix stays hot fall back to the full-depth id (the loud
+    // residual case below)
+    val chosen = withIds
+      .select(col("id"), posexplode(col("_ids")).as(Seq("_lvl", "_pfx")))
+      .join(smallPrefixes, Seq("_pfx"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("_lvl"), col("_pfx"))).as("_m"))
+      .select(col("id"), col("_m._pfx").as("_chosen"))
+    val refined = withIds.join(chosen, Seq("id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("_chosen"), element_at(col("_ids"), maxRounds + 1)))
+      .drop("_bits", "_ids", "_chosen")
+      .localCheckpoint() // pin: the residual probe below must not recompute
+    // a cell surviving past maxRounds must be LOUD, because the caller's
+    // pair cost is about to be quadratic in its size
+    val residual = refined.groupBy("cluster_id").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxCellSize)
+      .agg(count(lit(1)).as("cells"), max(col("_n")).as("largest"))
+      .collect()(0)
+    if (residual.getLong(0) > 0)
+      System.err.println(
+        s"[semdedup] ${residual.getLong(0)} cell(s) still exceed " +
+        s"maxCellSize=$maxCellSize after $maxRounds split rounds " +
+        s"(largest=${residual.getLong(1)}): vectors are too similar for " +
+        "hyperplane splits - run exact dedup first or raise maxCellSize")
+    refined
   }
 
   /** [[dedup]] behind the hot-cell guard: cells are [[splitHotCells]]-
