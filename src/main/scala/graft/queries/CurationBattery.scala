@@ -54,6 +54,22 @@ object CurationBattery {
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs)""".stripMargin
 
+  /** The shared ~80/10/10 md5-bucket rule — see [[graft.ext.Splits]]. */
+  private def splitOf(clusterId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.ext.Splits.splitOf(clusterId)
+
+  /** The DuckDB mirror of [[splitOf]] over a BIGINT column expression. */
+  private def splitOfSql(expr: String): String =
+    s"""CASE WHEN strpos('123456789abcdef',
+       |    substring(md5('split:' || CAST($expr AS VARCHAR)), 1, 1)) * 16 +
+       |  strpos('123456789abcdef',
+       |    substring(md5('split:' || CAST($expr AS VARCHAR)), 2, 1)) < 204 THEN 'train'
+       |  WHEN strpos('123456789abcdef',
+       |    substring(md5('split:' || CAST($expr AS VARCHAR)), 1, 1)) * 16 +
+       |  strpos('123456789abcdef',
+       |    substring(md5('split:' || CAST($expr AS VARCHAR)), 2, 1)) < 230 THEN 'val'
+       |  ELSE 'test' END""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
 
     // Hybrid retrieval: BM25 top-20 (lexical leg, served from the
@@ -176,12 +192,8 @@ object CurationBattery {
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"component", $"doc_id").cast("long").as("cluster_id"))
-      val bucket = conv(
-        substring(md5(concat(lit("split:"), $"cluster_id".cast("string"))), 1, 2),
-        16, 10).cast("int")
       clusters
-        .withColumn("split",
-          when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+        .withColumn("split", splitOf($"cluster_id"))
         .orderBy($"doc_id")
     },
 
@@ -297,5 +309,95 @@ object CurationBattery {
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
         .orderBy($"lang")
+    },
+
+    // Split-STABLE incremental ingest: new documents join the frozen
+    // corpus split without recomputing it. A delta doc near-dup-connected
+    // (Jaccard ≥ 0.8, transitively) to exactly one corpus split INHERITS
+    // it; one connected to corpus docs in TWO OR MORE splits is
+    // 'quarantine'd — a bridge doc would otherwise create a near-dup pair
+    // straddling the train/eval boundary, so exclusion is the only
+    // assignment with zero leakage; a delta-only cluster gets the same
+    // md5-bucket rule a from-scratch re-split would apply to it. Corpus
+    // assignments are never touched (eval-set stability across ingests).
+    // At scale: edges are delta-sized plus prefix-filtered cross
+    // candidates — never a corpus rescan; the doc_id bounds (corpus < 500,
+    // delta 500..600) keep the quadratic ORACLE tractable.
+    sql("q_split_ingest", {
+      val splitFresh = splitOfSql("d.comp").replaceAll("\n", "\n        ")
+      s"""WITH tok2 AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct($toksSql) AS dtoks
+         |  FROM documents WHERE doc_id < 500 AND len($toksSql) > 0),
+         |$jaccardEdgesSqlFragment,
+         |seeds_a AS (SELECT src AS id FROM edges GROUP BY src HAVING min(dst) > src),
+         |reach_a AS (
+         |  WITH RECURSIVE r(id, anc) AS (
+         |    SELECT id, id FROM seeds_a
+         |    UNION
+         |    SELECT e.dst, r.anc FROM edges e JOIN r ON r.id = e.src)
+         |  SELECT id, min(anc) AS component FROM r GROUP BY id),
+         |edges_c AS MATERIALIZED (
+         |  SELECT src, dst FROM edges WHERE src < 400 AND dst < 400),
+         |seeds_c AS (SELECT src AS id FROM edges_c GROUP BY src HAVING min(dst) > src),
+         |reach_c AS (
+         |  WITH RECURSIVE r(id, anc) AS (
+         |    SELECT id, id FROM seeds_c
+         |    UNION
+         |    SELECT e.dst, r.anc FROM edges_c e JOIN r ON r.id = e.src)
+         |  SELECT id, min(anc) AS component FROM r GROUP BY id),
+         |corpus_split AS (
+         |  SELECT d.doc_id,
+         |    ${splitOfSql("coalesce(rc.component, d.doc_id)").replaceAll("\n", "\n    ")} AS split
+         |  FROM documents d LEFT JOIN reach_c rc ON d.doc_id = rc.id
+         |  WHERE d.doc_id < 400),
+         |comp_splits AS (
+         |  SELECT CAST(coalesce(ra.component, cs.doc_id) AS BIGINT) AS comp,
+         |    count(DISTINCT cs.split) AS n, min(cs.split) AS s
+         |  FROM corpus_split cs LEFT JOIN reach_a ra ON cs.doc_id = ra.id
+         |  GROUP BY 1),
+         |dcomp AS (
+         |  SELECT d.doc_id, CAST(coalesce(ra.component, d.doc_id) AS BIGINT) AS comp
+         |  FROM documents d LEFT JOIN reach_a ra ON d.doc_id = ra.id
+         |  WHERE d.doc_id >= 400 AND d.doc_id < 500)
+         |SELECT d.doc_id,
+         |  CASE WHEN p.n >= 2 THEN 'quarantine'
+         |       WHEN p.n = 1 THEN p.s
+         |       ELSE $splitFresh END AS split
+         |FROM dcomp d LEFT JOIN comp_splits p USING (comp)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val corpus = Tables.documents(s, d).filter($"doc_id" < 400)
+      val delta = Tables.documents(s, d).filter($"doc_id" >= 400 && $"doc_id" < 500)
+      val corpusPairs = SetSimJoin.join(corpus, "doc_id", "text", 0.8)
+        .select($"doc_a", $"doc_b")
+      val deltaPairs = SetSimJoin.join(delta, "doc_id", "text", 0.8)
+        .select($"doc_a", $"doc_b")
+      val crossPairs = SetSimJoin.joinDelta(corpus, delta, "doc_id", "text", 0.8)
+        .select($"delta_id".as("doc_a"), $"corpus_id".as("doc_b"))
+      val allEdges = corpusPairs.union(deltaPairs).union(crossPairs)
+      val compAll = Components.connectedComponents(allEdges, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      val corpusComp = Components.connectedComponents(corpusPairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      val corpusSplit = corpus.select($"doc_id")
+        .join(corpusComp, Seq("doc_id"), "left")
+        .select($"doc_id",
+          splitOf(coalesce($"component", $"doc_id").cast("long")).as("split"))
+      val compSplits = corpus.select($"doc_id")
+        .join(compAll, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"component", $"doc_id").cast("long").as("comp"))
+        .join(corpusSplit, "doc_id")
+        .groupBy($"comp")
+        .agg(countDistinct($"split").as("n"), min($"split").as("s"))
+      delta.select($"doc_id")
+        .join(compAll, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"component", $"doc_id").cast("long").as("comp"))
+        .join(compSplits, Seq("comp"), "left")
+        .select($"doc_id",
+          when($"n" >= 2, "quarantine")
+            .when($"n" === 1, $"s")
+            .otherwise(splitOf($"comp")).as("split"))
+        .orderBy($"doc_id")
     })
 }

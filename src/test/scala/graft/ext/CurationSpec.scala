@@ -95,6 +95,41 @@ class CurationSpec extends SparkSpec {
     assert(dims.nonEmpty && dims.forall(_.sorted == (1 to 8)))
   }
 
+  test("split ingest: zero leakage — no assigned delta doc near-dups a foreign split") {
+    val ingest = graft.SparkEntry.queries("q_split_ingest")(spark, sf).cache()
+    val splits = ingest.select($"split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test", "quarantine")))
+    // the contract, stated directly on the candidate pairs: a delta doc
+    // that RECEIVED a split must not be Jaccard-≥0.8-linked to a corpus
+    // doc whose (corpus-rule) split differs — bridges must be quarantined.
+    // Corpus splits are recomputed here by the entry's own corpus rule
+    // (components over corpus-only pairs + the md5-bucket assignment).
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" < 400)
+    val delta = docs.filter($"doc_id" >= 400 && $"doc_id" < 500)
+    val cross = SetSimJoin.joinDelta(corpus, delta, "doc_id", "text", 0.8)
+    val corpusPairs = SetSimJoin.join(corpus, "doc_id", "text", 0.8)
+    val comp = Components.connectedComponents(corpusPairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      coalesce($"component", $"doc_id").cast("long").cast("string"))), 1, 2),
+      16, 10).cast("int")
+    val corpusSplit = corpus.select($"doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select($"doc_id".as("corpus_id"),
+        when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+          .as("corpus_split"))
+    val verdict = cross
+      .join(ingest.filter($"split" =!= "quarantine")
+        .select($"doc_id".as("delta_id"), $"split".as("delta_split")), "delta_id")
+      .join(corpusSplit, "corpus_id")
+      .filter($"delta_split" =!= $"corpus_split")
+    assert(verdict.count() == 0, "assigned delta doc near-dups a foreign-split corpus doc")
+    // and at least one inherited assignment actually exercised the path
+    assert(ingest.filter($"split" =!= "quarantine").count() > 0)
+    ingest.unpersist()
+  }
+
   test("pretrain pipeline: yields are monotone under each successive gate") {
     val out = graft.SparkEntry.queries("q_pretrain_pipeline")(spark, sf).collect()
     val kept = out.map(_.getLong(1)).sum
