@@ -375,6 +375,171 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming split-STABLE ingest gate — the `q_split_ingest` rule as an
+    * operating pipeline (the third ingest gate, beside the exact-substring
+    * and semantic-dedup gates): every arriving document is assigned a
+    * train/val/test split that can never create a near-duplicate pair
+    * straddling the eval boundary, and standing assignments are never
+    * recomputed (eval-set stability across ingests).
+    *
+    * Per batch:
+    *   1. candidate generation: the batch's distinct tokens probe the
+    *      token-bucket-partitioned index (`tokenTable`; manifest overlap
+    *      probe first, as in [[startSemDedupIngest]] — a read error FAILS
+    *      the batch, a non-overlapping batch sees an empty index). Sharing
+    *      ANY token is a recall-SUPERSET of the SetSimJoin prefix filter,
+    *      so no qualifying pair is missed; candidate doc rows are then
+    *      fetched from the id-bucket-partitioned `docsTable` with partition
+    *      pruning — the corpus is never rescanned wholesale.
+    *   2. exact verify: Jaccard ≥ `threshold` on the candidate pairs only.
+    *   3. assignment per batch-internal near-dup component: linked corpus
+    *      splits S (train/val/test) — |S| ≥ 2 → 'quarantine' (a bridge doc
+    *      is the one assignment with zero leakage); any link to an already-
+    *      quarantined doc → 'quarantine' (near-dup of a boundary-ambiguous
+    *      doc is itself ambiguous); |S| = 1 → inherit; no links → the
+    *      [[graft.ext.Splits]] md5 rule on the component's canonical id,
+    *      exactly what a from-scratch re-split would produce.
+    *   4. append (docs + token index) with (appId, batchId) txn watermarks
+    *      — replays no-op at both tables.
+    *
+    * Production tightening documented, not implemented: the any-shared-token
+    * candidate filter is recall-safe but looser than SetSimJoin's
+    * rarest-first prefix; a frequency-vintage-keyed prefix index would cut
+    * candidates further at identical recall. */
+  def startSplitIngest(
+      stream: DataFrame, // (doc_id: Long, text: String)
+      docsTable: String,
+      tokenTable: String,
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      buckets: Int = 64,
+      appId: String = "graft-split-ingest",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val docs = batch.toDF().select(col("doc_id"), col("text"))
+            .withColumn("toks",
+              array_distinct(graft.ext.TextAnalysis.tokens(col("text"))))
+            .localCheckpoint()
+          val batchToks = docs.filter(size(col("toks")) > 0)
+            .select(col("doc_id"), explode(col("toks")).as("token"))
+            .withColumn("bucket", pmod(xxhash64(col("token")), lit(buckets)))
+            .localCheckpoint()
+          val probed: Set[String] = batchToks
+            .select(col("bucket").cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+          def emptyIdx = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("token",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("corpus_id",
+                org.apache.spark.sql.types.LongType))))
+          val idx =
+            if (graft.sinks.Snapshots.versions(spark, tokenTable).isEmpty) emptyIdx
+            else {
+              val overlapping = graft.sinks.Snapshots.partitions(spark, tokenTable)
+                .exists(spec => graft.sinks.Snapshots.parseSpec(spec)
+                  .get("bucket").exists(probed))
+              if (!overlapping) emptyIdx
+              else graft.sinks.Snapshots.read(spark, tokenTable,
+                  partitionFilter = spec => spec.get("bucket").exists(probed))
+                .select(col("token"), col("doc_id").as("corpus_id"))
+            }
+          // candidate (batch, corpus) pairs: shared-any-token, then pruned
+          // corpus-doc fetch, then EXACT Jaccard verify on candidates only
+          val candIds = batchToks.join(idx, "token")
+            .select(col("doc_id").as("batch_id"), col("corpus_id"))
+            .distinct().localCheckpoint()
+          val candBuckets: Set[String] = candIds
+            .select(pmod(col("corpus_id"), lit(buckets)).cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          def emptyDocs = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("corpus_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("ctoks",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType)),
+              org.apache.spark.sql.types.StructField("corpus_split",
+                org.apache.spark.sql.types.StringType))))
+          val corpusDocs =
+            if (candBuckets.isEmpty ||
+                graft.sinks.Snapshots.versions(spark, docsTable).isEmpty) emptyDocs
+            else {
+              // same manifest overlap probe as the docs-side reads above: a
+              // candidate set whose id buckets match no standing partition
+              // is an empty corpus side, never a read error
+              val overlapping = graft.sinks.Snapshots.partitions(spark, docsTable)
+                .exists(spec => graft.sinks.Snapshots.parseSpec(spec)
+                  .get("dbucket").exists(candBuckets))
+              if (!overlapping) emptyDocs
+              else graft.sinks.Snapshots.read(spark, docsTable,
+                  partitionFilter = spec => spec.get("dbucket").exists(candBuckets))
+                .select(col("doc_id").as("corpus_id"),
+                  array_distinct(graft.ext.TextAnalysis.tokens(col("text"))).as("ctoks"),
+                  col("split").as("corpus_split"))
+            }
+          val inter = size(array_intersect(col("toks"), col("ctoks")))
+          val links = candIds
+            .join(docs.select(col("doc_id").as("batch_id"), col("toks")), "batch_id")
+            .join(corpusDocs, "corpus_id")
+            .filter(inter > 0 &&
+              inter.cast("double") /
+                (size(col("toks")) + size(col("ctoks")) - inter) >= threshold)
+            .select(col("batch_id"), col("corpus_split"))
+            .localCheckpoint()
+          // batch-internal near-dup components (prefix-filtered, never
+          // all-pairs); singletons label themselves
+          val batchPairs = graft.ext.SetSimJoin.join(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text", threshold)
+          val comp = graft.ext.Components
+            .connectedComponents(batchPairs, "doc_a", "doc_b")
+            .withColumnRenamed("id", "doc_id")
+          val withComp = docs
+            .join(comp, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("text"),
+              coalesce(col("component"), col("doc_id")).cast("long").as("comp"))
+            .localCheckpoint()
+          val compVerdict = withComp
+            .select(col("doc_id").as("batch_id"), col("comp"))
+            .join(links, Seq("batch_id"), "left")
+            .groupBy(col("comp"))
+            .agg(
+              count_distinct(when(col("corpus_split").isin("train", "val", "test"),
+                col("corpus_split"))).as("n"),
+              min(when(col("corpus_split").isin("train", "val", "test"),
+                col("corpus_split"))).as("s"),
+              count(when(col("corpus_split") === "quarantine", 1)).as("nq"))
+          val assigned = withComp
+            .join(compVerdict, Seq("comp"), "left")
+            .select(col("doc_id"), col("text"),
+              when(col("nq") > 0 || col("n") >= 2, "quarantine")
+                .when(col("n") === 1, col("s"))
+                .otherwise(graft.ext.Splits.splitOf(col("comp"))).as("split"))
+            .withColumn("dbucket", pmod(col("doc_id"), lit(buckets)))
+            .localCheckpoint()
+          graft.sinks.Snapshots.commitPartitioned(assigned, docsTable,
+            Seq("dbucket"), org.apache.spark.sql.SaveMode.Append,
+            txn = Some(s"$appId-docs" -> batchId))
+          val newToks = batchToks.select(col("bucket"), col("token"), col("doc_id"))
+          if (!newToks.isEmpty)
+            graft.sinks.Snapshots.commitPartitioned(newToks, tokenTable,
+              Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
+              txn = Some(s"$appId-tokens" -> batchId))
+          ()
+        }
+      }
+      .start()
+
   // ---- rolling z-score anomaly detection ----------------------------------
 
   final case class ZEvent(event_id: Long, event_type: String, ts: Timestamp, value: Double)
