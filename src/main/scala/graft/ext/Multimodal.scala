@@ -173,6 +173,33 @@ object Multimodal {
       ImageIO.write(img, "png", out)
       out.toByteArray
     }
+
+    /** Encode an 8×8-block gray pattern (64 block grays, row-major, each
+      * block `blockPx`×`blockPx` pixels) as real PNG bytes — the structured
+      * generator behind [[withPatternImageColumn]]: unlike the solid-gray
+      * fixture, a block pattern gives the perceptual hash something to
+      * hash. Lossless, so every decoded pixel returns its block's gray. */
+    def syntheticPatternPng(blockGrays: Seq[Int], blockPx: Int = 8): Array[Byte] = {
+      require(blockGrays.length == 64, "need 64 block grays (8x8 grid)")
+      val side = 8 * blockPx
+      val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+      var b = 0
+      while (b < 64) {
+        val g = math.max(0, math.min(255, blockGrays(b)))
+        val rgb = (g << 16) | (g << 8) | g
+        val (bx, by) = (b % 8, b / 8)
+        var y = by * blockPx
+        while (y < (by + 1) * blockPx) {
+          var x = bx * blockPx
+          while (x < (bx + 1) * blockPx) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
   }
 
   /** Attach an opaque media column: the documents table's text bytes play an
@@ -197,6 +224,84 @@ object Multimodal {
       col("doc_id"),
       png(col("doc_id")).as("media"),
       lit("image/png").as("mime"))
+  }
+
+  /** Attach a STRUCTURED image column: a 64×64 PNG of 8×8 gray blocks whose
+    * grays are closed-form in doc_id — `gray(id, b) = ((id % 32)·7 + b·13)
+    * % 256` — so the perceptual hash computed from the decoded pixels is
+    * oracle-checkable, and docs congruent mod 32 are planted exact
+    * perceptual duplicates (the dedup fixture). */
+  def withPatternImageColumn(documents: DataFrame): DataFrame = {
+    val png = udf((id: Long) => Codec.syntheticPatternPng(
+      (0 until 64).map(b => (((id % 32) * 7 + b * 13) % 256).toInt)))
+    documents.select(col("doc_id"), png(col("doc_id")).as("media"))
+  }
+
+  final case class HashBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** 64-bit average hash (aHash) over the decoded pixels, emitted as four
+    * 16-bit bands: the image is divided into an 8×8 block grid, bit b is set
+    * iff block b's pixel sum exceeds the global mean — compared in exact
+    * integer form (`64·blocks·sum_b > total`), so the hash is bit-identical
+    * to any engine that recomputes it from the same pixels, float-free.
+    * Bands (not one 64-bit word) keep every value inside a positive INT on
+    * both engines and are exactly what the banded candidate join keys on.
+    * Partition-wise decode; the binary column never shuffles. */
+  def aHashBands(media: DataFrame): Dataset[HashBands] = {
+    implicit val enc = Encoders.product[HashBands]
+    media.select(col("doc_id"), col("media"), lit("image/png").as("mime"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.media))
+          val (bw, bh) = (img.getWidth / 8, img.getHeight / 8)
+          val sums = new Array[Long](64)
+          var b = 0
+          while (b < 64) {
+            val (bx, by) = (b % 8, b / 8)
+            var s = 0L
+            var y = by * bh
+            while (y < (by + 1) * bh) {
+              var x = bx * bw
+              while (x < (bx + 1) * bw) { s += (img.getRGB(x, y) & 0xFF); x += 1 }
+              y += 1
+            }
+            sums(b) = s
+            b += 1
+          }
+          val total = sums.sum
+          // bit b ⇔ mean_b > mean_all ⇔ 64·sum_b > total (equal-size blocks)
+          def band(k: Int): Int = (0 until 16).map { j =>
+            if (64L * sums(16 * k + j) > total) 1 << j else 0
+          }.sum
+          HashBands(r.doc_id, band(0), band(1), band(2), band(3))
+        }
+      }
+  }
+
+  /** Image near-dup candidate pairs: equi-join each of the four 16-bit hash
+    * bands (pigeonhole: Hamming ≤ 3 over 64 bits with 4 bands guarantees a
+    * matching band — full recall at the threshold), then verify the exact
+    * Hamming distance. The shuffle carries (id, band value) rows only —
+    * never pixels, never an all-pairs product. */
+  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4 bands give full recall only up to Hamming 3")
+    val bands = (0 to 3).map(k =>
+        hashes.select(col("doc_id"), lit(k).as("band"), col(s"b$k").as("bv")))
+      .reduce(_ unionAll _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ham = (0 to 3).map(k =>
+        bit_count(col(s"ha.b$k").bitwiseXOR(col(s"hb.b$k"))))
+      .reduce(_ + _).cast("int")
+    cand
+      .join(hashes.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(hashes.as("hb"), col("doc_b") === col("hb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .filter(col("hamming") <= maxDist)
   }
 
   /** Partition-wise decode/feature-extract — the Scala analog of

@@ -2245,6 +2245,63 @@ object ExtensionBattery {
         .orderBy($"doc_id")
     },
 
+    // Perceptual-hash image DEDUP over real decoded pixels: each doc's
+    // 64×64 block-pattern PNG (grays closed-form in doc_id; docs ≡ mod 32
+    // are planted perceptual twins) decodes executor-side, hashes to a
+    // 64-bit aHash as four 16-bit bands (exact integer mean compare — no
+    // floats), and near-dup pairs come from the banded equi-join with
+    // pigeonhole-guaranteed recall at Hamming ≤ 3 — the image-corpus
+    // analog of the SimHash text family, shuffling band values only,
+    // never pixels. The doc_id < 1000 slice bounds the PLANTED mod-32
+    // twin classes, which otherwise grow with the corpus (pair count
+    // quadratic in the FIXTURE, not the operator — real image corpora
+    // have bounded dup groups, for which the banded join is linear).
+    // The oracle recomputes the hash from the closed-form
+    // grays (valid because PNG is lossless: decoded pixel ≡ block gray,
+    // pinned by MultimodalSpec's planted-twin test).
+    sql("q_image_phash_dedup",
+      """WITH g AS (
+        |  SELECT doc_id, CAST(b AS INT) AS b,
+        |    ((doc_id % 32) * 7 + b * 13) % 256 AS gray
+        |  FROM documents, unnest(generate_series(0, 63)) AS t(b)
+        |  WHERE doc_id < 1000),
+        |tot AS (SELECT doc_id, sum(gray) AS tot FROM g GROUP BY 1),
+        |bits AS (
+        |  SELECT g.doc_id, b, CASE WHEN 64 * gray > tot THEN 1 ELSE 0 END AS bit
+        |  FROM g JOIN tot USING (doc_id)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INT) AS b0,
+        |    CAST(sum(CASE WHEN b >= 16 AND b < 32 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INT) AS b1,
+        |    CAST(sum(CASE WHEN b >= 32 AND b < 48 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INT) AS b2,
+        |    CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INT) AS b3
+        |  FROM bits GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, b0 AS bv FROM sig UNION ALL
+        |  SELECT doc_id, 1, b1 FROM sig UNION ALL
+        |  SELECT doc_id, 2, b2 FROM sig UNION ALL
+        |  SELECT doc_id, 3, b3 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+        |         bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) AS INT)
+        |      AS hamming
+        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+        |            JOIN sig sb ON sb.doc_id = doc_b) t
+        |WHERE hamming <= 3 ORDER BY hamming, doc_a, doc_b LIMIT 500""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val hashes = Multimodal.aHashBands(
+        Multimodal.withPatternImageColumn(
+          Tables.documents(s, d).filter($"doc_id" < 1000))).toDF()
+      Multimodal.imageNearDupPairs(hashes, maxDist = 3)
+        .orderBy($"hamming".asc, $"doc_a", $"doc_b")
+        .limit(500)
+    },
+
     // Feature extraction over MIXED payloads (image mime on undecodable text
     // bytes → the byte-fingerprint fallback path), FULLY ORACLED (was
     // rows-only): the fallback's mean/histogram are closed-form functions of

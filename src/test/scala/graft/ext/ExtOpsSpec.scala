@@ -408,6 +408,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash: decoded-pixel hash equals the closed-form hash; twins collide, edits stay near") {
+    // the oracle-validity argument for q_image_phash_dedup: PNG is
+    // lossless, so the hash computed from DECODED pixels must equal the
+    // hash computed from the generator's closed-form grays
+    val docs = Seq((3L, "a"), (35L, "b"), (7L, "c")).toDF("doc_id", "text")
+    val bands = Multimodal.aHashBands(Multimodal.withPatternImageColumn(docs))
+      .collect().map(h => h.doc_id -> h).toMap
+    def expected(id: Long): Seq[Int] = {
+      val grays = (0 until 64).map(b => ((id % 32) * 7 + b * 13) % 256)
+      val tot = grays.sum
+      val bits = grays.map(g => if (64 * g > tot) 1 else 0)
+      (0 to 3).map(k => (0 until 16).map(j => bits(16 * k + j) << j).sum)
+    }
+    for (id <- Seq(3L, 35L, 7L))
+      assert(Seq(bands(id).b0, bands(id).b1, bands(id).b2, bands(id).b3)
+        == expected(id), s"decoded hash diverged from closed form for $id")
+    // planted twins (3 ≡ 35 mod 32) collide at Hamming 0; 7 does not
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.aHashBands(Multimodal.withPatternImageColumn(docs)).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((3L, 35L, 0)))
+    // a one-block edit of a twin stays within the Hamming radius: flip one
+    // block's bit by overriding a single gray far across the global mean
+    val base = (0 until 64).map(b => (((3L % 32) * 7 + b * 13) % 256).toInt)
+    val tot = base.sum
+    val bit0 = base.map(g => if (64 * g > tot) 1 else 0)
+    val edited = base.updated(5, if (bit0(5) == 1) 0 else 255)
+    // the edit also moves the GLOBAL mean, so recompute the edited hash in
+    // closed form (bits near the mean may flip too) and assert the operator
+    // reproduces exactly that Hamming distance
+    val etot = edited.sum
+    val ebits = edited.map(g => if (64 * g > etot) 1 else 0)
+    val expectedHamming = bit0.zip(ebits).count { case (a, b) => a != b }
+    val editedPng = Multimodal.Codec.syntheticPatternPng(edited)
+    val two = Seq((3L, "a")).toDF("doc_id", "text")
+    val mixed = Multimodal.withPatternImageColumn(two)
+      .unionByName(Seq((900L, editedPng)).toDF("doc_id", "media"))
+    val nearPairs = Multimodal.imageNearDupPairs(Multimodal.aHashBands(mixed).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(expectedHamming >= 1, "the edit must flip at least its own bit")
+    if (expectedHamming <= 3)
+      assert(nearPairs.toSeq == Seq((3L, 900L, expectedHamming)),
+        s"expected Hamming $expectedHamming: ${nearPairs.toSeq}")
+    else
+      assert(nearPairs.isEmpty,
+        s"Hamming $expectedHamming exceeds the radius: ${nearPairs.toSeq}")
+  }
+
   test("non-image payloads: unknown dims, byte fingerprint, total on empty/null") {
     val (w, h, mean, feats) = Multimodal.Codec.decode("hello world".getBytes("UTF-8"))
     assert(w == 0 && h == 0) // genuinely unknown without a decoder
