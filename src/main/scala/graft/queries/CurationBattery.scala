@@ -311,6 +311,60 @@ object CurationBattery {
         .orderBy($"lang")
     },
 
+    // SEMANTIC decontamination — the embedding-space upgrade of the n-gram
+    // q_decontaminate (paraphrased benchmark leakage has no shared n-grams
+    // but sits close in embedding space): corpus vectors whose max cosine
+    // against the eval set (vec_id < 10, broadcast) reaches 0.3 are
+    // flagged with their nearest-eval score. Exact scan form is the
+    // recall oracle; at corpus scale the same rule runs through the
+    // LSH/IVF candidate path (q_cosine_neardup_lsh family). One pass,
+    // 10-vector broadcast, partial max aggregate.
+    sql("q_embed_decontaminate",
+      """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |            FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id >= 10)
+        |SELECT vec_id, eval_cos FROM (
+        |  SELECT c.vec_id,
+        |    max(round(list_cosine_similarity(c.v, ev.v), 6)) AS eval_cos
+        |  FROM c, ev GROUP BY 1) t
+        |WHERE eval_cos >= 0.3 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      val ev = emb.filter($"vec_id" < 10)
+        .select($"v".as("ev_v"))
+      emb.filter($"vec_id" >= 10)
+        .crossJoin(broadcast(ev))
+        .select($"vec_id", round(Similarity.cosine($"v", $"ev_v"), 6).as("cos"))
+        .groupBy($"vec_id")
+        .agg(max($"cos").as("eval_cos"))
+        .filter($"eval_cos" >= 0.3)
+        .orderBy($"vec_id")
+    },
+
+    // k-anonymity risk report (governance tier, beside q_pii_redact): how
+    // many quasi-identifier groups — (nation, segment, account-balance
+    // kilobucket) — hold fewer than k=5 members, i.e. rows a release at
+    // this granularity could re-identify. One hash aggregate on the
+    // quasi-identifier; the HAVING keeps only the at-risk groups, so the
+    // result is small no matter the table size.
+    sql("q_k_anonymity",
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .groupBy($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" < 5)
+        .orderBy($"c_nationkey", $"c_mktsegment", $"bal_bucket")
+    },
+
     // Split-STABLE incremental ingest: new documents join the frozen
     // corpus split without recomputing it. A delta doc near-dup-connected
     // (Jaccard ≥ 0.8, transitively) to exactly one corpus split INHERITS

@@ -235,6 +235,9 @@ class PlanAuditSpec extends SparkSpec {
       // hard-negative mining: bounded 10-query broadcast, candidates
       // stream — same family as q_cosine_topk*
       "q_hard_negatives",
+      // semantic decontamination: bounded 10-eval-vector broadcast,
+      // corpus streams — same family as q_cosine_topk*
+      "q_embed_decontaminate",
       "q_min_cost_supplier", "q_opq_topk", "q_parts_supplier_count",
       "q_pq_topk", "q_quantize_topk", "q_source_overlap_matrix",
       "q_tfidf", "q_theta_decontaminate", "q_theta_overlap",
