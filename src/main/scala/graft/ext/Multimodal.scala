@@ -174,6 +174,59 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Encode 16-bit little-endian PCM as real RIFF/WAVE bytes (the
+      * canonical 44-byte header): `samples` are FRAMES — each frame is
+      * written once per channel. Lossless, so a real WAV parse returns
+      * exactly (rate, channels, frames, amplitudes). */
+    def syntheticWav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      require(channels >= 1 && rate > 0, "invalid WAV parameters")
+      val dataLen = samples.length * channels * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2) // byte rate
+        .putShort((channels * 2).toShort) // block align
+        .putShort(16) // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach { s =>
+        var c = 0
+        while (c < channels) { buf.putShort(s); c += 1 }
+      }
+      buf.array()
+    }
+
+    /** REAL WAV parse via JDK `javax.sound.sampled` (the audio analog of
+      * the ImageIO decode): header-derived (rate, channels, frames) plus
+      * the exact integer sum of |sample| over every channel sample — the
+      * float-free amplitude surface (for a constant-amplitude wave,
+      * `absSum / (frames·channels)` recovers the amplitude exactly).
+      * Returns (0, 0, 0, 0) for payloads javax.sound cannot parse. */
+    def decodeWav(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+      if (bytes == null || bytes.length < 44) return (0, 0, 0L, 0L)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val data = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var absSum = 0L
+          while (bb.remaining() >= 2) absSum += math.abs(bb.getShort.toLong)
+          (fmt.getSampleRate.toInt, fmt.getChannels, frames, absSum)
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => (0, 0, 0L, 0L)
+      }
+    }
+
     /** Encode an 8×8-block gray pattern (64 block grays, row-major, each
       * block `blockPx`×`blockPx` pixels) as real PNG bytes — the structured
       * generator behind [[withPatternImageColumn]]: unlike the solid-gray
@@ -235,6 +288,45 @@ object Multimodal {
     val png = udf((id: Long) => Codec.syntheticPatternPng(
       (0 until 64).map(b => (((id % 32) * 7 + b * 13) % 256).toInt)))
     documents.select(col("doc_id"), png(col("doc_id")).as("media"))
+  }
+
+  /** Attach a REAL audio column: one tiny square-wave WAV per document,
+    * every parameter closed-form in doc_id — rate `8000·(1 + id%3)`,
+    * channels `1 + id%2`, frames `32 + (id%16)·8`, amplitude
+    * `1000·(1 + id%5)`, half-period `4 + id%4` — so a full
+    * javax.sound parse round-trip is oracle-checkable (the audio analog
+    * of [[withImageColumn]]). Encoding runs executor-side. */
+  def withAudioColumn(documents: DataFrame): DataFrame = {
+    val wav = udf { (id: Long) =>
+      val amp = (1000 * (1 + id % 5)).toShort
+      val half = (4 + id % 4).toInt
+      val n = (32 + (id % 16) * 8).toInt
+      val samples = Array.tabulate[Short](n)(j =>
+        if ((j / half) % 2 == 0) amp else (-amp).toShort)
+      Codec.syntheticWav(8000 * (1 + id % 3).toInt, (1 + id % 2).toInt, samples)
+    }
+    documents.select(col("doc_id"), wav(col("doc_id")).as("media"))
+  }
+
+  final case class AudioMeta(
+      doc_id: Long, rate: Int, channels: Int, frames: Long, amp: Long)
+
+  /** Partition-wise REAL WAV parse → (rate, channels, frames, amplitude):
+    * amplitude is the exact integer `absSum / (frames·channels)` (constant
+    * |sample| for a square wave), so the whole surface is integer-exact
+    * cross-engine. Same mapPartitions discipline as [[extractFeatures]] —
+    * the binary column never shuffles. */
+  def extractAudioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    media.select(col("doc_id"), col("media"), lit("audio/wav").as("mime"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (rate, ch, frames, absSum) = Codec.decodeWav(r.media)
+          val amp = if (frames > 0 && ch > 0) absSum / (frames * ch) else 0L
+          AudioMeta(r.doc_id, rate, ch, frames, amp)
+        }
+      }
   }
 
   final case class HashBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)

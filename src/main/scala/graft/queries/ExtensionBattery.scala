@@ -2245,6 +2245,27 @@ object ExtensionBattery {
         .orderBy($"doc_id")
     },
 
+    // REAL audio parse, fully oracled (the q_image_decode pattern for the
+    // audio tier): each doc gets a tiny square-wave WAV whose rate /
+    // channels / frames / amplitude are closed-form in doc_id;
+    // executor-side javax.sound.sampled parses the actual RIFF container
+    // and the PCM samples, and the recovered surface is integer-exact
+    // (amplitude = absSum / (frames·channels), constant for a square
+    // wave) — no stub, no float.
+    sql("q_audio_meta",
+      """SELECT doc_id,
+        |  CAST(8000 * (1 + doc_id % 3) AS INT) AS rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(32 + (doc_id % 16) * 8 AS BIGINT) AS frames,
+        |  CAST(1000 * (1 + doc_id % 5) AS BIGINT) AS amp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Multimodal.extractAudioMeta(
+          Multimodal.withAudioColumn(Tables.documents(s, d)))
+        .toDF()
+        .orderBy($"doc_id")
+    },
+
     // Perceptual-hash image DEDUP over real decoded pixels: each doc's
     // 64×64 block-pattern PNG (grays closed-form in doc_id; docs ≡ mod 32
     // are planted perceptual twins) decodes executor-side, hashes to a

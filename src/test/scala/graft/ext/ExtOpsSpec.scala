@@ -408,6 +408,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV round-trip: javax.sound parse returns the encoded parameters") {
+    val samples = Array.tabulate[Short](40)(j => if ((j / 5) % 2 == 0) 3000 else -3000)
+    val wav = Multimodal.Codec.syntheticWav(16000, 2, samples)
+    val (rate, ch, frames, absSum) = Multimodal.Codec.decodeWav(wav)
+    assert(rate == 16000 && ch == 2 && frames == 40)
+    assert(absSum == 3000L * 40 * 2, "per-channel |sample| sum must be exact")
+    // non-audio payloads degrade to zeros, not exceptions
+    assert(Multimodal.Codec.decodeWav("not a wav".getBytes("UTF-8")) == (0, 0, 0L, 0L))
+    assert(Multimodal.Codec.decodeWav(null) == (0, 0, 0L, 0L))
+    // through Spark: closed-form metadata recovered from the real parse
+    val docs = Seq((0L, "a"), (7L, "b"), (33L, "c")).toDF("doc_id", "text")
+    val m = Multimodal.extractAudioMeta(Multimodal.withAudioColumn(docs))
+      .collect().map(a => a.doc_id -> a).toMap
+    for (id <- Seq(0L, 7L, 33L)) {
+      assert(m(id).rate == 8000 * (1 + id % 3))
+      assert(m(id).channels == 1 + id % 2)
+      assert(m(id).frames == 32 + (id % 16) * 8)
+      assert(m(id).amp == 1000 * (1 + id % 5))
+    }
+  }
+
   test("aHash: decoded-pixel hash equals the closed-form hash; twins collide, edits stay near") {
     // the oracle-validity argument for q_image_phash_dedup: PNG is
     // lossless, so the hash computed from DECODED pixels must equal the
