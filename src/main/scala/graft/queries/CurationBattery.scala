@@ -374,9 +374,12 @@ object CurationBattery {
     // assignment with zero leakage; a delta-only cluster gets the same
     // md5-bucket rule a from-scratch re-split would apply to it. Corpus
     // assignments are never touched (eval-set stability across ingests).
-    // At scale: edges are delta-sized plus prefix-filtered cross
-    // candidates — never a corpus rescan; the doc_id bounds (corpus < 500,
-    // delta 500..600) keep the quadratic ORACLE tractable.
+    // This batch entry runs ONE joint similarity join (the oracle-mirroring
+    // form; corpus-only edges are the both-sides-<400 filter of it); the
+    // truly incremental shape — delta-sized edges + token-index-pruned
+    // corpus reads, never a rescan — is the streaming twin
+    // (StreamingOps.startSplitIngest). The doc_id bounds (corpus < 400,
+    // delta 400..500) keep the quadratic ORACLE tractable.
     sql("q_split_ingest", {
       val splitFresh = splitOfSql("d.comp").replaceAll("\n", "\n        ")
       s"""WITH tok2 AS MATERIALIZED (
@@ -423,13 +426,16 @@ object CurationBattery {
       import s.implicits._
       val corpus = Tables.documents(s, d).filter($"doc_id" < 400)
       val delta = Tables.documents(s, d).filter($"doc_id" >= 400 && $"doc_id" < 500)
-      val corpusPairs = SetSimJoin.join(corpus, "doc_id", "text", 0.8)
+      // ONE similarity join over corpus ∪ delta yields every edge class at
+      // once (SetSimJoin is exact, so the corpus-only subgraph is just the
+      // both-sides-<400 filter — the oracle's edges_c, and one join does
+      // the work three separate corpus/delta/cross joins did);
+      // checkpointed because components walks it twice
+      val allEdges = SetSimJoin.join(
+          Tables.documents(s, d).filter($"doc_id" < 500), "doc_id", "text", 0.8)
         .select($"doc_a", $"doc_b")
-      val deltaPairs = SetSimJoin.join(delta, "doc_id", "text", 0.8)
-        .select($"doc_a", $"doc_b")
-      val crossPairs = SetSimJoin.joinDelta(corpus, delta, "doc_id", "text", 0.8)
-        .select($"delta_id".as("doc_a"), $"corpus_id".as("doc_b"))
-      val allEdges = corpusPairs.union(deltaPairs).union(crossPairs)
+        .localCheckpoint()
+      val corpusPairs = allEdges.filter($"doc_a" < 400 && $"doc_b" < 400)
       val compAll = Components.connectedComponents(allEdges, "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
       val corpusComp = Components.connectedComponents(corpusPairs, "doc_a", "doc_b")
