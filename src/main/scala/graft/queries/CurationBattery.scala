@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Components, HybridSearch, SetSimJoin, Similarity, TextAnalysis, TextIndex}
+import graft.ext.{Components, HybridSearch, Multimodal, SetSimJoin, Similarity, TextAnalysis, TextIndex}
 import graft.sources.Tables
 
 /** Corpus-curation battery: the composed shapes a training-data platform
@@ -43,13 +43,16 @@ object CurationBattery {
   /** Exact Jaccard ≥ 0.8 pair CTEs over `tok2(doc_id, dtoks)` → `pairs`,
     * `edges` — the quadratic ORACLE mirror of the prefix-filtered
     * [[SetSimJoin]] (which never goes all-pairs on the engine side). */
-  private val jaccardEdgesSqlFragment =
+  private val jaccardPairsSqlFragment =
     """pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM tok2 a JOIN tok2 b ON a.doc_id < b.doc_id
       |  WHERE len(list_intersect(a.dtoks, b.dtoks)) > 0
       |    AND CAST(len(list_intersect(a.dtoks, b.dtoks)) AS DOUBLE)
-      |        / (len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks))) >= 0.8),
+      |        / (len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks))) >= 0.8)""".stripMargin
+
+  private val jaccardEdgesSqlFragment =
+    s"""$jaccardPairsSqlFragment,
       |edges AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs)""".stripMargin
@@ -459,5 +462,292 @@ object CurationBattery {
             .when($"n" === 1, $"s")
             .otherwise(splitOf($"comp")).as("split"))
         .orderBy($"doc_id")
+    },
+
+    // Retrieval-quality evaluation (the eval half of the hybrid-search
+    // tier): nDCG@10 of the BM25 leg against graded relevance labels
+    // (rel = how many of the query's 3 terms the doc contains). Both the
+    // system ranking and the IDEAL ranking come from the bounded top-k
+    // aggregate — no global window even though the corpus-wide ideal sort
+    // is conceptually a full ORDER BY — and the cumulative DCG/IDCG sums
+    // are a 10×10 triangular join on the already-reduced rank lists, so
+    // everything after the index-served leg is constant-size. At corpus
+    // scale the labels would come from a judgment table; the closed-form
+    // labels here make the metric hash-oracled.
+    sql("q_ndcg_eval",
+      s"""WITH tok AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE len(word) > 0),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |terms AS (SELECT unnest(['spark', 'query', 'data']) AS word),
+         |lexs AS (
+         |  SELECT doc_id,
+         |    round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+         |  FROM tf
+         |  JOIN terms USING (word) JOIN df USING (word) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats
+         |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM lexs),
+         |rel AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_intersect(list_distinct($toksSql),
+         |      ['spark', 'query', 'data'])) AS INT) AS rel
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT l.rank, l.doc_id, r.rel,
+         |    (pow(2.0, r.rel) - 1.0) / log2(l.rank + 1) AS disc
+         |  FROM lex l JOIN rel r USING (doc_id)),
+         |ideals AS (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+         |ideal AS (
+         |  SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS rank,
+         |    (pow(2.0, rel) - 1.0) / log2(row_number() OVER (ORDER BY rel DESC, doc_id) + 1)
+         |      AS disc
+         |  FROM ideals),
+         |dcg AS (
+         |  SELECT a.rank, a.doc_id, a.rel, sum(b.disc) AS dcg
+         |  FROM ranked a JOIN ranked b ON b.rank <= a.rank GROUP BY 1, 2, 3),
+         |idcg AS (
+         |  SELECT a.rank, sum(b.disc) AS idcg
+         |  FROM ideal a JOIN ideal b ON b.rank <= a.rank GROUP BY 1)
+         |SELECT CAST(d.rank AS INT) AS rank, d.doc_id, d.rel,
+         |  round(d.dcg / i.idcg, 6) AS ndcg
+         |FROM dcg d JOIN idcg i USING (rank) ORDER BY rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val terms = Seq("spark", "query", "data")
+      val rel = docs.select($"doc_id",
+        size(array_intersect(array_distinct(TextAnalysis.tokens($"text")),
+          array(terms.map(lit): _*))).cast("int").as("rel"))
+      val postings = TextIndex.buildPostings(docs, "doc_id", "text")
+      val lex = HybridSearch.rankLeg(
+        TextIndex.searchBm25(postings, terms, 10), "doc_id", "bm25", 10)
+      val ranked = lex.join(rel, "doc_id")
+        .select($"rank", $"doc_id", $"rel",
+          ((pow(lit(2.0), $"rel") - 1.0) / log2($"rank" + 1)).as("disc"))
+        .localCheckpoint()
+      val ideal = HybridSearch.rankLeg(
+          rel.select($"doc_id", $"rel".cast("double").as("r")), "doc_id", "r", 10)
+        .join(rel, "doc_id")
+        .select($"rank", ((pow(lit(2.0), $"rel") - 1.0) / log2($"rank" + 1)).as("disc"))
+        .localCheckpoint()
+      val dcg = ranked.as("a")
+        .join(ranked.select($"rank".as("rb"), $"disc".as("db")), $"rb" <= $"rank")
+        .groupBy($"rank", $"doc_id", $"rel").agg(sum($"db").as("dcg"))
+      val idcg = ideal.as("a")
+        .join(ideal.select($"rank".as("rb"), $"disc".as("db")), $"rb" <= $"rank")
+        .groupBy($"rank").agg(sum($"db").as("idcg"))
+      dcg.join(idcg, "rank")
+        .select($"rank".cast("int").as("rank"), $"doc_id", $"rel",
+          round($"dcg" / $"idcg", 6).as("ndcg"))
+        .orderBy($"rank")
+    },
+
+    // DSIR-style data selection (Xie et al., "Data Selection for Language
+    // Models via Importance Resampling"): per-doc importance weight =
+    // Σ_tokens log-likelihood ratio of a hashed-unigram bucket model fit
+    // on the TARGET slice (lang = 'en') vs the RAW corpus, add-one
+    // smoothed over B = 64 md5 buckets. The bucket tables are B rows no
+    // matter the corpus size (broadcast), totals are one partial agg, and
+    // scoring is a map-side join + per-doc sum — linear end to end. The
+    // top-20 selection uses the bounded top-k aggregate on the ROUNDED
+    // weight (ties by doc_id), mirroring the oracle's ORDER BY exactly.
+    sql("q_dsir_weights",
+      s"""WITH tokd AS (SELECT doc_id, lang, unnest($toksSql) AS w FROM documents),
+         |tok AS (
+         |  SELECT doc_id, lang, w,
+         |    (strpos('123456789abcdef', substring(md5(w), 1, 1)) * 16 +
+         |     strpos('123456789abcdef', substring(md5(w), 2, 1))) % 64 AS b
+         |  FROM tokd),
+         |tgt AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+         |rawc AS (SELECT b, count(*) AS cr FROM tok GROUP BY 1),
+         |tots AS (SELECT (SELECT sum(ct) FROM tgt) AS tt,
+         |                (SELECT sum(cr) FROM rawc) AS tr),
+         |wt AS (
+         |  SELECT r.b,
+         |    ln((coalesce(t.ct, 0) + 1.0) / (tt + 64.0)) -
+         |    ln((r.cr + 1.0) / (tr + 64.0)) AS lw
+         |  FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tots),
+         |scored AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |    round(sum(lw), 6) AS weight
+         |  FROM tok JOIN wt USING (b) GROUP BY 1),
+         |top AS (SELECT doc_id, n_toks, weight FROM scored
+         |        ORDER BY weight DESC, doc_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank,
+         |  doc_id, n_toks, weight
+         |FROM top ORDER BY rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"lang", explode(TextAnalysis.tokens($"text")).as("w"))
+        .withColumn("b",
+          pmod(conv(substring(md5($"w"), 1, 2), 16, 10).cast("int"), lit(64)))
+      val tgt = toks.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
+      val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+      val tots = tgt.agg(sum($"ct").as("tt"))
+        .crossJoin(raw.agg(sum($"cr").as("tr")))
+      val wt = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tots))
+        .select($"b",
+          (log(($"ct" + 1.0) / ($"tt" + 64.0)) -
+            log(($"cr" + 1.0) / ($"tr" + 64.0))).as("lw"))
+      val scored = toks.join(broadcast(wt), "b")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_toks"), round(sum($"lw"), 6).as("weight"))
+        .localCheckpoint()
+      HybridSearch.rankLeg(scored, "doc_id", "weight", 20)
+        .join(scored, "doc_id")
+        .select($"rank".cast("int").as("rank"), $"doc_id", $"n_toks", $"weight")
+        .orderBy($"rank")
+    },
+
+    // CROSS-MODAL dedup: text near-dup edges (exact Jaccard ≥ 0.8, the
+    // SetSimJoin leg) and image perceptual-hash edges (aHash Hamming ≤ 3
+    // over the real decoded pattern PNGs, the banded phash leg) feed ONE
+    // connected-components pass, so a pair of docs that read differently
+    // but share a near-identical image (or vice versa) still lands in one
+    // dup cluster — the multimodal corpus failure mode neither
+    // single-modality pass catches. Each leg is its own bounded candidate
+    // join (prefix-filtered / banded — never all-pairs); the union is
+    // edge-count-sized. Image leg bound doc_id < 64 (one planted mod-32
+    // twin per class), text leg < 400: the quadratic ORACLE bounds, not
+    // operator limits.
+    sql("q_cross_modal_dedup",
+      s"""WITH tok2 AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct($toksSql) AS dtoks
+         |  FROM documents WHERE doc_id < 400 AND len($toksSql) > 0),
+         |$jaccardPairsSqlFragment,
+         |g AS (
+         |  SELECT doc_id, CAST(b AS INT) AS b,
+         |    ((doc_id % 32) * 7 + b * 13) % 256 AS gray
+         |  FROM documents, unnest(generate_series(0, 63)) AS t(b)
+         |  WHERE doc_id < 64),
+         |tot AS (SELECT doc_id, sum(gray) AS tot FROM g GROUP BY 1),
+         |bits AS (
+         |  SELECT g.doc_id, b, CASE WHEN 64 * gray > tot THEN 1 ELSE 0 END AS bit
+         |  FROM g JOIN tot USING (doc_id)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INT) AS b0,
+         |    CAST(sum(CASE WHEN b >= 16 AND b < 32 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INT) AS b1,
+         |    CAST(sum(CASE WHEN b >= 32 AND b < 48 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INT) AS b2,
+         |    CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INT) AS b3
+         |  FROM bits GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, b0 AS bv FROM sig UNION ALL
+         |  SELECT doc_id, 1, b1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, b2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, b3 FROM sig),
+         |icand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |ipairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+         |      bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) AS hamming
+         |    FROM icand JOIN sig sa ON sa.doc_id = doc_a
+         |               JOIN sig sb ON sb.doc_id = doc_b) t
+         |  WHERE hamming <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |    UNION SELECT doc_a, doc_b FROM ipairs
+         |    UNION SELECT doc_b, doc_a FROM pairs
+         |    UNION SELECT doc_b, doc_a FROM ipairs)),
+         |$componentsSqlFragment
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS canonical,
+         |  id = component AS is_canonical
+         |FROM reach ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val txt = SetSimJoin.join(docs.filter($"doc_id" < 400), "doc_id", "text", 0.8)
+        .select($"doc_a", $"doc_b")
+      val img = Multimodal.imageNearDupPairs(
+          Multimodal.aHashBands(
+            Multimodal.withPatternImageColumn(docs.filter($"doc_id" < 64))).toDF(),
+          maxDist = 3)
+        .select($"doc_a", $"doc_b")
+      Components.connectedComponents(txt.unionAll(img), "doc_a", "doc_b")
+        .select($"id".cast("long").as("doc_id"),
+          $"component".cast("long").as("canonical"),
+          ($"id" === $"component").as("is_canonical"))
+        .orderBy($"doc_id")
+    },
+
+    // Tokenizer fertility report — the metric a tokenizer owner watches
+    // per language (subwords per word; characters per subword): the REAL
+    // greedy BPE apply (the q_bpe_tokens_fixed merge table, so the oracle
+    // reuses its generated rank-fold CTE chain) aggregated per language.
+    // Pure map-side encode + one keyed partial agg; integer sums with one
+    // rounded division per cell — deterministic cross-engine at any scale.
+    sql("q_tokenizer_fertility",
+      s"""WITH ${ExtensionBattery.fixedBpeSymCtesSql},
+         |persub AS (
+         |  SELECT doc_id, sum(len(string_split(sym, chr(31)))) AS n_sub
+         |  FROM ${ExtensionBattery.fixedBpeSymFinal} GROUP BY 1),
+         |perdoc AS (
+         |  SELECT w.doc_id, len(w.ws) AS n_words, coalesce(p.n_sub, 0) AS n_sub
+         |  FROM w0 w LEFT JOIN persub p USING (doc_id))
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(pd.n_sub) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(pd.n_sub) AS DOUBLE) / nullif(sum(pd.n_words), 0), 4)
+         |    AS fertility,
+         |  round(CAST(sum(length(d.text)) AS DOUBLE) / nullif(sum(pd.n_sub), 0), 4)
+         |    AS chars_per_token
+         |FROM documents d JOIN perdoc pd USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", length($"text").as("n_chars"),
+          TextAnalysis.tokenCount($"text").cast("long").as("n_words"),
+          size(graft.ext.Bpe.tokens($"text", ExtensionBattery.fixedBpeMerges))
+            .cast("long").as("n_sub"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").as("n_words"),
+          sum($"n_sub").as("n_subwords"),
+          round(sum($"n_sub").cast("double") /
+            when(sum($"n_words") === 0, null).otherwise(sum($"n_words")), 4)
+            .as("fertility"),
+          round(sum($"n_chars").cast("double") /
+            when(sum($"n_sub") === 0, null).otherwise(sum($"n_sub")), 4)
+            .as("chars_per_token"))
+        .orderBy($"lang")
+    },
+
+    // l-diversity profile (governance tier, beside q_k_anonymity): within
+    // each quasi-identifier group — (nation, market segment) — how many
+    // DISTINCT sensitive values (account-balance kilobucket) appear; the
+    // report is the histogram of that diversity. k-anonymity bounds
+    // re-identification (group too small); l-diversity bounds ATTRIBUTE
+    // disclosure (group large enough but every member shares the sensitive
+    // value, so membership alone leaks it). Two keyed hash aggregates; the
+    // histogram is at most |distinct sensitive| rows at any table size.
+    sql("q_l_diversity",
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(l AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(floor($"c_acctbal" / 1000).cast("long")).as("l"))
+        .groupBy($"l")
+        .agg(count(lit(1)).as("n_groups"), sum($"n").as("n_rows"))
+        .orderBy($"l")
     })
 }

@@ -655,13 +655,18 @@ object ExtensionBattery {
   // freshly-merged symbol can never re-trigger (a+b = a needs empty b).
   // This is the list_reduce ordered-fold discipline of the ANN oracles
   // applied to the tokenizer.
-  private val fixedBpeOracleSql: String = {
+  // The shared CTE chain (w0 → words → s0 → s1..sN): per-(doc, word
+  // position) symbol strings after all merge ranks, with `fixedBpeSymFinal`
+  // naming the last CTE. Reused by q_bpe_tokens_fixed (full token arrays)
+  // and CurationBattery's q_tokenizer_fertility (per-language counts).
+  private[graft] val fixedBpeSymFinal: String = s"s${fixedBpeMerges.size}"
+  private[graft] val fixedBpeSymCtesSql: String = {
     val ctes = fixedBpeMerges.zipWithIndex.map { case ((a, b), i) =>
       s"""s${i + 1} AS (SELECT doc_id, wpos, list_reduce(string_split(sym, chr(31)), (acc, x) ->
          |  CASE WHEN x = '$b' AND (acc = '$a' OR ends_with(acc, chr(31) || '$a'))
          |       THEN acc || x ELSE acc || chr(31) || x END) AS sym FROM s$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> len(w) > 0) AS ws
        |  FROM documents),
@@ -671,10 +676,13 @@ object ExtensionBattery {
        |  SELECT doc_id, wpos,
        |    array_to_string(string_split_regex(w, ''), chr(31)) || '</w>' AS sym
        |  FROM words),
-       |$ctes
-       |SELECT doc_id, flatten(list(string_split(sym, chr(31)) ORDER BY wpos)) AS toks
-       |FROM s${fixedBpeMerges.size} GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |$ctes""".stripMargin
   }
+
+  private val fixedBpeOracleSql: String =
+    s"""WITH $fixedBpeSymCtesSql
+       |SELECT doc_id, flatten(list(string_split(sym, chr(31)) ORDER BY wpos)) AS toks
+       |FROM $fixedBpeSymFinal GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 

@@ -248,7 +248,16 @@ class PlanAuditSpec extends SparkSpec {
       // near-dup ground truth (the documented oracle-tractable baseline;
       // production path is the LSH family) — the BNLJ surfaces in the
       // EAGER Components gate-probe collect, not the returned plan
-      "q_embed_neardup_canonical")
+      "q_embed_neardup_canonical",
+      // retrieval eval: the cumulative DCG/IDCG sums are 10×10 triangular
+      // joins on CHECKPOINTED top-10 rank lists — both sides bounded by
+      // the top-k aggregate's depth regardless of corpus size (plus the
+      // BM25 leg's 1-row stats broadcast)
+      "q_ndcg_eval",
+      // DSIR scoring: the 1-row totals frame and the ≤64-row bucket
+      // weight table are broadcast-crossed/joined into the token stream —
+      // both sides bounded by the fixed bucket count B, not the corpus
+      "q_dsir_weights")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sweep EVERY plan the build executes (gate probes, index builds,

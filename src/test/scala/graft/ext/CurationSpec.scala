@@ -130,6 +130,98 @@ class CurationSpec extends SparkSpec {
     ingest.unpersist()
   }
 
+  test("ndcg eval: ranks dense, rel graded, ndcg in (0, 1], ndcg@1 matches closed form") {
+    val out = graft.SparkEntry.queries("q_ndcg_eval")(spark, sf)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 10))
+    assert(out.map(_.getLong(1)).distinct.length == 10)
+    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
+    // dcg@k ≤ idcg@k for every k — the ideal ranking is a maximizer
+    assert(out.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0 + 1e-9))
+    // ndcg@1 = (2^rel₁ − 1) / (2^max_rel − 1): one division, checkable by hand
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val maxRel = docs.select(
+        size(array_intersect(array_distinct(TextAnalysis.tokens($"text")),
+          array(lit("spark"), lit("query"), lit("data")))).as("rel"))
+      .agg(max($"rel")).head().getInt(0)
+    val expected = (math.pow(2, out.head.getInt(2)) - 1) / (math.pow(2, maxRel) - 1)
+    assert(math.abs(out.head.getDouble(3) - expected) < 1e-6)
+  }
+
+  test("dsir weights: top-20 non-increasing; rank-1 weight matches a from-scratch recompute") {
+    val out = graft.SparkEntry.queries("q_dsir_weights")(spark, sf)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 20))
+    val ws = out.map(_.getDouble(3)).toSeq
+    assert(ws == ws.sorted.reverse)
+    // independent recompute of the winner's weight: collect the (tiny)
+    // bucket tables and fold the formula in plain Scala
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val toks = docs.select($"doc_id", $"lang",
+      explode(TextAnalysis.tokens($"text")).as("w"))
+      .withColumn("b",
+        pmod(conv(substring(md5($"w"), 1, 2), 16, 10).cast("int"), lit(64)))
+    val tgt = toks.filter($"lang" === "en").groupBy($"b").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val raw = toks.groupBy($"b").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (tt, tr) = (tgt.values.sum.toDouble, raw.values.sum.toDouble)
+    val winner = out.head.getLong(1)
+    val winnerBuckets = toks.filter($"doc_id" === winner)
+      .select($"b").as[Int].collect()
+    val expected = winnerBuckets.map { b =>
+      math.log((tgt.getOrElse(b, 0L) + 1.0) / (tt + 64.0)) -
+        math.log((raw(b) + 1.0) / (tr + 64.0))
+    }.sum
+    assert(math.abs(out.head.getDouble(3) - expected) < 1e-4)
+  }
+
+  test("cross-modal dedup: phash twins co-clustered; image evidence merges text-only clusters") {
+    val out = graft.SparkEntry.queries("q_cross_modal_dedup")(spark, sf).cache()
+    val canon = out.select($"doc_id", $"canonical")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted mod-32 image twin pair (i, i+32) with i < 32 shares a
+    // component — the image leg's Hamming-0 edge guarantees the link
+    (0L until 32L).foreach { i =>
+      assert(canon.get(i).isEmpty == canon.get(i + 32).isEmpty)
+      canon.get(i).foreach(c => assert(canon(i + 32) == c, s"twin ($i, ${i + 32}) split"))
+    }
+    // and the fusion is not vacuous: at least one component holds docs that
+    // the TEXT leg alone would keep apart (the image bridge did real work)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val txtOnly = Components.connectedComponents(
+        SetSimJoin.join(docs.filter($"doc_id" < 400), "doc_id", "text", 0.8),
+        "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bridged = canon.keys.exists { id =>
+      val c = canon(id)
+      txtOnly.getOrElse(id, id) != txtOnly.getOrElse(c, c)
+    }
+    assert(bridged, "no component bridges two text-only clusters")
+    out.unpersist()
+  }
+
+  test("tokenizer fertility: every word yields >= 1 subword, <= its character count + 1") {
+    val out = graft.SparkEntry.queries("q_tokenizer_fertility")(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    out.foreach { r =>
+      val (nWords, nSub) = (r.getLong(2), r.getLong(3))
+      assert(nSub >= nWords, "a word encoded to zero subwords")
+      assert(r.getDouble(4) >= 1.0, "fertility below 1")
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
+
+  test("l-diversity: histogram partitions the QI groups and the customer rows") {
+    val out = graft.SparkEntry.queries("q_l_diversity")(spark, sf).collect()
+    val cust = graft.sources.Tables.customer(spark, sf)
+    assert(out.map(_.getLong(2)).sum == cust.count())
+    assert(out.map(_.getLong(1)).sum ==
+      cust.select($"c_nationkey", $"c_mktsegment").distinct().count())
+    assert(out.forall(_.getLong(0) >= 1))
+  }
+
   test("pretrain pipeline: yields are monotone under each successive gate") {
     val out = graft.SparkEntry.queries("q_pretrain_pipeline")(spark, sf).collect()
     val kept = out.map(_.getLong(1)).sum
