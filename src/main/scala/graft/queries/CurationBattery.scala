@@ -61,6 +61,43 @@ object CurationBattery {
   private def splitOf(clusterId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.ext.Splits.splitOf(clusterId)
 
+  /** Unrolled 10-step MMR greedy for q_mmr_rerank — one pick CTE per rank
+    * (the generated-CTE discipline of the fixed-BPE oracle): step i scores
+    * every unpicked pool member 0.7·cos − 0.3·max-sim-to-picked on the
+    * round-6 cosines and takes the (score DESC, vec_id) head. Every sel/pick
+    * CTE is MATERIALIZED — each is referenced 3× by its successor, so
+    * un-materialized inlining re-expands the chain exponentially (observed:
+    * the 10-step query never finishes without it). */
+  private val mmrOracleSql: String = {
+    val steps = (2 to 10).map { i =>
+      s"""pick$i AS MATERIALIZED (
+         |  SELECT vec_id, $i AS rank, cos FROM (
+         |    SELECT c.vec_id, c.cos,
+         |      0.7 * c.cos - 0.3 * (
+         |        SELECT max(p.sim) FROM psim p WHERE p.a = c.vec_id
+         |          AND p.b IN (SELECT vec_id FROM sel${i - 1})) AS score
+         |    FROM cand c
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})) t
+         |  ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT vec_id, rank, cos FROM sel${i - 1}
+         |          UNION ALL SELECT vec_id, rank, cos FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+       |c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+       |cand AS MATERIALIZED (
+       |  SELECT c0.vec_id, c0.v, round(list_cosine_similarity(q.v, c0.v), 6) AS cos
+       |  FROM c0, q ORDER BY cos DESC, vec_id LIMIT 20),
+       |psim AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, 1 AS rank, cos FROM (
+       |    SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 1)),
+       |$steps
+       |SELECT CAST(rank AS INT) AS rank, vec_id, cos FROM sel10 ORDER BY rank""".stripMargin
+  }
+
   /** The DuckDB mirror of [[splitOf]] over a BIGINT column expression. */
   private def splitOfSql(expr: String): String =
     s"""CASE WHEN strpos('123456789abcdef',
@@ -523,9 +560,12 @@ object CurationBattery {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val terms = Seq("spark", "query", "data")
+      // tiny (doc_id, rel) frame consumed by both the system and the ideal
+      // leg — checkpointed so the corpus is tokenized for labels only once
       val rel = docs.select($"doc_id",
         size(array_intersect(array_distinct(TextAnalysis.tokens($"text")),
           array(terms.map(lit): _*))).cast("int").as("rel"))
+        .localCheckpoint()
       val postings = TextIndex.buildPostings(docs, "doc_id", "text")
       val lex = HybridSearch.rankLeg(
         TextIndex.searchBm25(postings, terms, 10), "doc_id", "bm25", 10)
@@ -548,6 +588,76 @@ object CurationBattery {
         .select($"rank".cast("int").as("rank"), $"doc_id", $"rel",
           round($"dcg" / $"idcg", 6).as("ndcg"))
         .orderBy($"rank")
+    },
+
+    // Binary-relevance retrieval metrics beside q_ndcg_eval — one summary
+    // row of MRR, MAP@10, P@10, R@10 for the index-served BM25 leg, with
+    // rel = "doc contains >= 1 query term", R = corpus-wide relevant count,
+    // AP@10 = Σ_{k<=10, rel_k} P@k / min(R, 10). Same scale shape as ndcg:
+    // the postings index serves the leg, then everything downstream is a
+    // 10-row checkpointed epilogue (triangular cumulative-hits join +
+    // 1-row totals broadcast) — constant work regardless of corpus size.
+    sql("q_mrr_map_eval",
+      s"""WITH tok AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE len(word) > 0),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |terms AS (SELECT unnest(['spark', 'query', 'data']) AS word),
+         |lexs AS (
+         |  SELECT doc_id,
+         |    round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+         |  FROM tf
+         |  JOIN terms USING (word) JOIN df USING (word) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats
+         |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM lexs),
+         |relb AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(list_intersect(list_distinct($toksSql),
+         |      ['spark', 'query', 'data'])) > 0 THEN 1 ELSE 0 END AS r
+         |  FROM documents),
+         |ranked AS (SELECT l.rank, r.r FROM lex l JOIN relb r USING (doc_id)),
+         |cum AS (
+         |  SELECT a.rank, a.r, sum(b.r) AS hits
+         |  FROM ranked a JOIN ranked b ON b.rank <= a.rank GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(r) AS DOUBLE) AS rtot FROM relb)
+         |SELECT
+         |  round(max(CASE WHEN r = 1 THEN 1.0 / rank ELSE 0.0 END), 6) AS mrr,
+         |  round(sum(CASE WHEN r = 1 THEN CAST(hits AS DOUBLE) / rank ELSE 0.0 END)
+         |    / least(max(rtot), 10.0), 6) AS map10,
+         |  round(CAST(max(hits) AS DOUBLE) / 10.0, 6) AS p10,
+         |  round(CAST(max(hits) AS DOUBLE) / max(rtot), 6) AS r10
+         |FROM cum CROSS JOIN tot""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val terms = Seq("spark", "query", "data")
+      val relb = docs.select($"doc_id",
+        (size(array_intersect(array_distinct(TextAnalysis.tokens($"text")),
+          array(terms.map(lit): _*))) > 0).cast("int").as("r"))
+      val postings = TextIndex.buildPostings(docs, "doc_id", "text")
+      val ranked = HybridSearch.rankLeg(
+          TextIndex.searchBm25(postings, terms, 10), "doc_id", "bm25", 10)
+        .join(relb, "doc_id").select($"rank", $"r")
+        .localCheckpoint()
+      val cum = ranked.as("a")
+        .join(ranked.select($"rank".as("rb"), $"r".as("hb")), $"rb" <= $"rank")
+        .groupBy($"rank", $"r").agg(sum($"hb").as("hits"))
+      val tot = relb.agg(sum($"r").cast("double").as("rtot"))
+      cum.crossJoin(broadcast(tot))
+        .agg(
+          round(max(when($"r" === 1, lit(1.0) / $"rank").otherwise(0.0)), 6).as("mrr"),
+          round(sum(when($"r" === 1, $"hits".cast("double") / $"rank").otherwise(0.0))
+            / least(max($"rtot"), lit(10.0)), 6).as("map10"),
+          round(max($"hits").cast("double") / 10.0, 6).as("p10"),
+          round(max($"hits").cast("double") / max($"rtot"), 6).as("r10"))
     },
 
     // DSIR-style data selection (Xie et al., "Data Selection for Language
@@ -589,11 +699,12 @@ object CurationBattery {
         .select($"doc_id", $"lang", explode(TextAnalysis.tokens($"text")).as("w"))
         .withColumn("b",
           pmod(conv(substring(md5($"w"), 1, 2), 16, 10).cast("int"), lit(64)))
-      val tgt = toks.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
-      val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
-      val tots = tgt.agg(sum($"ct").as("tt"))
-        .crossJoin(raw.agg(sum($"cr").as("tr")))
-      val wt = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      // target and raw bucket counts in ONE pass (conditional partial agg)
+      val counts = toks.groupBy($"b")
+        .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+      val tots = counts.agg(sum($"ct").as("tt"), sum($"cr").as("tr"))
+      val wt = counts
         .crossJoin(broadcast(tots))
         .select($"b",
           (log(($"ct" + 1.0) / ($"tt" + 64.0)) -
@@ -723,6 +834,75 @@ object CurationBattery {
             when(sum($"n_sub") === 0, null).otherwise(sum($"n_sub")), 4)
             .as("chars_per_token"))
         .orderBy($"lang")
+    },
+
+    // MMR diversity re-ranking (Carbonell & Goldstein): greedily re-rank
+    // the top-20 cosine pool for a query so each pick maximizes
+    // λ·rel − (1−λ)·max-sim-to-already-picked (λ = 0.7) — the standard
+    // retrieval/data-selection answer to "the top-k are 20 copies of the
+    // same document". The pool comes from the bounded top-k scan (at
+    // corpus scale: the ANN serving path); the greedy runs on the COLLECTED
+    // 20-row pool + 380-row pairwise-sim frame at the driver (the k-row
+    // centroid-frame discipline — bounded by the pool size, never the
+    // corpus). All comparisons use round-6 cosines, ties by vec_id, so the
+    // unrolled 10-step SQL mirror picks identically.
+    sql("q_mmr_rerank", mmrOracleSql) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id".as("id"), $"embedding".as("vec"))
+      val pool = Similarity.bruteForceTopK(
+          emb.filter($"id" === 0), emb.filter($"id" =!= 0), k = 20)
+        .select($"neighbor_id".as("vec_id"), $"cos")
+      val poolVec = pool.join(emb.withColumnRenamed("id", "vec_id"), "vec_id")
+        .select($"vec_id", Similarity.asDouble($"vec").as("v"), $"cos")
+        .localCheckpoint()
+      val psim = poolVec.as("a")
+        .join(broadcast(poolVec.select($"vec_id".as("b_id"), $"v".as("bv"))),
+          $"vec_id" =!= $"b_id")
+        .select($"vec_id".as("a"), $"b_id".as("b"),
+          round(Similarity.cosine($"v", $"bv"), 6).as("sim"))
+      val cand = poolVec.select($"vec_id", $"cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val sim = psim.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val first = cand.minBy { case (id, cos) => (-cos, id) }
+      val picks = scala.collection.mutable.ArrayBuffer(first)
+      while (picks.size < math.min(10, cand.length)) {
+        val rest = cand.filterNot(c => picks.exists(_._1 == c._1))
+        val next = rest.minBy { case (id, cos) =>
+          val maxSim = picks.map(p => sim((id, p._1))).max
+          (-(0.7 * cos - 0.3 * maxSim), id)
+        }
+        picks += next
+      }
+      val out = picks.toSeq.zipWithIndex
+        .map { case ((id, cos), i) => (i + 1, id, cos) }
+      s.createDataFrame(out).toDF("rank", "vec_id", "cos")
+        .select($"rank".cast("int").as("rank"), $"vec_id", $"cos")
+        .orderBy($"rank")
+    },
+
+    // Semantic outlier report: each vector's nearest-neighbor cosine over
+    // the vec_id < 500 slice; the 20 MOST ISOLATED (lowest nn_cos) are the
+    // curation candidates — mislabeled data, embedding failures, or rare
+    // examples worth upweighting. Exact scan on the bounded slice is the
+    // recall oracle (the q_neardup_keep_canonical discipline); at corpus
+    // scale the same rule reads LSH/IVF candidates. Bottom-k via the
+    // bounded top-k aggregate on the NEGATED score — no global sort.
+    sql("q_semantic_outliers",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 500)
+        |SELECT a.vec_id, max(round(list_cosine_similarity(a.v, b.v), 6)) AS nn_cos
+        |FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |GROUP BY 1 ORDER BY nn_cos ASC, a.vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val slice = Tables.embeddings(s, d).filter($"vec_id" < 500)
+        .select($"vec_id".as("id"), $"embedding".as("vec"))
+      Similarity.bruteForceTopK(slice, slice, k = 1)
+        .select($"query_id".as("vec_id"), $"cos".as("nn_cos"))
+        .agg(graft.functions.TopKAggregate.top_k(-$"nn_cos", $"vec_id", 20).as("top"))
+        .select(posexplode($"top").as(Seq("pos", "e")))
+        .select($"e.id".as("vec_id"), (-$"e.v").as("nn_cos"))
+        .orderBy($"nn_cos".asc, $"vec_id")
     },
 
     // l-diversity profile (governance tier, beside q_k_anonymity): within

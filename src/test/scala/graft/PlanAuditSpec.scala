@@ -254,10 +254,24 @@ class PlanAuditSpec extends SparkSpec {
       // the top-k aggregate's depth regardless of corpus size (plus the
       // BM25 leg's 1-row stats broadcast)
       "q_ndcg_eval",
+      // same family as q_ndcg_eval: 10×10 triangular cumulative-hits join
+      // on a CHECKPOINTED top-10 rank list + a 1-row relevant-total
+      // broadcast (plus the BM25 leg's 1-row stats broadcast)
+      "q_mrr_map_eval",
       // DSIR scoring: the 1-row totals frame and the ≤64-row bucket
       // weight table are broadcast-crossed/joined into the token stream —
       // both sides bounded by the fixed bucket count B, not the corpus
-      "q_dsir_weights")
+      "q_dsir_weights",
+      // MMR re-rank: the 20-row CHECKPOINTED candidate pool self-paired
+      // (20×20, broadcast) for the pairwise-sim frame, plus the
+      // q_cosine_topk-family 1-query broadcast that builds the pool —
+      // bounded by the pool size k, never the corpus
+      "q_mmr_rerank",
+      // outlier report: bruteForceTopK(slice, slice) broadcasts the
+      // bounded vec_id < 500 query slice against itself (the documented
+      // exact-recall oracle baseline; corpus-scale path is LSH/IVF
+      // candidates) — same family as q_cosine_topk*
+      "q_semantic_outliers")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sweep EVERY plan the build executes (gate probes, index builds,

@@ -222,6 +222,99 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_.getLong(0) >= 1))
   }
 
+  test("mrr/map eval: metric identities hold against a from-scratch recompute of the leg") {
+    val out = graft.SparkEntry.queries("q_mrr_map_eval")(spark, sf).head()
+    val (mrr, map10, p10, r10) =
+      (out.getDouble(0), out.getDouble(1), out.getDouble(2), out.getDouble(3))
+    assert(mrr >= 0 && mrr <= 1 && map10 >= 0 && map10 <= 1 + 1e-9)
+    assert(p10 >= 0 && p10 <= 1 && r10 >= 0 && r10 <= 1)
+    // independent recompute: rerun the BM25 leg, label each hit, fold the
+    // metric definitions in plain Scala
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val terms = Seq("spark", "query", "data")
+    val relSet = docs.select($"doc_id",
+        array_intersect(array_distinct(TextAnalysis.tokens($"text")),
+          array(terms.map(lit): _*)).as("hit"))
+      .filter(size($"hit") > 0).select($"doc_id").as[Long].collect().toSet
+    val leg = HybridSearch.rankLeg(
+        TextIndex.searchBm25(TextIndex.buildPostings(docs, "doc_id", "text"),
+          terms, 10), "doc_id", "bm25", 10)
+      .orderBy($"rank").select($"doc_id").as[Long].collect()
+    val hits = leg.map(relSet)
+    val cumHits = hits.scanLeft(0)((a, h) => a + (if (h) 1 else 0)).tail
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val firstRel = hits.indexWhere(identity)
+    assert(mrr == r6(if (firstRel < 0) 0.0 else 1.0 / (firstRel + 1)))
+    val ap = hits.zipWithIndex.collect { case (true, i) =>
+      cumHits(i).toDouble / (i + 1) }.sum / math.min(relSet.size, 10)
+    assert(math.abs(map10 - ap) < 1e-6)
+    assert(p10 == r6(cumHits.last / 10.0))
+    assert(math.abs(r10 - cumHits.last.toDouble / relSet.size) < 1e-6)
+  }
+
+  test("mmr rerank: picks drawn from the top-20 pool; every pick maximizes the MMR score") {
+    val out = graft.SparkEntry.queries("q_mmr_rerank")(spark, sf)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 10))
+    val picks = out.map(r => r.getLong(1) -> r.getDouble(2))
+    assert(picks.map(_._1).distinct.length == 10)
+    // independent recompute: collect the raw embeddings, rebuild the pool
+    // and pairwise cosines in plain Scala, and check the greedy invariant —
+    // at each step the chosen doc's 0.7·cos − 0.3·maxSimToPicked beats (or
+    // ties with a smaller id than) every other unpicked pool member's
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val qv = vecs(0L)
+    val pool = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(20).toMap
+    assert(picks.forall { case (id, c) => math.abs(pool(id) - c) < 1e-9 })
+    for (i <- 1 until picks.length) {
+      val chosen = picks.take(i).map(_._1)
+      def score(id: Long) =
+        0.7 * pool(id) - 0.3 * chosen.map(p => cos(vecs(id), vecs(p))).max
+      val next = picks(i)._1
+      val rivals = pool.keys.filterNot(chosen.contains(_)).filter(_ != next)
+      assert(rivals.forall(r => score(r) < score(next) ||
+        (score(r) == score(next) && r > next)),
+        s"pick ${i + 1} ($next) is not the MMR argmax")
+    }
+  }
+
+  test("semantic outliers: 20 most-isolated ascending; winner's nn_cos recomputes exactly") {
+    val out = graft.SparkEntry.queries("q_semantic_outliers")(spark, sf)
+      .orderBy($"nn_cos", $"vec_id").collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getLong(0) < 500))
+    val cs = out.map(_.getDouble(1)).toSeq
+    assert(cs == cs.sorted, "report not ascending by isolation")
+    // from-scratch nearest-neighbor for the most isolated vector
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 500).select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val winner = out.head.getLong(0)
+    val nn = vecs.collect { case (id, v) if id != winner => cos(vecs(winner), v) }.max
+    assert(math.abs(nn - out.head.getDouble(1)) < 1e-9)
+    // and no vector outside the report is MORE isolated than the cutoff
+    val cutoff = cs.last
+    val worst = vecs.keys.filterNot(out.map(_.getLong(0)).contains(_)).map { id =>
+      vecs.collect { case (o, v) if o != id => cos(vecs(id), v) }.max
+    }.min
+    assert(worst >= cutoff, "a more-isolated vector was left out of the report")
+  }
+
   test("pretrain pipeline: yields are monotone under each successive gate") {
     val out = graft.SparkEntry.queries("q_pretrain_pipeline")(spark, sf).collect()
     val kept = out.map(_.getLong(1)).sum
