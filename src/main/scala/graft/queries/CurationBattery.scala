@@ -905,6 +905,73 @@ object CurationBattery {
         .orderBy($"nn_cos".asc, $"vec_id")
     },
 
+    // t-closeness report (governance tier, completing the k-anonymity /
+    // l-diversity / t-closeness triad): per QI group (nation, market
+    // segment), the ordered-EMD distance between the group's sensitive
+    // distribution (account-balance kilobucket — ordinal) and the GLOBAL
+    // one: t = Σ_b |cumP_g(b) − cumQ(b)| / (m−1). l-diversity counts
+    // distinct sensitive values; t-closeness catches the subtler leak
+    // where a group's distribution is skewed far from global even with
+    // many distinct values. Scale shape: two hash aggregates reduce the
+    // table to |groups|×|buckets| cells (both attribute-domain-bounded),
+    // the group×bucket lattice densifies via a broadcast cross, the
+    // per-group cumulative is a PARTITIONED window (never single-task),
+    // and the global cumulative is a triangular join on the ≤|buckets|-row
+    // frame. Top-20 riskiest via TakeOrdered.
+    sql("q_t_closeness",
+      """WITH cust AS (
+        |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS b
+        |  FROM customer),
+        |gb AS (SELECT nat, seg, b, count(*) AS cnt FROM cust GROUP BY 1, 2, 3),
+        |gn AS (SELECT nat, seg, CAST(sum(cnt) AS BIGINT) AS ng FROM gb GROUP BY 1, 2),
+        |gdist AS (SELECT b, sum(cnt) AS cb FROM gb GROUP BY 1),
+        |globcum AS (
+        |  SELECT a.b, sum(c.cb) AS ccb FROM gdist a JOIN gdist c ON c.b <= a.b
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cb) AS DOUBLE) AS nn,
+        |               CAST(count(*) AS DOUBLE) AS m FROM gdist),
+        |cells AS (
+        |  SELECT g.nat, g.seg, g.ng, gc.b, gc.ccb, coalesce(gb.cnt, 0) AS cnt
+        |  FROM gn g CROSS JOIN globcum gc
+        |  LEFT JOIN gb ON gb.nat = g.nat AND gb.seg = g.seg AND gb.b = gc.b),
+        |cum AS (
+        |  SELECT nat, seg, ng, ccb,
+        |    sum(cnt) OVER (PARTITION BY nat, seg ORDER BY b) AS cp
+        |  FROM cells)
+        |SELECT nat AS c_nationkey, seg AS c_mktsegment, ng AS n,
+        |  round(sum(abs(CAST(cp AS DOUBLE) / ng - CAST(ccb AS DOUBLE) / nn))
+        |    / (max(m) - 1), 6) AS t
+        |FROM cum CROSS JOIN tot
+        |GROUP BY 1, 2, 3
+        |ORDER BY t DESC, c_nationkey, c_mktsegment LIMIT 20""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d).select(
+        $"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
+        floor($"c_acctbal" / 1000).cast("long").as("b"))
+      val gb = cust.groupBy($"nat", $"seg", $"b").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val gn = gb.groupBy($"nat", $"seg").agg(sum($"cnt").as("ng"))
+      val glob = gb.groupBy($"b").agg(sum($"cnt").as("cb"))
+      val globCum = glob.as("a")
+        .join(broadcast(glob.select($"b".as("b2"), $"cb".as("cb2"))), $"b2" <= $"b")
+        .groupBy($"b").agg(sum($"cb2").as("ccb"))
+      val tot = glob.agg(sum($"cb").cast("double").as("nn"),
+        count(lit(1)).cast("double").as("m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"nat", $"seg").orderBy($"b")
+      gn.crossJoin(broadcast(globCum))
+        .join(gb, Seq("nat", "seg", "b"), "left").na.fill(0L, Seq("cnt"))
+        .withColumn("cp", sum($"cnt").over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy($"nat", $"seg", $"ng")
+        .agg(round(sum(abs($"cp".cast("double") / $"ng" -
+          $"ccb".cast("double") / $"nn")) / (max($"m") - 1), 6).as("t"))
+        .select($"nat".as("c_nationkey"), $"seg".as("c_mktsegment"),
+          $"ng".as("n"), $"t")
+        .orderBy($"t".desc, $"c_nationkey", $"c_mktsegment").limit(20)
+    },
+
     // l-diversity profile (governance tier, beside q_k_anonymity): within
     // each quasi-identifier group — (nation, market segment) — how many
     // DISTINCT sensitive values (account-balance kilobucket) appear; the

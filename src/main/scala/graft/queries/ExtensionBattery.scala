@@ -149,7 +149,7 @@ object ExtensionBattery {
       claimId = Some(s"ivf-exact-centroids|$d|k4"))
   }
 
-  private val (ivfTrainExactOracleSql, ivfSearchExactOracleSql) = {
+  private val (ivfTrainExactOracleSql, ivfSearchExactOracleSql, annRecallOracleSql) = {
     val dims = 8
     def fold(term: String) =
       s"list_reduce(list_transform(generate_series(1, $dims), i -> $term), (acc, x) -> acc + x)"
@@ -229,7 +229,49 @@ object ExtensionBattery {
          |  FROM cand)
          |SELECT query_id, neighbor_id, cos, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    (trainSql, searchSql)
+    // Recall@5 of the PRUNED nprobe=2 search against the exact top-5 on
+    // the same integer-quantized vectors: the ivf leg reuses the searchSql
+    // CTEs verbatim; the exact leg mirrors bruteForceTopK (round-6 before
+    // rank, ties to the smaller neighbor id). hits/5 is an exact dyadic
+    // rational — nothing to round.
+    val recallSql =
+      s"""WITH $ctes,
+         |q AS (SELECT id, v FROM pts WHERE id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, cluster_id FROM (
+         |    SELECT q.id AS query_id, q.v AS qv, c.cluster_id,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY $probeCos DESC NULLS LAST, c.cluster_id) AS rn
+         |    FROM q CROSS JOIN c2 c)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.query_id, f.id AS neighbor_id, round($candCos, 6) AS cos
+         |  FROM probes p JOIN fin f ON p.cluster_id = f.cluster_id
+         |  WHERE p.query_id <> f.id),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM cand)
+         |  WHERE rank <= 5),
+         |ecand AS (
+         |  SELECT q.id AS query_id, p.id AS neighbor_id,
+         |    round(${cosExpr("q.v", "p.v", "NULL")}, 6) AS cos
+         |  FROM q CROSS JOIN pts p WHERE p.id <> q.id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ecand)
+         |  WHERE rank <= 5)
+         |SELECT e.query_id,
+         |  sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall5
+         |FROM exact e LEFT JOIN ivf i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+    (trainSql, searchSql, recallSql)
   }
 
   // Mirrors PqIndex.train(m=2, k=4, iters=2) + encode + ADC search on the
@@ -1271,6 +1313,31 @@ object ExtensionBattery {
       IvfIndex.search(pts.filter($"id" < 10), IvfIndex.build(pts, centroids),
           centroids, k = 5, nprobe = 2)
         .orderBy($"query_id", $"rank")
+    },
+
+    // The ANN QUALITY harness: per-query recall@5 of the pruned nprobe=2
+    // IVF serving path against the exact top-5 — the number a corpus
+    // curator tunes nprobe/nClusters against before trusting the scale
+    // path. Both legs run the REAL operators (IvfIndex.search and
+    // bruteForceTopK) on the fixed-point vectors, so the recall itself is
+    // hash-oracled: the DuckDB mirror recomputes train→build→probe→rank
+    // AND the exact scan, then intersects. hits/5 is exact — no float in
+    // the output. Exact leg = 10-query broadcast (q_cosine_topk family);
+    // everything downstream of the two top-5 lists is a 50-row epilogue.
+    sql("q_ann_recall", annRecallOracleSql) { (s, d) =>
+      import s.implicits._
+      val pts = intQuantizedVecs(s, d)
+      val centroids = ivfExactCentroids(s, d, pts)
+      val queries = pts.filter($"id" < 10)
+      val ivf = IvfIndex.search(queries, IvfIndex.build(pts, centroids),
+          centroids, k = 5, nprobe = 2)
+        .select($"query_id", $"neighbor_id", lit(1).as("m"))
+      Similarity.bruteForceTopK(queries, pts, k = 5)
+        .select($"query_id", $"neighbor_id")
+        .join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg((sum(coalesce($"m", lit(0))) / 5.0).as("recall5"))
+        .orderBy($"query_id")
     },
 
     // IVF approximate top-k (scale path #2): coarse centroids, assigned

@@ -227,6 +227,10 @@ class PlanAuditSpec extends SparkSpec {
       // fixed-point ANN serving: 10-query probe/LUT broadcast, bounded by
       // construction (same family as q_cosine_topk* / q_pq_topk)
       "q_ivf_search_exact", "q_pq_search_exact",
+      // recall harness over the same fixed-point serving paths: 10-query
+      // probe broadcast (IVF leg) + 10-query exact-scan broadcast
+      // (q_cosine_topk family) — both bounded by construction
+      "q_ann_recall",
       "q_inactive_rich_cust", "q_jaccard_pairs", "q_lm_perplexity",
       // hybrid retrieval: the BM25 leg's 1-row stats broadcast + the dense
       // leg's bounded 1-query broadcast (q_cosine_topk family); the fusion
@@ -258,6 +262,12 @@ class PlanAuditSpec extends SparkSpec {
       // on a CHECKPOINTED top-10 rank list + a 1-row relevant-total
       // broadcast (plus the BM25 leg's 1-row stats broadcast)
       "q_mrr_map_eval",
+      // t-closeness: the QI-group × bucket lattice densification is a
+      // broadcast cross of two ATTRIBUTE-DOMAIN-bounded aggregates
+      // (|nations×segments| × |kilobuckets|), plus the triangular
+      // cumulative join on the ≤|buckets|-row global frame and the 1-row
+      // (N, m) totals broadcast — none grow with the table
+      "q_t_closeness",
       // DSIR scoring: the 1-row totals frame and the ≤64-row bucket
       // weight table are broadcast-crossed/joined into the token stream —
       // both sides bounded by the fixed bucket count B, not the corpus

@@ -213,6 +213,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t-closeness: t in [0,1]; winner's EMD recomputes from raw distributions") {
+    val out = graft.SparkEntry.queries("q_t_closeness")(spark, sf).collect()
+    assert(out.length == 20)
+    val ts = out.map(_.getDouble(3)).toSeq
+    assert(ts == ts.sorted.reverse, "report not descending by risk")
+    assert(ts.forall(t => t >= 0.0 && t <= 1.0 + 1e-9))
+    // from-scratch ordered-EMD for the riskiest group
+    val rows = graft.sources.Tables.customer(spark, sf)
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000).cast("long").as("b"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val buckets = rows.map(_._3).distinct.sorted
+    val (wn, ws) = (out.head.getInt(0), out.head.getString(1))
+    val grp = rows.filter(r => r._1 == wn && r._2 == ws)
+    assert(grp.length == out.head.getLong(2))
+    def cdf(xs: Array[Long]) = buckets.map(b => xs.count(_ <= b).toDouble / xs.length)
+    val emd = cdf(grp.map(_._3)).zip(cdf(rows.map(_._3)))
+      .map { case (p, q) => math.abs(p - q) }.sum / (buckets.length - 1)
+    assert(math.abs(out.head.getDouble(3) - emd) < 1e-6)
+  }
+
   test("l-diversity: histogram partitions the QI groups and the customer rows") {
     val out = graft.SparkEntry.queries("q_l_diversity")(spark, sf).collect()
     val cust = graft.sources.Tables.customer(spark, sf)

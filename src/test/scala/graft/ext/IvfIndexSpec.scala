@@ -64,6 +64,17 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("q_ann_recall: 10 queries, recall5 a multiple of 1/5 in [0,1]") {
+    val out = graft.SparkEntry.queries("q_ann_recall")(spark, "/root/testdata/sf0.001")
+      .orderBy($"query_id").collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(0)).toSeq == (0L until 10L))
+    out.map(_.getDouble(1)).foreach { r =>
+      assert(r >= 0.0 && r <= 1.0)
+      assert((r * 5).isWhole, s"recall5 $r is not a multiple of 1/5")
+    }
+  }
+
   test("nprobe = 1 still finds in-blob neighbors (the common case)") {
     val queries = vecs.filter($"id" === 0L) // blob 0
     val centroids = IvfIndex.train(vecs, k = 3)
