@@ -262,20 +262,9 @@ object CurationBattery {
         |  round(se / n_e - so / n_o, 6) AS drift
         |FROM g WHERE n_e > 0 AND n_o > 0 ORDER BY label, dim""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.embeddings(s, d)
-        .select($"label", ($"vec_id" % 2 === 0).as("even"),
-          posexplode(expr(
-            "transform(slice(embedding, 1, 8), x -> floor(CAST(x AS DOUBLE) * 8.0D + 0.5D))"))
-            .as(Seq("pos", "qv")))
-        .groupBy($"label", ($"pos" + 1).cast("int").as("dim"))
-        .agg(
-          sum(when($"even", $"qv")).as("se"), count(when($"even", lit(1))).as("n_e"),
-          sum(when(!$"even", $"qv")).as("so"), count(when(!$"even", lit(1))).as("n_o"))
-        .filter($"n_e" > 0 && $"n_o" > 0)
-        .select($"label", $"dim",
-          round($"se" / $"n_e", 6).as("mean_even"),
-          round($"so" / $"n_o", 6).as("mean_odd"),
-          round($"se" / $"n_e" - $"so" / $"n_o", 6).as("drift"))
+      // the literal streaming-monitor transform (write-once-run-both):
+      // this oracled batch entry and the unbounded monitor share one body
+      graft.streaming.StreamingOps.embeddingDrift(Tables.embeddings(s, d))
         .orderBy($"label", $"dim")
     },
 

@@ -542,6 +542,36 @@ object StreamingOps {
 
   // ---- rolling z-score anomaly detection ----------------------------------
 
+  /** Per-(label, dim) cohort-mean drift over integer-quantized embedding
+    * components — the write-once-run-both form behind the oracled batch
+    * entry `q_embedding_drift` AND the streaming drift monitor. Cohorts are
+    * the vec_id parity (two interleaved corpus vintages). As a stream
+    * (update/complete mode) the aggregation state is ONE row per
+    * (label, dim) — bounded by the attribute domain × dims, never the
+    * stream length — so the monitor runs unbounded with constant state and
+    * needs no watermark. The state is integer sums/counts (quantized
+    * components), so the emitted means are exactly the batch run's no
+    * matter how micro-batches slice the input. No orderBy here: streaming
+    * aggregations forbid it; the batch entry sorts at the edge. */
+  def embeddingDrift(df: DataFrame, dims: Int = 8): DataFrame =
+    df.select(col("label"), (col("vec_id") % 2 === 0).as("even"),
+        posexplode(expr(
+          s"transform(slice(embedding, 1, $dims), x -> floor(CAST(x AS DOUBLE) * 8.0D + 0.5D))"))
+          .as(Seq("pos", "qv")))
+      .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
+      .agg(
+        sum(when(col("even"), col("qv"))).as("se"),
+        count(when(col("even"), lit(1))).as("n_e"),
+        sum(when(!col("even"), col("qv"))).as("so"),
+        count(when(!col("even"), lit(1))).as("n_o"))
+      .filter(col("n_e") > 0 && col("n_o") > 0)
+      .select(col("label"), col("dim"),
+        round(col("se") / col("n_e"), 6).as("mean_even"),
+        round(col("so") / col("n_o"), 6).as("mean_odd"),
+        round(col("se") / col("n_e") - col("so") / col("n_o"), 6).as("drift"))
+
+  final case class DriftVec(label: String, vec_id: Long, embedding: Seq[Double])
+
   final case class ZEvent(event_id: Long, event_type: String, ts: Timestamp, value: Double)
   final case class ZState(vals: Seq[Double])
   final case class ZAnomaly(event_id: Long, event_type: String, value: Double, z: Double)
