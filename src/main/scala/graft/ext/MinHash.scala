@@ -227,12 +227,16 @@ object MinHash {
       }
     }).apply(textCol)
 
-  def portablePairs(
+  /** The materialized shingle sets and the banded candidate pairs BEFORE
+    * Jaccard verification — the two internal stages of [[portablePairs]],
+    * exposed so the sketch-quality harness (`q_sketch_recall`) can measure
+    * LSH bucket recall/precision against the exact pair set. Returns
+    * (shl = (doc, shs), cand = (doc_a, doc_b) with doc_a < doc_b). */
+  def portableCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3): (DataFrame, DataFrame) = {
     // Materialize the shingle sets once: the plan below reads shl THREE
     // times (signature explode + both verify-join sides), and shingling is
     // the costliest per-row stage. localCheckpoint trades one write of
@@ -263,6 +267,16 @@ object MinHash {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    (shl, cand)
+  }
+
+  def portablePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    val (shl, cand) = portableCandidates(df, idCol, textCol, shingleN)
     val jac = size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
       size(array_union(col("shs_a"), col("shs_b")))
     cand

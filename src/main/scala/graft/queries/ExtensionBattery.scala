@@ -1015,6 +1015,75 @@ object ExtensionBattery {
         .limit(500)
     },
 
+    // The SKETCH quality harness (q_ann_recall's sibling for the dedup
+    // tier): recall and precision of the banded MinHash-LSH CANDIDATE set
+    // against the exact Jaccard >= 0.3 pair set on the bounded doc slice —
+    // the measured miss rate a curator tunes bands/rows against (4 bands ×
+    // 2 rows ⇒ P(candidate|J) = 1-(1-J²)⁴, so sub-threshold recall is
+    // genuinely < 1 and worth reporting). Both legs are deterministic
+    // (salted-md5 family; exact set arithmetic), so the five summary
+    // numbers hash-oracle exactly. Exact leg = the documented
+    // oracle-tractable quadratic on the bounded slice (q_jaccard_pairs
+    // discipline); at corpus scale the exact leg IS the thing LSH replaces
+    // — this entry exists to measure that replacement, on a slice.
+    sql("q_sketch_recall",
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 600),
+         |shl AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(toks[i:(i+2)], ' '))) AS shs
+         |  FROM tok WHERE len(toks) >= 3),
+         |ex AS (
+         |  SELECT doc_id, md5('a:' || sh) AS ma, md5('b:' || sh) AS mb
+         |  FROM (SELECT doc_id, unnest(shs) AS sh FROM shl)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(substring(ma, 1, 8)) AS h0, min(substring(ma, 9, 8)) AS h1,
+         |    min(substring(ma, 17, 8)) AS h2, min(substring(ma, 25, 8)) AS h3,
+         |    min(substring(mb, 1, 8)) AS h4, min(substring(mb, 9, 8)) AS h5,
+         |    min(substring(mb, 17, 8)) AS h6, min(substring(mb, 25, 8)) AS h7
+         |  FROM ex GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bv FROM sig UNION ALL
+         |  SELECT doc_id, 1, h2 || '|' || h3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, h4 || '|' || h5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |exact AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |        / len(list_distinct(a.shs || b.shs)) >= 0.3),
+         |hit AS (SELECT * FROM exact INTERSECT SELECT * FROM cand)
+         |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_true,
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |  round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |    / (SELECT count(*) FROM exact), 6) AS recall,
+         |  round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |    / (SELECT count(*) FROM cand), 6) AS prec""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val slice = Tables.documents(s, d).filter($"doc_id" < 600)
+      val (shl, cand) = MinHash.portableCandidates(slice, "doc_id", "text")
+      val jac = size(array_intersect($"shs_a", $"shs_b")).cast("double") /
+        size(array_union($"shs_a", $"shs_b"))
+      val exact = shl.toDF("doc_a", "shs_a")
+        .join(broadcast(shl.toDF("doc_b", "shs_b")), $"doc_a" < $"doc_b")
+        .filter(jac >= 0.3).select($"doc_a", $"doc_b")
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      exact.join(cand.withColumn("m", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce($"m", lit(0))).as("n_hit"))
+        .crossJoin(broadcast(nCand))
+        .select($"n_true", $"n_cand", $"n_hit",
+          round($"n_hit".cast("double") / $"n_true", 6).as("recall"),
+          round($"n_hit".cast("double") / $"n_cand", 6).as("prec"))
+    },
+
     // PRODUCTION-SPEED MinHash+LSH: the FNV-1a/splitmix64 JVM hash family —
     // one fused tokenize→shingle→minhash pass per row, no md5. Rows-only
     // (the hash family is engine-specific by design); ExtOpsSpec pins that

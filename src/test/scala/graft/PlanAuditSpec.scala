@@ -231,6 +231,11 @@ class PlanAuditSpec extends SparkSpec {
       // probe broadcast (IVF leg) + 10-query exact-scan broadcast
       // (q_cosine_topk family) — both bounded by construction
       "q_ann_recall",
+      // sketch-quality harness: the exact leg is the documented
+      // oracle-tractable quadratic on the bounded doc_id < 600 slice
+      // (q_jaccard_pairs family) + a 1-row candidate-count broadcast;
+      // the LSH leg itself is the banded equi-join, never all-pairs
+      "q_sketch_recall",
       "q_inactive_rich_cust", "q_jaccard_pairs", "q_lm_perplexity",
       // hybrid retrieval: the BM25 leg's 1-row stats broadcast + the dense
       // leg's bounded 1-query broadcast (q_cosine_topk family); the fusion

@@ -117,6 +117,23 @@ class MinHashSpec extends SparkSpec {
     assert(pairs.keys.forall { case (a, b) => a != 5L && b != 5L })
   }
 
+  test("sketch recall harness: identities hold and verified pairs are exactly the hits") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_sketch_recall")(spark, sf).head()
+    val (nTrue, nCand, nHit) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(nHit <= nTrue && nHit <= nCand && nTrue > 0 && nCand > 0)
+    assert(out.getDouble(3) == BigDecimal(nHit.toDouble / nTrue)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getDouble(4) == BigDecimal(nHit.toDouble / nCand)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the hit set IS the verified pair set: candidates that pass the exact
+    // Jaccard filter — so n_hit must equal portablePairs' count on the slice
+    val verified = MinHash.portablePairs(
+      graft.sources.Tables.documents(spark, sf).filter($"doc_id" < 600),
+      "doc_id", "text", threshold = 0.3).count()
+    assert(nHit == verified)
+  }
+
   test("fast (FNV) and portable (md5) pipelines keep the same pairs on a separated corpus") {
     // The benched q_minhash_neardup_fast entry must stay interchangeable
     // with the oracled portable form wherever the corpus separates cleanly:
