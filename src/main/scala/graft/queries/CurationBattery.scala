@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Components, HybridSearch, Multimodal, SetSimJoin, Similarity, TextAnalysis, TextIndex}
+import graft.ext.{Components, Erasure, HybridSearch, Multimodal, QualityFilter, SetSimJoin, Similarity, TextAnalysis, TextIndex}
 import graft.sources.Tables
 
 /** Corpus-curation battery: the composed shapes a training-data platform
@@ -96,6 +96,53 @@ object CurationBattery {
        |    SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 1)),
        |$steps
        |SELECT CAST(rank AS INT) AS rank, vec_id, cos FROM sel10 ORDER BY rank""".stripMargin
+  }
+
+  /** Shared Naive-Bayes CTE chain (seed label = the 30–400-token /
+    * ≥150-char length gate, train slice = doc_id%5≠0, 64 hashed unigram
+    * buckets, add-one smoothing) — yields `base`/`pri`/`sums` for the two
+    * learned-quality entries: q_quality_classifier (held-out confusion) and
+    * q_quality_select (budgeted selection). Mirrors
+    * [[graft.ext.QualityFilter.scores]] exactly. */
+  private val nbCtesSql =
+    s"""base AS (
+       |  SELECT doc_id, lang,
+       |    (len($toksSql) BETWEEN 30 AND 400 AND n_chars >= 150) AS label,
+       |    (doc_id % 5 <> 0) AS is_train, $toksSql AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, label, is_train,
+       |    (strpos('123456789abcdef', substring(md5(w), 1, 1)) * 16 +
+       |     strpos('123456789abcdef', substring(md5(w), 2, 1))) % 64 AS b
+       |  FROM (SELECT doc_id, label, is_train, unnest(toks) AS w FROM base)),
+       |cnt AS (
+       |  SELECT b, count(*) FILTER (WHERE label) AS cp,
+       |    count(*) FILTER (WHERE NOT label) AS cn
+       |  FROM tok WHERE is_train GROUP BY 1),
+       |fullb AS (
+       |  SELECT gs.b, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS b) gs
+       |  LEFT JOIN cnt USING (b)),
+       |tots AS (SELECT sum(cp) AS tp_, sum(cn) AS tn_ FROM fullb),
+       |wt AS (
+       |  SELECT b, ln((cp + 1.0) / (tp_ + 64.0)) - ln((cn + 1.0) / (tn_ + 64.0)) AS lw
+       |  FROM fullb CROSS JOIN tots),
+       |pri AS (
+       |  SELECT ln((count(*) FILTER (WHERE label) + 1.0) /
+       |            (count(*) FILTER (WHERE NOT label) + 1.0)) AS prior
+       |  FROM base WHERE is_train),
+       |sums AS (SELECT doc_id, sum(lw) AS sw FROM tok JOIN wt USING (b) GROUP BY 1)""".stripMargin
+
+  /** The Spark-side twin of `base` in [[nbCtesSql]]: documents with the
+    * seed label and the train/held-out flag riding along. */
+  private def nbDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"n_chars",
+        TextAnalysis.tokens($"text").as("toks"))
+      .withColumn("label",
+        size($"toks").between(30, 400) && $"n_chars" >= 150)
+      .withColumn("is_train", pmod($"doc_id", lit(5)) =!= 0)
   }
 
   /** The DuckDB mirror of [[splitOf]] over a BIGINT column expression. */
@@ -985,5 +1032,173 @@ object CurationBattery {
         .groupBy($"l")
         .agg(count(lit(1)).as("n_groups"), sum($"n").as("n_rows"))
         .orderBy($"l")
+    },
+
+    // MODEL-BASED quality filtering ([[graft.ext.QualityFilter]]): a
+    // multinomial Naive Bayes classifier over 64 hashed unigram buckets,
+    // trained on the seed-labeled doc_id%5!=0 slice (seed rule = the
+    // heuristic length gate: 30-400 tokens AND >=150 chars) and evaluated
+    // on the HELD-OUT doc_id%5==0 slice — the fastText-style learned
+    // filter beside the heuristic gate (q_quality_score), the perplexity
+    // filter (q_lm_perplexity) and DSIR (q_dsir_weights), with the
+    // train/held-out discipline that turns "we filtered" into a measured
+    // precision/recall per language. Train = one conditional partial agg
+    // over the token stream (64-row model); score = broadcast-join the
+    // stream against the 64-row weight table + one keyed partial agg —
+    // linear end to end, model size fixed regardless of vocabulary.
+    // Predictions compare round(score,6) > 0 so both engines threshold
+    // the identical pinned value.
+    sql("q_quality_classifier",
+      s"""WITH $nbCtesSql,
+         |ev AS (
+         |  SELECT lang, label, round(prior + coalesce(sw, 0.0), 6) > 0 AS pred
+         |  FROM base CROSS JOIN pri LEFT JOIN sums USING (doc_id)
+         |  WHERE NOT is_train)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(count(*) FILTER (WHERE label AND pred) AS BIGINT) AS tp,
+         |  CAST(count(*) FILTER (WHERE NOT label AND pred) AS BIGINT) AS fp,
+         |  CAST(count(*) FILTER (WHERE label AND NOT pred) AS BIGINT) AS fn,
+         |  CAST(count(*) FILTER (WHERE NOT label AND NOT pred) AS BIGINT) AS tn,
+         |  CASE WHEN count(*) FILTER (WHERE pred) > 0 THEN
+         |    round(CAST(count(*) FILTER (WHERE label AND pred) AS DOUBLE)
+         |      / count(*) FILTER (WHERE pred), 4) END AS precision,
+         |  CASE WHEN count(*) FILTER (WHERE label) > 0 THEN
+         |    round(CAST(count(*) FILTER (WHERE label AND pred) AS DOUBLE)
+         |      / count(*) FILTER (WHERE label), 4) END AS recall
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = nbDocs(s, d)
+      val scored = QualityFilter.scores(docs, "doc_id", "toks", "label", "is_train")
+      val ev = docs.filter(!$"is_train")
+        .join(scored, Seq("doc_id"))
+        .select($"lang", $"label", (round($"score", 6) > 0).as("pred"))
+      ev.groupBy($"lang")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when($"label" && $"pred", 1L).otherwise(0L)).as("tp"),
+          sum(when(!$"label" && $"pred", 1L).otherwise(0L)).as("fp"),
+          sum(when($"label" && !$"pred", 1L).otherwise(0L)).as("fn"),
+          sum(when(!$"label" && !$"pred", 1L).otherwise(0L)).as("tn"))
+        .select($"lang", $"n_eval", $"tp", $"fp", $"fn", $"tn",
+          when($"tp" + $"fp" > 0,
+            round($"tp".cast("double") / ($"tp" + $"fp"), 4)).as("precision"),
+          when($"tp" + $"fn" > 0,
+            round($"tp".cast("double") / ($"tp" + $"fn"), 4)).as("recall"))
+        .orderBy($"lang")
+    },
+
+    // BUDGETED quality selection — the composition the classifier exists
+    // for: rank the held-out corpus by NB score and keep the best docs per
+    // language under a 600-token budget (the corpus-shaping step of a
+    // pretraining mix, quality-ordered instead of q_token_budget_sample's
+    // priority column). One partitioned cumulative window over the scored
+    // docs — per-language state, never a global sort; ties at the round-6
+    // score break by doc_id so both engines pick the identical prefix.
+    sql("q_quality_select",
+      s"""WITH $nbCtesSql,
+         |cand AS (
+         |  SELECT doc_id, lang, len(toks) AS n_toks,
+         |    round(prior + coalesce(sw, 0.0), 6) AS q
+         |  FROM base CROSS JOIN pri LEFT JOIN sums USING (doc_id)
+         |  WHERE NOT is_train),
+         |sel AS (
+         |  SELECT doc_id, lang, n_toks, q,
+         |    sum(n_toks) OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS cum
+         |  FROM cand)
+         |SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks, q
+         |FROM sel WHERE cum <= 600 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = nbDocs(s, d)
+      val scored = QualityFilter.scores(docs, "doc_id", "toks", "label", "is_train")
+      val cand = docs.filter(!$"is_train")
+        .join(scored, Seq("doc_id"))
+        .select($"doc_id", $"lang", size($"toks").cast("long").as("n_toks"),
+          round($"score", 6).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"q".desc, $"doc_id")
+      cand.withColumn("cum", sum($"n_toks").over(w))
+        .filter($"cum" <= 600)
+        .select($"doc_id", $"lang", $"n_toks", $"q")
+        .orderBy($"doc_id")
+    },
+
+    // Right-to-be-forgotten sweep: erasure requests (doc_id%97=0 stands in
+    // for the request list) must take out the requested docs AND every
+    // near-duplicate copy — deleting only the requested row leaves its
+    // content in the corpus via its Jaccard-0.8 twins, which is the
+    // compliance failure mode this report measures. Near-dup clusters come
+    // from the prefix-filtered SetSimJoin + connected components (never
+    // all-pairs; the doc_id<600 bound exists for the quadratic ORACLE
+    // only); the erase propagation is one distinct on the requested
+    // clusters + one hash semi-join — at scale the request list is tiny,
+    // so the cluster probe broadcasts.
+    sql("q_gdpr_erasure",
+      s"""WITH tok2 AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct($toksSql) AS dtoks
+         |  FROM documents WHERE doc_id < 600 AND len($toksSql) > 0),
+         |$jaccardEdgesSqlFragment,
+         |$componentsSqlFragment,
+         |cl AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(coalesce(r.component, d.doc_id) AS BIGINT) AS cluster_id,
+         |    d.doc_id % 97 = 0 AS requested
+         |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.id
+         |  WHERE d.doc_id < 600),
+         |ec AS (SELECT DISTINCT cluster_id FROM cl WHERE requested),
+         |fl AS (
+         |  SELECT cl.*, ec.cluster_id IS NOT NULL AS erased
+         |  FROM cl LEFT JOIN ec USING (cluster_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE requested) AS BIGINT) AS n_requested,
+         |  CAST(count(*) FILTER (WHERE erased AND NOT requested) AS BIGINT) AS n_collateral,
+         |  CAST(count(*) FILTER (WHERE NOT erased) AS BIGINT) AS n_surviving
+         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 600)
+      Erasure.sweep(docs, "doc_id", "text", pmod($"doc_id", lit(97)) === 0)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"requested", 1L).otherwise(0L)).as("n_requested"),
+          sum(when($"erased" && !$"requested", 1L).otherwise(0L)).as("n_collateral"),
+          sum(when(!$"erased", 1L).otherwise(0L)).as("n_surviving"))
+        .orderBy($"source")
+    },
+
+    // Corpus vintage diff — the data-versioning audit every ingest runs:
+    // per-source added / removed / changed / unchanged counts between two
+    // snapshots, compared by content hash (the two vintages are simulated
+    // deterministically: old = doc_id%11≠0 with doc_id%13=0 texts staled,
+    // new = doc_id%17≠0). Content hashes compute map-side; the diff is ONE
+    // hash full-outer join on doc_id — linear, and at 100 TB the same plan
+    // runs over snapshot manifests of (doc_id, md5) instead of raw text.
+    sql("q_corpus_diff",
+      """WITH v_old AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' (stale)' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |v_new AS (SELECT doc_id, source, md5(text) AS h
+        |          FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT coalesce(o.source, n.source) AS source,
+        |  CAST(count(*) FILTER (WHERE o.doc_id IS NULL) AS BIGINT) AS n_added,
+        |  CAST(count(*) FILTER (WHERE n.doc_id IS NULL) AS BIGINT) AS n_removed,
+        |  CAST(count(*) FILTER (WHERE o.h <> n.h) AS BIGINT) AS n_changed,
+        |  CAST(count(*) FILTER (WHERE o.h = n.h) AS BIGINT) AS n_unchanged
+        |FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      val vOld = docs.filter(pmod($"doc_id", lit(11)) =!= 0)
+        .select($"doc_id".as("o_id"), $"source".as("o_source"),
+          md5(when(pmod($"doc_id", lit(13)) === 0,
+            concat($"text", lit(" (stale)"))).otherwise($"text")).as("o_h"))
+      val vNew = docs.filter(pmod($"doc_id", lit(17)) =!= 0)
+        .select($"doc_id".as("n_id"), $"source".as("n_source"),
+          md5($"text").as("n_h"))
+      vOld.join(vNew, $"o_id" === $"n_id", "full_outer")
+        .groupBy(coalesce($"o_source", $"n_source").as("source"))
+        .agg(sum(when($"o_id".isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when($"n_id".isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when($"o_h" =!= $"n_h", 1L).otherwise(0L)).as("n_changed"),
+          sum(when($"o_h" === $"n_h", 1L).otherwise(0L)).as("n_unchanged"))
+        .orderBy($"source")
     })
 }

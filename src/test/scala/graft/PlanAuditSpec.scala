@@ -286,7 +286,14 @@ class PlanAuditSpec extends SparkSpec {
       // bounded vec_id < 500 query slice against itself (the documented
       // exact-recall oracle baseline; corpus-scale path is LSH/IVF
       // candidates) — same family as q_cosine_topk*
-      "q_semantic_outliers")
+      "q_semantic_outliers",
+      // NB quality classifier: the 1-row bucket-totals frame and the
+      // 1-row class-prior frame are broadcast-crossed into the 64-row
+      // weight table / per-doc score — the q_dsir_weights discipline,
+      // bounded by the fixed bucket count, never the corpus
+      "q_quality_classifier",
+      // same NB scorer feeding the budgeted selection window
+      "q_quality_select")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sweep EVERY plan the build executes (gate probes, index builds,

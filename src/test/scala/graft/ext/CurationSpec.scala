@@ -350,4 +350,85 @@ class CurationSpec extends SparkSpec {
     val langs = docs.select($"lang").distinct().as[String].collect().toSet
     assert(out.map(_.getString(0)).forall(langs))
   }
+
+  test("quality classifier: learns a separable vocabulary and generalizes to held-out docs") {
+    // positives speak {good, clean, prose}, negatives {spam, junk, noise};
+    // train on ids % 5 != 0, eval held-out — a learned filter must get every
+    // held-out doc right (the signal is fully separable), and the prior-only
+    // score of a zero-token doc must equal ln((nPos+1)/(nNeg+1)).
+    val docs = (0L until 100L).map { i =>
+      val pos = i % 2 == 0
+      val words = if (pos) Seq("good", "clean", "prose") else Seq("spam", "junk", "noise")
+      (i, Seq.tabulate(5)(k => words((i + k).toInt % 3)), pos, i % 5 != 0)
+    }.toDF("id", "toks", "label", "is_train")
+    val out = QualityFilter.scores(docs, "id", "toks", "label", "is_train")
+      .join(docs, Seq("id")).filter(!$"is_train")
+      .select($"label", $"score" > 0).collect()
+    assert(out.nonEmpty && out.forall(r => r.getBoolean(0) == r.getBoolean(1)))
+
+    val lone = Seq((0L, Seq.empty[String], true, false),
+      (1L, Seq("good"), true, true), (2L, Seq("spam"), false, true),
+      (3L, Seq("spam"), false, true)).toDF("id", "toks", "label", "is_train")
+    val prior = QualityFilter.scores(lone, "id", "toks", "label", "is_train")
+      .filter($"id" === 0L).head().getDouble(1)
+    assert(math.abs(prior - math.log(2.0 / 3.0)) < 1e-12)
+  }
+
+  test("quality select: exactly the per-language greedy prefix under the token budget") {
+    val out = graft.SparkEntry.queries("q_quality_select")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0))) // (lang, doc_id)
+    // from-scratch recompute: rank held-out docs by (round-6 score desc, id)
+    // per language and take the maximal prefix with cumulative tokens <= 600
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"n_chars", TextAnalysis.tokens($"text").as("toks"))
+      .withColumn("label", size($"toks").between(30, 400) && $"n_chars" >= 150)
+      .withColumn("is_train", pmod($"doc_id", lit(5)) =!= 0)
+    val cand = docs.filter(!$"is_train")
+      .join(QualityFilter.scores(docs, "doc_id", "toks", "label", "is_train"), Seq("doc_id"))
+      .select($"lang", $"doc_id", size($"toks").cast("long").as("n"), round($"score", 6).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // note .toSeq before flatMap: flatMapping a Map with (lang, id) results
+    // would rebuild a Map keyed by lang and keep one doc per language
+    val expected = cand.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (-r._4, r._2)).takeWhile { r => cum += r._3; cum <= 600L }
+        .map(r => (lang, r._2)).toSeq
+    }.toSet
+    assert(out.nonEmpty && out.toSet == expected)
+  }
+
+  test("erasure sweep: propagates through a transitive twin chain, spares the rest") {
+    // doc 0 is requested; 40-token windows shifted by 4 make 0–1 and 1–2
+    // Jaccard 36/44 ≈ 0.82 pairs while 0–2 is only 32/48 ≈ 0.67 — so doc 2
+    // erases ONLY via transitivity; 10/11 form an unrequested twin pair and
+    // survive; 20 is a singleton and survives.
+    def win(pfx: String, from: Int) = (from until from + 40).map(i => s"$pfx$i").mkString(" ")
+    val docs = Seq(
+      (0L, win("t", 0)), (1L, win("t", 4)), (2L, win("t", 8)),
+      (10L, win("u", 0)), (11L, win("u", 4)),
+      (20L, win("z", 0))
+    ).toDF("doc_id", "text")
+    val out = Erasure.sweep(docs, "doc_id", "text", $"doc_id" === 0L)
+      .select($"doc_id", $"erased").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(out(_)))
+    assert(Seq(10L, 11L, 20L).forall(!out(_)))
+    // and the erased set is cluster-closed: 10 and 11 share a fate
+    assert(out(10L) == out(11L))
+  }
+
+  test("corpus diff: counts match direct slice arithmetic") {
+    val out = graft.SparkEntry.queries("q_corpus_diff")(spark, sf)
+      .agg(sum($"n_added"), sum($"n_removed"), sum($"n_changed"), sum($"n_unchanged"))
+      .head()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def n(p: org.apache.spark.sql.Column) = docs.filter(p).count()
+    val inOld = pmod($"doc_id", lit(11)) =!= 0
+    val inNew = pmod($"doc_id", lit(17)) =!= 0
+    val staled = pmod($"doc_id", lit(13)) === 0
+    assert(out.getLong(0) == n(!inOld && inNew))   // added
+    assert(out.getLong(1) == n(inOld && !inNew))   // removed
+    assert(out.getLong(2) == n(inOld && inNew && staled))
+    assert(out.getLong(3) == n(inOld && inNew && !staled))
+  }
 }
