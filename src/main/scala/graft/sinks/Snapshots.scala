@@ -215,6 +215,55 @@ object Snapshots {
     }
   }
 
+  /** Replace an EXPLICIT set of partition specs with `df`'s content: specs
+    * in `replaced` that `df` does not re-write are REMOVED from the
+    * manifest. This is the delete-capable sibling of `commitPartitioned`'s
+    * dynamic overwrite (which can only replace a spec with non-empty data)
+    * — physical erasure needs "this partition now holds nothing".
+    *
+    * `df` may be empty (all listed specs drop). Specs `df` writes OUTSIDE
+    * `replaced` are rejected loudly — a rewrite that manufactures rows in a
+    * partition it was not asked to touch is a bug, not a commit. Same
+    * `txn` idempotence contract as the other commit forms. */
+  def commitPartitionReplace(
+      df: DataFrame,
+      table: String,
+      partitionBy: Seq[String],
+      replaced: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
+    require(partitionBy.nonEmpty, "partitionBy must be non-empty")
+    require(replaced.nonEmpty, "replaced specs must be non-empty")
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val prev = versions(spark, table)
+    val v = prev.lastOption.getOrElse(0L) + 1
+    val prevManifest = prev.lastOption.map(readManifest(f, table, _))
+    prevManifest.foreach(m => require(m.dirs.isEmpty,
+      s"$table is unpartitioned — use commit"))
+    val prevTxnMap = prevManifest.map(_.txn).getOrElse(Map.empty[String, Long])
+    val replayed = txn.exists { case (app, id) => prevTxnMap.get(app).exists(_ >= id) }
+    if (replayed) prev.last
+    else {
+      val base = f"$table/data/c-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode(SaveMode.ErrorIfExists).partitionBy(partitionBy: _*).parquet(base)
+      def specs(p: Path, depth: Int): Seq[String] =
+        if (depth == 0) Seq("")
+        else f.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap(st => specs(st.getPath, depth - 1)
+            .map(rest => if (rest.isEmpty) st.getPath.getName else s"${st.getPath.getName}/$rest"))
+      val touched =
+        if (f.exists(new Path(base))) specs(new Path(base), partitionBy.length)
+        else Seq.empty // fully-empty df: parquet writes no directory at all
+      val stray = touched.filterNot(replaced.contains)
+      require(stray.isEmpty,
+        s"rewrite produced partitions outside the replaced set: ${stray.mkString(", ")}")
+      val prevParts = prevManifest.map(_.partitions).getOrElse(Map.empty[String, Seq[String]])
+      val merged = prevParts -- replaced ++ touched.map(_ -> Seq(base))
+      publish(f, table, v, Manifest(Seq.empty, merged.toMap, prevTxnMap ++ txn))
+    }
+  }
+
   /** Snapshot-native MERGE (upsert): rows of `updates` replace current rows
     * sharing their key; new keys insert. Published as one new version, so
     * readers see the merge atomically and time travel keeps the pre-merge

@@ -540,6 +540,215 @@ object StreamingOps {
       }
       .start()
 
+  // ---- streaming GDPR-erasure gate -----------------------------------------
+
+  /** Right-to-be-forgotten as an ingest gate (the FOURTH streaming gate,
+    * beside the exact-substring, semantic-dedup and split gates): each
+    * arriving batch of erasure requests (`doc_id`) tombstones the requested
+    * corpus docs AND their transitive Jaccard-`threshold` near-duplicates —
+    * the streaming twin of [[graft.ext.Erasure.sweep]] behind the oracled
+    * `q_gdpr_erasure` (deleting only the requested row leaves its content
+    * alive in lightly-edited twins).
+    *
+    * Per batch:
+    *   1. requested docs fetch id-bucket-pruned from `docsTable` (unknown
+    *      ids no-op); already-tombstoned requests seed the walk but emit
+    *      no duplicate tombstone (re-requesting is idempotent).
+    *   2. closure walk, ≤ `maxHops` rounds: the frontier's tokens probe the
+    *      token-bucket-partitioned `tokenTable` (manifest overlap probe
+    *      first — a read ERROR fails the batch, a non-overlapping frontier
+    *      is an empty index: the [[startSemDedupIngest]] discipline);
+    *      shared-any-token candidates fetch id-bucket-pruned and verify
+    *      EXACT Jaccard ≥ `threshold`; fresh ids become the next frontier.
+    *      Every round is frontier-sized — the corpus is never rescanned,
+    *      and already-erased docs never re-tombstone, so the walk strictly
+    *      shrinks its candidate space. `maxHops` is an availability bound
+    *      against adversarial twin chains; a longer chain RESUMES by
+    *      re-requesting any of its members — already-tombstoned requests
+    *      re-seed the walk without producing duplicate tombstone rows.
+    *   3. tombstones (doc_id, reason, hop, batch) append to
+    *      `tombstoneTable` under a txn watermark — replays no-op.
+    *
+    * Deletion is TWO-PHASE (the deletion-vector discipline): tombstones are
+    * metadata-speed and make [[erasedCorpus]] correct immediately;
+    * [[applyErasure]] amortizes the physical rewrite, touching only the
+    * partitions that actually hold tombstoned rows. */
+  def startErasureIngest(
+      requests: DataFrame, // (doc_id: Long)
+      docsTable: String,
+      tokenTable: String,
+      tombstoneTable: String,
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      buckets: Int = 64,
+      maxHops: Int = 5,
+      appId: String = "graft-erasure-ingest",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.sinks.Snapshots
+          def emptyFrame(fields: (String, org.apache.spark.sql.types.DataType)*) =
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+                org.apache.spark.sql.types.StructField(n, t) }))
+          import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+          val already =
+            if (Snapshots.versions(spark, tombstoneTable).isEmpty)
+              emptyFrame("doc_id" -> LongType)
+            else Snapshots.read(spark, tombstoneTable).select(col("doc_id"))
+          // ALL distinct requests seed the walk — an already-tombstoned
+          // request re-seeds (resuming a maxHops-cut chain) but never
+          // re-tombstones; only genuinely new ids produce tombstone rows
+          val reqAll = batch.toDF().select(col("doc_id")).distinct()
+            .localCheckpoint()
+          // id-bucket-pruned doc fetch (ids → (doc_id, toks)); the manifest
+          // overlap probe keeps "no matching partition" distinct from a
+          // genuine read error
+          def fetchDocs(ids: DataFrame): DataFrame = {
+            val bks: Set[String] = ids
+              .select(pmod(col("doc_id"), lit(buckets)).cast("string"))
+              .distinct().collect().map(_.getString(0)).toSet
+            val overlapping = bks.nonEmpty &&
+              Snapshots.versions(spark, docsTable).nonEmpty &&
+              Snapshots.partitions(spark, docsTable)
+                .exists(spec => Snapshots.parseSpec(spec).get("dbucket").exists(bks))
+            if (!overlapping)
+              emptyFrame("doc_id" -> LongType, "toks" -> ArrayType(StringType))
+            else Snapshots.read(spark, docsTable,
+                partitionFilter = spec => spec.get("dbucket").exists(bks))
+              .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .select(col("doc_id"),
+                array_distinct(graft.ext.TextAnalysis.tokens(col("text"))).as("toks"))
+          }
+          var frontier = fetchDocs(reqAll).localCheckpoint()
+          var erasedIds = already
+            .union(frontier.select(col("doc_id"))).distinct().localCheckpoint()
+          var newTombs = frontier.select(col("doc_id"))
+            .join(already, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), lit("requested").as("reason"), lit(0).as("hop"))
+            .localCheckpoint()
+          var hop = 1
+          while (hop <= maxHops && !frontier.isEmpty) {
+            val ftoks = frontier
+              .select(col("doc_id").as("src_id"), explode(col("toks")).as("token"))
+              .withColumn("bucket", pmod(xxhash64(col("token")), lit(buckets)))
+            val probed: Set[String] = ftoks
+              .select(col("bucket").cast("string")).distinct()
+              .collect().map(_.getString(0)).toSet
+            val idxOverlapping = probed.nonEmpty &&
+              Snapshots.versions(spark, tokenTable).nonEmpty &&
+              Snapshots.partitions(spark, tokenTable)
+                .exists(spec => Snapshots.parseSpec(spec).get("bucket").exists(probed))
+            val idx =
+              if (!idxOverlapping)
+                emptyFrame("token" -> StringType, "corpus_id" -> LongType)
+              else Snapshots.read(spark, tokenTable,
+                  partitionFilter = spec => spec.get("bucket").exists(probed))
+                .select(col("token"), col("doc_id").as("corpus_id"))
+            val cand = ftoks.join(idx, "token")
+              .select(col("src_id"), col("corpus_id")).distinct()
+              .join(erasedIds.select(col("doc_id").as("corpus_id")),
+                Seq("corpus_id"), "left_anti")
+              .localCheckpoint()
+            val candDocs = fetchDocs(cand.select(col("corpus_id").as("doc_id")))
+              .select(col("doc_id").as("corpus_id"), col("toks").as("ctoks"))
+            val inter = size(array_intersect(col("toks"), col("ctoks")))
+            val fresh = cand
+              .join(frontier.select(col("doc_id").as("src_id"), col("toks")), "src_id")
+              .join(candDocs, "corpus_id")
+              .filter(inter > 0 &&
+                inter.cast("double") /
+                  (size(col("toks")) + size(col("ctoks")) - inter) >= threshold)
+              .select(col("corpus_id").as("doc_id"), col("ctoks").as("toks"))
+              .dropDuplicates("doc_id")
+              .localCheckpoint()
+            frontier = fresh
+            erasedIds = erasedIds
+              .union(fresh.select(col("doc_id"))).localCheckpoint()
+            newTombs = newTombs.union(
+              fresh.select(col("doc_id"), lit("collateral").as("reason"),
+                lit(hop).as("hop"))).localCheckpoint()
+            hop += 1
+          }
+          if (!newTombs.isEmpty)
+            Snapshots.commit(newTombs.withColumn("batch", lit(batchId)),
+              tombstoneTable, org.apache.spark.sql.SaveMode.Append,
+              txn = Some(appId -> batchId))
+          ()
+        }
+      }
+      .start()
+
+  /** The logically-erased corpus: `docsTable` minus standing tombstones —
+    * correct immediately after a gate batch, before any physical rewrite.
+    * The anti-join side is the tombstone id set (small until vacuumed;
+    * Spark broadcasts it on its own under AQE). */
+  def erasedCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      docsTable: String,
+      tombstoneTable: String): DataFrame = {
+    import graft.sinks.Snapshots
+    val docs = Snapshots.read(spark, docsTable)
+    if (Snapshots.versions(spark, tombstoneTable).isEmpty) docs
+    else docs.join(Snapshots.read(spark, tombstoneTable)
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Phase two of erasure — the PHYSICAL rewrite, amortized across gate
+    * batches: rewrites ONLY the id-bucket partitions of `docsTable` and the
+    * token-bucket partitions of `tokenTable` that actually hold tombstoned
+    * rows (one column-pruned semi-probe of the token index finds its
+    * affected buckets — robust to any crash ordering, no dependency on doc
+    * text still being readable). Partitions that become empty DROP from the
+    * manifest ([[graft.sinks.Snapshots.commitPartitionReplace]]).
+    * Idempotent: a second run finds nothing to rewrite. Tombstones are
+    * retained — they carry only ids, the audit record erasure regimes
+    * themselves require — so [[erasedCorpus]] stays correct throughout.
+    * Old versions still reference pre-rewrite files; physical removal
+    * completes with [[graft.sinks.Snapshots.vacuum]], same as compaction. */
+  def applyErasure(
+      spark: org.apache.spark.sql.SparkSession,
+      docsTable: String,
+      tokenTable: String,
+      tombstoneTable: String,
+      buckets: Int = 64): Unit = {
+    import graft.sinks.Snapshots
+    if (Snapshots.versions(spark, tombstoneTable).isEmpty) return
+    val ids = Snapshots.read(spark, tombstoneTable)
+      .select(col("doc_id")).distinct().localCheckpoint()
+    def rewrite(table: String, partCol: String, bks: => Set[String]): Unit =
+      if (Snapshots.versions(spark, table).nonEmpty) {
+        val replaced = Snapshots.partitions(spark, table)
+          .filter(sp => Snapshots.parseSpec(sp).get(partCol).exists(bks))
+        if (replaced.nonEmpty) {
+          val kept = Snapshots.read(spark, table,
+              partitionFilter = m => m.get(partCol).exists(bks))
+            .join(ids, Seq("doc_id"), "left_anti")
+          Snapshots.commitPartitionReplace(kept, table, Seq(partCol), replaced)
+        }
+      }
+    // docs: affected id-buckets derive from the ids themselves — no scan
+    rewrite(docsTable, "dbucket",
+      ids.select(pmod(col("doc_id"), lit(buckets)).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet)
+    // token index: ids scatter across token buckets, so ONE column-pruned
+    // semi-probe of the index finds the buckets that actually hold them
+    rewrite(tokenTable, "bucket",
+      Snapshots.read(spark, tokenTable)
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("bucket").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet)
+  }
+
   // ---- rolling z-score anomaly detection ----------------------------------
 
   /** Per-(label, dim) cohort-mean drift over integer-quantized embedding

@@ -229,6 +229,36 @@ class SnapshotsSpec extends SparkSpec {
       Map(1 -> "a", 2 -> "B!", 5 -> "e"))
   }
 
+  test("commitPartitionReplace: empty rewrites drop specs; stray partitions rejected; time travel intact") {
+    val t = tmp()
+    Snapshots.commitPartitioned(
+      Seq((1, "a"), (2, "a"), (3, "b")).toDF("k", "p"), t, Seq("p"))
+    // rewrite p=a down to one row, drop p=b entirely (empty remainder)
+    val v2 = Snapshots.commitPartitionReplace(
+      Seq((1, "a")).toDF("k", "p"), t, Seq("p"), Seq("p=a", "p=b"))
+    assert(v2 == 2L)
+    assert(Snapshots.read(spark, t).select($"k".as[Int]).collect().toSet == Set(1))
+    assert(Snapshots.partitions(spark, t) == Seq("p=a"))
+    // prior version unchanged (time travel still sees all three rows)
+    assert(Snapshots.read(spark, t, Some(1L)).count() == 3)
+    // a rewrite that writes OUTSIDE the replaced set is a loud failure
+    intercept[IllegalArgumentException] {
+      Snapshots.commitPartitionReplace(
+        Seq((9, "zz")).toDF("k", "p"), t, Seq("p"), Seq("p=a"))
+    }
+    // fully-empty rewrite: every listed spec drops
+    Snapshots.commitPartitionReplace(
+      Seq.empty[(Int, String)].toDF("k", "p"), t, Seq("p"), Seq("p=a"))
+    assert(Snapshots.versions(spark, t).last == 3L)
+    assert(Snapshots.partitions(spark, t).isEmpty)
+    // txn idempotence carries over
+    val vT = Snapshots.commitPartitionReplace(
+      Seq((5, "c")).toDF("k", "p"), t, Seq("p"), Seq("p=c"), txn = Some("app" -> 7L))
+    assert(Snapshots.commitPartitionReplace(
+      Seq((6, "c")).toDF("k", "p"), t, Seq("p"), Seq("p=c"), txn = Some("app" -> 7L)) == vT)
+    assert(Snapshots.read(spark, t).select($"k".as[Int]).collect().toSet == Set(5))
+  }
+
   test("readers only see whole commits: no tmp manifests, immutable data dirs") {
     val t = tmp()
     Snapshots.commit(spark.range(100).select($"id", ($"id" * 2).as("v")), t)
