@@ -1163,6 +1163,56 @@ object CurationBattery {
         .orderBy($"source")
     },
 
+    // Quality-aware survivorship: when a near-dup cluster collapses, keep
+    // its BEST member (longest text, ties to the smaller id — the
+    // FineWeb/Gopher-style rule), not the smallest id — min-id canonical
+    // (q_neardup_keep_canonical) is arbitrary about WHICH copy survives,
+    // and production dedup wants the highest-quality copy. Report = one
+    // row per multi-member cluster with the survivor and the member
+    // count. The survivorship pick is a row_number over the CLUSTER
+    // partition — clusters are dup groups, bounded small at any corpus
+    // size, so the window never sees a large partition.
+    sql("q_neardup_keep_best",
+      s"""WITH tok2 AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct($toksSql) AS dtoks
+         |  FROM documents WHERE doc_id < 600 AND len($toksSql) > 0),
+         |$jaccardEdgesSqlFragment,
+         |$componentsSqlFragment,
+         |cl AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    CAST(coalesce(r.component, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.id
+         |  WHERE d.doc_id < 600),
+         |m AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM cl GROUP BY 1 HAVING count(*) >= 2),
+         |rk AS (
+         |  SELECT cl.cluster_id, cl.doc_id, cl.n_chars, m.n_members,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |                       ORDER BY cl.n_chars DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN m USING (cluster_id))
+         |SELECT cluster_id, doc_id AS keep_id, n_chars, n_members
+         |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 600)
+      val pairs = SetSimJoin.join(docs, "doc_id", "text", 0.8)
+      val comp = Components.connectedComponents(pairs, srcCol = "doc_a", dstCol = "doc_b")
+      val cl = docs
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chars",
+          coalesce($"component", $"doc_id").cast("long").as("cluster_id"))
+      val multi = cl.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+        .filter($"n_members" >= 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+      cl.join(multi, Seq("cluster_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("keep_id"), $"n_chars", $"n_members")
+        .orderBy($"cluster_id")
+    },
+
     // Corpus vintage diff — the data-versioning audit every ingest runs:
     // per-source added / removed / changed / unchanged counts between two
     // snapshots, compared by content hash (the two vintages are simulated

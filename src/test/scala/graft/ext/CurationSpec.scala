@@ -417,6 +417,29 @@ class CurationSpec extends SparkSpec {
     assert(out(10L) == out(11L))
   }
 
+  test("keep-best survivorship: the survivor is a longest member of its cluster") {
+    val out = graft.SparkEntry.queries("q_neardup_keep_best")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty) // the sf0.001 corpus plants near-dup groups
+    // recompute clusters from the candidate pairs and check, per reported
+    // cluster: membership count matches, and the keeper attains the
+    // cluster's max length with the smallest id among maxima
+    val docs = graft.sources.Tables.documents(spark, sf).filter($"doc_id" < 600)
+    val pairs = SetSimJoin.join(docs, "doc_id", "text", 0.8)
+    val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = docs.select($"doc_id".as[Long], $"n_chars".as[Long]).collect().toMap
+    val clusters = chars.keys.groupBy(id => comp.getOrElse(id, id))
+    for ((cid, keepId, n, members) <- out) {
+      val mem = clusters(cid).toSeq
+      assert(mem.size.toLong == members && mem.size >= 2)
+      val best = mem.map(id => (-chars(id), id)).min._2
+      assert(keepId == best && n == chars(keepId))
+    }
+    // and every multi-member cluster is reported exactly once
+    assert(out.map(_._1).toSet == clusters.filter(_._2.size >= 2).keySet)
+  }
+
   test("corpus diff: counts match direct slice arithmetic") {
     val out = graft.SparkEntry.queries("q_corpus_diff")(spark, sf)
       .agg(sum($"n_added"), sum($"n_removed"), sum($"n_changed"), sum($"n_unchanged"))
