@@ -38,32 +38,25 @@ object QualityFilter {
   def bucketOf(w: Column): Column =
     pmod(conv(substring(md5(w), 1, 2), 16, 10).cast("int"), lit(NumBuckets))
 
-  /** Train on the `trainCol` slice of `docs` and score EVERY row: returns
-    * (idCol, score) where score = ln((nPos+1)/(nNeg+1)) + Σ_tokens lw_b,
-    * lw_b the add-one-smoothed class log-likelihood ratio of the token's
-    * bucket. Zero-token documents score exactly the class prior.
-    *
-    * `docs` must carry `idCol`, a tokenized array column `toksCol`, a
-    * boolean `labelCol` (the seed label) and a boolean `trainCol`.
-    */
-  def scores(
+  /** Train the model from the `trainCol` slice: one conditional partial
+    * aggregate → per-bucket class counts, padded to the full bucket domain
+    * (unseen-in-train buckets still get their principled smoothed weight,
+    * not a silent drop), reduced to add-one-smoothed log-likelihood-ratio
+    * weights. Returns the SERIALIZABLE model frame: (b, lw) for buckets
+    * 0..[[NumBuckets]]−1 plus the class-prior row at b = −1 — 65 rows total,
+    * persistable as a snapshot table for hot-swappable serving
+    * ([[graft.streaming.StreamingOps.startQualityIngest]]). */
+  def model(
       docs: DataFrame,
-      idCol: String,
       toksCol: String,
       labelCol: String,
       trainCol: String): DataFrame = {
     val spark = docs.sparkSession
-    // Token stream with label/train riding along map-side (no join).
-    val tok = docs.select(
-      col(idCol), col(labelCol).as("label"), col(trainCol).as("is_train"),
-      explode(col(toksCol)).as("w"))
+    val tok = docs.filter(col(trainCol))
+      .select(col(labelCol).as("label"), explode(col(toksCol)).as("w"))
       .withColumn("b", bucketOf(col("w")))
       .drop("w")
-    // One conditional partial aggregate → per-bucket class counts, padded
-    // to the full bucket domain so unseen-in-train buckets still get their
-    // principled smoothed weight (not a silent drop).
-    val cnt = tok.filter(col("is_train"))
-      .groupBy(col("b"))
+    val cnt = tok.groupBy(col("b"))
       .agg(sum(when(col("label"), 1L).otherwise(0L)).as("cp"),
         sum(when(!col("label"), 1L).otherwise(0L)).as("cn"))
     val full = spark.range(NumBuckets).select(col("id").cast("int").as("b"))
@@ -78,8 +71,25 @@ object QualityFilter {
     val prior = docs.filter(col(trainCol))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
         sum(when(!col(labelCol), 1L).otherwise(0L)).as("nn"))
-      .select(log((col("np") + 1.0) / (col("nn") + 1.0)).as("prior"))
-    val sums = tok.join(broadcast(wt), Seq("b"))
+      .select(lit(-1).as("b"),
+        log((col("np") + 1.0) / (col("nn") + 1.0)).as("lw"))
+    wt.unionByName(prior)
+  }
+
+  /** Score every row of `docs` with a trained [[model]] frame: returns
+    * (idCol, score), score = prior + Σ_tokens lw_b. Zero-token documents
+    * score exactly the class prior. The 65-row model broadcasts, token
+    * scoring is map-side, and the only shuffle carries (id, partial sum). */
+  def scoreWith(
+      docs: DataFrame,
+      idCol: String,
+      toksCol: String,
+      model: DataFrame): DataFrame = {
+    val wt = model.filter(col("b") >= 0)
+    val prior = model.filter(col("b") === -1).select(col("lw").as("prior"))
+    val sums = docs.select(col(idCol), explode(col(toksCol)).as("w"))
+      .withColumn("b", bucketOf(col("w")))
+      .join(broadcast(wt), Seq("b"))
       .groupBy(col(idCol))
       .agg(sum(col("lw")).as("sw"))
     docs.select(col(idCol))
@@ -87,4 +97,20 @@ object QualityFilter {
       .crossJoin(broadcast(prior))
       .select(col(idCol), (col("prior") + coalesce(col("sw"), lit(0.0))).as("score"))
   }
+
+  /** Train on the `trainCol` slice of `docs` and score EVERY row: returns
+    * (idCol, score) where score = ln((nPos+1)/(nNeg+1)) + Σ_tokens lw_b,
+    * lw_b the add-one-smoothed class log-likelihood ratio of the token's
+    * bucket. Zero-token documents score exactly the class prior.
+    *
+    * `docs` must carry `idCol`, a tokenized array column `toksCol`, a
+    * boolean `labelCol` (the seed label) and a boolean `trainCol`.
+    */
+  def scores(
+      docs: DataFrame,
+      idCol: String,
+      toksCol: String,
+      labelCol: String,
+      trainCol: String): DataFrame =
+    scoreWith(docs, idCol, toksCol, model(docs, toksCol, labelCol, trainCol))
 }

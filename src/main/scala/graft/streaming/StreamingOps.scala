@@ -687,6 +687,74 @@ object StreamingOps {
       }
       .start()
 
+  // ---- streaming quality-admission gate ------------------------------------
+
+  /** Train (or RETRAIN) the Naive-Bayes quality model on a seed-labeled
+    * corpus and publish it as ONE atomic snapshot version of `modelTable`
+    * (65 rows: 64 bucket weights + the prior). Serving picks up the newest
+    * version per micro-batch, so a retrain hot-swaps mid-stream without
+    * restarting the query — the manifest commit is the model registry. */
+  def trainQualityModel(
+      docs: DataFrame,
+      toksCol: String,
+      labelCol: String,
+      trainCol: String,
+      modelTable: String): Long =
+    graft.sinks.Snapshots.commit(
+      graft.ext.QualityFilter.model(docs, toksCol, labelCol, trainCol),
+      modelTable, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Quality ADMISSION as an ingest gate (the FIFTH streaming gate — the
+    * first filter every production corpus ingest runs): each arriving
+    * batch of (doc_id, text) scores against the newest [[trainQualityModel]]
+    * snapshot (a 65-row read + broadcast — model size is fixed by the
+    * hashed-bucket design no matter the training vocabulary) and lands in
+    * `outTable` PARTITIONED BY the admission verdict, so downstream
+    * corpus reads of `admitted=true` prune the rejects at file-listing
+    * time. Each row records its round-6 quality score and the serving
+    * model version (the provenance a re-audit needs after a retrain).
+    * Txn watermark → replays no-op. Stateless per batch: nothing here
+    * grows with stream length. */
+  def startQualityIngest(
+      stream: DataFrame, // (doc_id: Long, text: String)
+      modelTable: String,
+      outTable: String,
+      checkpointDir: String,
+      threshold: Double = 0.0,
+      appId: String = "graft-quality-ingest",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.sinks.Snapshots
+          val mv = Snapshots.versions(spark, modelTable).lastOption.getOrElse(
+            throw new IllegalStateException(
+              s"no quality model at $modelTable — run trainQualityModel first"))
+          val model = Snapshots.read(spark, modelTable, Some(mv))
+          val docs = batch.toDF().select(col("doc_id"), col("text"))
+            .withColumn("toks", graft.ext.TextAnalysis.tokens(col("text")))
+            .localCheckpoint()
+          val scored = graft.ext.QualityFilter
+            .scoreWith(docs, "doc_id", "toks", model)
+          val out = docs.join(scored, Seq("doc_id"))
+            .select(col("doc_id"), col("text"),
+              round(col("score"), 6).as("quality"),
+              (round(col("score"), 6) > threshold).as("admitted"),
+              lit(mv).as("model_version"))
+          Snapshots.commitPartitioned(out, outTable, Seq("admitted"),
+            org.apache.spark.sql.SaveMode.Append,
+            txn = Some(appId -> batchId))
+          ()
+        }
+      }
+      .start()
+
   /** The logically-erased corpus: `docsTable` minus standing tombstones —
     * correct immediately after a gate batch, before any physical rewrite.
     * The anti-join side is the tombstone id set (small until vacuumed;
