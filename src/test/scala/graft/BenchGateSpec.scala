@@ -119,6 +119,28 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.warmupDirFor(big.toString, Some("none")) == "none")
   }
 
+  test("flag retest: interference noise clears, a real regression survives") {
+    // q_mid flagged at 1.8 vs bound 0.9; the isolated re-measure reads 0.7
+    // (in-battery interference) → the flag clears and the minimum updates
+    val (cleared, n1) = BenchGate.retestFlags(
+      Map("q_mid" -> 1.80, "q_big" -> 2.05), base, 0.50,
+      measure = _ => Some(0.70), hasTime = () => true)
+    assert(cleared("q_mid") == 0.70 && n1 == 1)
+    assert(BenchGate.regressions(cleared, base, 0.50).isEmpty)
+    // a REAL regression re-measures slow both rounds and stays flagged
+    var calls = 0
+    val (still, n2) = BenchGate.retestFlags(
+      Map("q_mid" -> 1.80), base, 0.50,
+      measure = { _ => calls += 1; Some(1.75) }, hasTime = () => true)
+    assert(BenchGate.regressions(still, base, 0.50) == Seq("q_mid"))
+    assert(n2 == 2 && calls == 2) // bounded at maxRounds, then reported
+    // no time reserve left → untouched
+    val (same, n3) = BenchGate.retestFlags(
+      Map("q_mid" -> 1.80), base, 0.50,
+      measure = _ => Some(0.1), hasTime = () => false)
+    assert(same("q_mid") == 1.80 && n3 == 0)
+  }
+
   test("shipped baseline resource loads and covers the headline queries") {
     val b = BenchGate.loadBaseline()
     // the resource ships with the repo; a parse failure would yield empty
