@@ -471,8 +471,17 @@ object Snapshots {
     }
   }
 
-  /** Drop data dirs referenced by no retained manifest (failed commits,
-    * overwritten versions after `retainLast` manifests are pruned).
+  /** Drop data referenced by no retained manifest (failed commits,
+    * overwritten versions after `retainLast` manifests are pruned) — at
+    * PARTITION granularity: manifests of partitioned tables reference
+    * (commit dir, spec) pairs, so a commit dir whose specs are only PARTLY
+    * live (dynamic overwrite / [[commitPartitionReplace]] rewrote the
+    * rest) keeps its live spec subdirs and loses the dead ones. Without
+    * the subdir pass a bulk-load commit would pin every partition it ever
+    * wrote for as long as ANY of them stays referenced — which is what
+    * made physical erasure ([[graft.streaming.StreamingOps.applyErasure]])
+    * incomplete: the rewritten buckets' ORIGINAL files survived beside
+    * their still-live sibling specs.
     *
     * `minAgeMs` is the concurrent-writer grace window (Delta/Iceberg-style
     * retention): a commit writes its data dir BEFORE publishing its
@@ -491,18 +500,37 @@ object Snapshots {
     val keep = vs.takeRight(math.max(1, retainLast))
     vs.dropRight(math.max(1, retainLast))
       .foreach(v => f.delete(manifestPath(table, v), false))
-    val live = keep.flatMap { v =>
-      val m = readManifest(f, table, v)
-      m.dirs ++ m.partitions.values.flatten
-    }.toSet
+    val keepManifests = keep.map(readManifest(f, table, _))
+    val liveDirs = keepManifests.flatMap(_.dirs).toSet
+    val livePairs = keepManifests.flatMap(_.partitions.toSeq.flatMap {
+      case (spec, bases) => bases.map(b => (b, spec)) }).toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMs)
     val dataRoot = new Path(s"$table/data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot).foreach { st =>
-        if (st.getModificationTime <= cutoff &&
-            !live.contains(st.getPath.toString) &&
-            !live.exists(_.endsWith(st.getPath.toUri.getPath)))
-          f.delete(st.getPath, true)
+        if (st.getModificationTime <= cutoff) {
+          val p = st.getPath
+          def matches(s: String) = s == p.toString || s.endsWith(p.toUri.getPath)
+          val wholeDirLive = liveDirs.exists(matches)
+          val liveSpecsHere = livePairs.collect {
+            case (b, spec) if matches(b) => spec }
+          if (!wholeDirLive && liveSpecsHere.isEmpty) f.delete(p, true)
+          else if (!wholeDirLive) {
+            // partition-level pass: walk this commit's spec subdirs at the
+            // table's partition depth; delete the ones no manifest references
+            val depth = liveSpecsHere.head.count(_ == '/') + 1
+            def specDirs(q: Path, d: Int): Seq[(Path, String)] =
+              if (d == 0) Seq((q, ""))
+              else f.listStatus(q).toSeq
+                .filter(s2 => s2.isDirectory && s2.getPath.getName.contains("="))
+                .flatMap(s2 => specDirs(s2.getPath, d - 1).map { case (leaf, rest) =>
+                  (leaf, if (rest.isEmpty) s2.getPath.getName
+                         else s"${s2.getPath.getName}/$rest") })
+            specDirs(p, depth).foreach { case (leaf, spec) =>
+              if (!liveSpecsHere.contains(spec)) f.delete(leaf, true)
+            }
+          }
+        }
       }
   }
 }

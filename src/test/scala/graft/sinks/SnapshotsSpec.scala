@@ -259,6 +259,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).select($"k".as[Int]).collect().toSet == Set(5))
   }
 
+  test("vacuum is partition-granular: dead specs of a partly-live commit dir go, live siblings stay") {
+    val t = tmp()
+    Snapshots.commitPartitioned(
+      Seq((1, "a"), (2, "b")).toDF("k", "p"), t, Seq("p"))
+    // dynamic overwrite replaces p=a only; the original commit dir stays
+    // live via its p=b spec
+    Snapshots.commitPartitioned(
+      Seq((9, "a")).toDF("k", "p"), t, Seq("p"), SaveMode.Overwrite)
+    Snapshots.vacuum(spark, t, retainLast = 1, minAgeMs = 0L)
+    // the superseded p=a files are GONE from disk (not merely unreferenced)
+    val parquet = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    val rows = spark.read.parquet(parquet: _*)
+      .select($"k".as[Int]).collect().toSet
+    assert(rows == Set(9, 2), s"stale partition files survive vacuum: $rows")
+    // and the table reads back intact through the manifest
+    assert(Snapshots.read(spark, t).select($"k".as[Int]).collect().toSet == Set(9, 2))
+  }
+
   test("readers only see whole commits: no tmp manifests, immutable data dirs") {
     val t = tmp()
     Snapshots.commit(spark.range(100).select($"id", ($"id" * 2).as("v")), t)

@@ -92,6 +92,26 @@ class ErasureIngestSpec extends SparkSpec {
       .collect().toSet == Set(10L, 11L))
     assert(Snapshots.partitions(spark, docsT).sorted ==
       Seq("dbucket=2", "dbucket=3"))
+
+    // phase three — vacuum completes PHYSICAL erasure: pre-rewrite commit
+    // dirs still hold the erased texts (time travel); dropping history with
+    // retainLast=1 + no grace window must leave NO parquet file on disk
+    // containing an erased doc's content, in either table
+    for (t <- Seq(docsT, tokT)) Snapshots.vacuum(spark, t, retainLast = 1, minAgeMs = 0L)
+    val erasedTokens = Set("t0", "t12", "t47", "z0") // spread across erased docs
+    def leakedIn(table: String): Long = {
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(table))
+        .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+      assert(files.nonEmpty)
+      spark.read.parquet(files: _*).select($"doc_id".as[Long])
+        .filter(col("doc_id").isin(0L, 1L, 2L, 20L)).count()
+    }
+    assert(leakedIn(docsT) == 0L, "erased doc row survives on disk after vacuum")
+    assert(leakedIn(tokT) == 0L, "erased doc token survives on disk after vacuum")
+    // time travel to pre-erasure versions is gone with the history
+    assert(Snapshots.versions(spark, docsT).size == 1)
+    assert(erasedTokens.forall(tk => Snapshots.read(spark, tokT)
+      .filter($"token" === tk).isEmpty))
   }
 
   test("a chain longer than maxHops stops at the cap and resumes on re-request") {
