@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{IvfIndex, MinHash, Multimodal, PqIndex, SimHash, Similarity, TextAnalysis, TextClean}
+import graft.ext.{IvfIndex, MinHash, Multimodal, PqIndex, SimHash, Similarity, TextAnalysis, TextClean, Winnowing}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension surface: text analysis, dedup family
@@ -1125,6 +1125,48 @@ object ExtensionBattery {
       SimHash.candidatePairs(Tables.documents(s, d), "doc_id", "text",
           maxDist = 3)
         .orderBy($"hamming".asc, $"doc_a", $"doc_b")
+        .limit(500)
+    },
+
+    // Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm),
+    // FULLY ORACLED: 16-bit md5-nibble hashes of token 3-shingles, minimum
+    // per window of 8 — guarantees detection of any shared run >= 10 tokens
+    // at ~2/9 the density of the every-position explode. Pairs off the
+    // inverted fingerprint index (one shuffle, never all-pairs); the maxDf
+    // cut drops boilerplate fingerprints so no bucket exceeds maxDf² pairs
+    // at any corpus size. Sits between q_dup_ngram_spans (exact substring)
+    // and the MinHash/SimHash whole-document sketches.
+    sql("q_winnow_neardup", {
+      val h16 = (s: String) => (0 until 4).map(i =>
+        s"strpos('123456789abcdef', substring(md5('w:' || $s), ${i + 1}, 1)) * ${1 << (4 * (3 - i))}")
+        .mkString(" + ")
+      s"""WITH tokl AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |    i -> CAST(${h16("array_to_string(toks[i:(i+2)], ' ')")} AS INTEGER)) AS hs
+         |  FROM tokl WHERE len(toks) >= 3),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(1, len(hs) - 7)),
+         |    i -> list_min(hs[i:(i+7)]))) AS fp
+         |  FROM sh),
+         |dfq AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+         |kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN dfq USING (fp) WHERE df <= 100),
+         |cnt AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+         |  round(CAST(shared AS DOUBLE) / (ca.nfp + cb.nfp - shared), 4) AS overlap
+         |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+         |ORDER BY shared DESC, doc_a, doc_b LIMIT 500""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      Winnowing.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, w = 8, minShared = 2, maxDf = 100)
+        .orderBy($"shared".desc, $"doc_a", $"doc_b")
         .limit(500)
     },
 
