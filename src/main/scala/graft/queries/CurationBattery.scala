@@ -1121,6 +1121,47 @@ object CurationBattery {
         .orderBy($"doc_id")
     },
 
+    // Active-learning uncertainty sampling: the docs the NB quality filter
+    // is LEAST sure about (|log-odds| nearest 0) are the ones worth human
+    // labels — the label-efficiency loop every learned data filter runs
+    // (label → retrain via trainQualityModel → re-score). Top-5 per
+    // language via the bounded top-k aggregate on the NEGATED uncertainty:
+    // k rows per partial cross the shuffle instead of the whole held-out
+    // corpus (a lang-partitioned row_number would funnel everything
+    // through ~5 tasks at 100 TB). Ties at the round-6 score break by
+    // doc_id in the heap exactly as in the oracle's ORDER BY.
+    sql("q_uncertainty_sample",
+      s"""WITH $nbCtesSql,
+         |sc AS (
+         |  SELECT doc_id, lang, round(prior + coalesce(sw, 0.0), 6) AS score
+         |  FROM base CROSS JOIN pri LEFT JOIN sums USING (doc_id)
+         |  WHERE NOT is_train),
+         |r AS (
+         |  SELECT lang, doc_id, score, abs(score) AS unc,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY abs(score) ASC, doc_id) AS rk
+         |  FROM sc)
+         |SELECT lang, CAST(rk AS INT) AS rank, doc_id, unc, score
+         |FROM r WHERE rk <= 5 ORDER BY lang, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = nbDocs(s, d)
+      val scored = QualityFilter.scores(docs, "doc_id", "toks", "label", "is_train")
+      val sc = docs.filter(!$"is_train")
+        .join(scored, Seq("doc_id"))
+        .select($"doc_id", $"lang", round($"score", 6).as("score"))
+      val top = sc.groupBy($"lang")
+        .agg(graft.functions.TopKAggregate.top_k(-abs($"score"), $"doc_id", 5).as("tk"))
+        .select($"lang", posexplode($"tk"))
+        .select($"lang", ($"pos" + 1).cast("int").as("rank"),
+          $"col.id".as("doc_id"), (-$"col.v").as("unc"))
+      // re-attach the signed score: the picked set is ≤ 5·|langs| rows, so
+      // it broadcasts and the corpus-sized score frame streams past it
+      sc.select($"doc_id", $"score")
+        .join(broadcast(top), Seq("doc_id"))
+        .select($"lang", $"rank", $"doc_id", $"unc", $"score")
+        .orderBy($"lang", $"rank")
+    },
+
     // Right-to-be-forgotten sweep: erasure requests (doc_id%97=0 stands in
     // for the request list) must take out the requested docs AND every
     // near-duplicate copy — deleting only the requested row leaves its

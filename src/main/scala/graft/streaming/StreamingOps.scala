@@ -687,6 +687,92 @@ object StreamingOps {
       }
       .start()
 
+  // ---- streaming benchmark-decontamination gate ----------------------------
+
+  /** Publish (or REPLACE) the protected benchmark as one atomic snapshot:
+    * the DISTINCT token 3-grams of the eval documents. Serving reads the
+    * newest version per micro-batch, so registering a new benchmark
+    * hot-swaps mid-stream exactly like a quality-model retrain — the
+    * manifest commit is the benchmark registry. Gram extraction matches
+    * `q_decontaminate` (lowercased whitespace tokens, 3-token windows). */
+  def registerBenchmark(
+      evalDocs: DataFrame,
+      textCol: String,
+      benchTable: String,
+      gramN: Int = 3): Long = {
+    val grams = evalDocs
+      .withColumn("toks",
+        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
+      .filter(size(col("toks")) >= gramN)
+      .select(explode(
+        transform(sequence(lit(1), size(col("toks")) - (gramN - 1)),
+          i => array_join(slice(col("toks"), i, lit(gramN)), " "))).as("gram"))
+      .distinct()
+    graft.sinks.Snapshots.commit(grams, benchTable,
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Benchmark decontamination as an ingest gate (the SIXTH streaming
+    * gate): each arriving batch of (doc_id, text) counts its distinct
+    * token 3-grams shared with the newest [[registerBenchmark]] snapshot
+    * — the `q_decontaminate` rule run BEFORE a document ever reaches the
+    * corpus, which is where eval protection has to live: scrubbing after
+    * training is too late. Rows land in `outTable` PARTITIONED BY the
+    * contamination verdict (clean-side reads prune flagged docs at
+    * file-listing time) carrying `n_shared` and the serving benchmark
+    * version as provenance. The benchmark gram set is eval-sized — fixed
+    * and broadcastable no matter the corpus — so per-batch cost is one
+    * map-side gram explode plus a broadcast semi-probe: nothing grows
+    * with stream length, and a new benchmark hot-swaps mid-stream.
+    * Txn watermark → replays no-op. */
+  def startDecontaminationIngest(
+      stream: DataFrame, // (doc_id: Long, text: String)
+      benchTable: String,
+      outTable: String,
+      checkpointDir: String,
+      minShared: Int = 3,
+      gramN: Int = 3,
+      appId: String = "graft-decontam-ingest",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.sinks.Snapshots
+          val bv = Snapshots.versions(spark, benchTable).lastOption.getOrElse(
+            throw new IllegalStateException(
+              s"no benchmark at $benchTable — run registerBenchmark first"))
+          val bench = Snapshots.read(spark, benchTable, Some(bv))
+            .select(col("gram"))
+          val docs = batch.toDF().select(col("doc_id"), col("text"))
+            .withColumn("toks",
+              filter(split(lower(col("text")), "\\s+"), w => length(w) > 0))
+            .localCheckpoint()
+          val grams = docs.filter(size(col("toks")) >= gramN)
+            .select(col("doc_id"), explode(array_distinct(
+              transform(sequence(lit(1), size(col("toks")) - (gramN - 1)),
+                i => array_join(slice(col("toks"), i, lit(gramN)), " ")))).as("gram"))
+          val shared = grams.join(broadcast(bench), Seq("gram"))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          val out = docs
+            .join(shared, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("text"),
+              coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+              (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"),
+              lit(bv).as("bench_version"))
+          Snapshots.commitPartitioned(out, outTable, Seq("contaminated"),
+            org.apache.spark.sql.SaveMode.Append,
+            txn = Some(appId -> batchId))
+          ()
+        }
+      }
+      .start()
+
   // ---- streaming quality-admission gate ------------------------------------
 
   /** Train (or RETRAIN) the Naive-Bayes quality model on a seed-labeled

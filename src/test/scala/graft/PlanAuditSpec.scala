@@ -293,7 +293,10 @@ class PlanAuditSpec extends SparkSpec {
       // bounded by the fixed bucket count, never the corpus
       "q_quality_classifier",
       // same NB scorer feeding the budgeted selection window
-      "q_quality_select")
+      "q_quality_select",
+      // same NB scorer feeding the bounded top-k uncertainty pick; the
+      // ≤5·|langs|-row picked set broadcasts back onto the score frame
+      "q_uncertainty_sample")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sweep EVERY plan the build executes (gate probes, index builds,

@@ -440,6 +440,33 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._1).toSet == clusters.filter(_._2.size >= 2).keySet)
   }
 
+  test("uncertainty sample: each pick is a true argmin of |score| within its language") {
+    val out = graft.SparkEntry.queries("q_uncertainty_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // from-scratch: recompute held-out scores and check every ranked pick
+    // dominates the rest of its language under (|round-6 score| asc, id)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"n_chars",
+        TextAnalysis.tokens($"text").as("toks"))
+      .withColumn("label", size($"toks").between(30, 400) && $"n_chars" >= 150)
+      .withColumn("is_train", pmod($"doc_id", lit(5)) =!= 0)
+    val byLang = QualityFilter.scores(docs, "doc_id", "toks", "label", "is_train")
+      .join(docs.filter(!$"is_train"), Seq("doc_id"))
+      .select($"lang", $"doc_id", round($"score", 6).as[Double].as("q"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).map { case (l, a) =>
+        l -> a.map(t => (math.abs(t._3), t._2)).sorted.take(5).toSeq }
+    for ((lang, grp) <- out.groupBy(_._1)) {
+      val expect = byLang(lang)
+      val got = grp.sortBy(_._2).map(p => (p._4, p._3)).toSeq
+      assert(got == expect, s"$lang: $got != $expect")
+    }
+    // ranks are 1..k dense per language
+    assert(out.groupBy(_._1).values.forall(g =>
+      g.map(_._2).sorted.toSeq == (1 to g.length)))
+  }
+
   test("corpus diff: counts match direct slice arithmetic") {
     val out = graft.SparkEntry.queries("q_corpus_diff")(spark, sf)
       .agg(sum($"n_added"), sum($"n_removed"), sum($"n_changed"), sum($"n_unchanged"))
