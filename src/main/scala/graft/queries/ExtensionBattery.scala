@@ -1558,6 +1558,49 @@ object ExtensionBattery {
         .orderBy($"doc_id", $"chunk_idx")
     },
 
+    // Content-defined chunking (LBFS/FastCDC at word level), FULLY ORACLED:
+    // a boundary falls after token i iff the 16-bit md5-nibble hash of the
+    // 3-gram ending there clears mask 16 — boundaries are a function of
+    // local content, so an insertion re-synchronizes within one gram and
+    // every later chunk hashes identically (the property fixed-size
+    // q_chunk_documents lacks; ContentChunkerSpec pins it). The shared-
+    // chunk report is one hash groupBy on the digest: exact dedup at
+    // sub-document granularity, the content-addressed-storage primitive.
+    sql("q_cdc_chunks", {
+      val h16c = (s: String) => (0 until 4).map(i =>
+        s"strpos('123456789abcdef', substring(md5('c:' || $s), ${i + 1}, 1)) * ${1 << (4 * (3 - i))}")
+        .mkString(" + ")
+      s"""WITH tokl AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    CASE WHEN len(toks) >= 4 THEN
+         |      list_filter(generate_series(3, len(toks) - 1), i ->
+         |        (${h16c("array_to_string(toks[(i-2):i], ' ')")}) % 16 = 0)
+         |    ELSE [] END AS bpos
+         |  FROM tokl WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+         |    toks[(list_prepend(0, bpos)[j] + 1):(list_append(bpos, n)[j])] AS ctoks
+         |  FROM b, unnest(generate_series(1, len(bpos) + 1)) AS u(j)),
+         |ch2 AS (
+         |  SELECT doc_id, chunk_idx, CAST(len(ctoks) AS INT) AS n_tok,
+         |    md5(array_to_string(ctoks, ' ')) AS chunk_hash
+         |  FROM ch),
+         |shared AS (
+         |  SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM ch2 GROUP BY 1)
+         |SELECT doc_id, chunk_idx, n_tok, chunk_hash, n_docs
+         |FROM ch2 JOIN shared USING (chunk_hash)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      graft.ext.ContentChunker
+        .chunkReport(Tables.documents(s, d), "doc_id", "text", mask = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // Sequence packing: greedy fill of 512-token packs in doc_id order
     // WITHIN deterministic shards (doc_id % 64) — the running-sum window is
     // partitioned by shard, so packing parallelizes across shards instead of
