@@ -161,7 +161,12 @@ object Bench {
       // Regression gate (round-11 verdict item 4): names whose current min
       // exceeds baseline x 1.5 x host factor, worst first, capped at 8 so
       // the line stays bounded; regressions_n carries the uncapped count.
-      val regs = BenchGate.regressions(best.toMap, benchBaseline, calibSpark)
+      // worst observed all-cores reading: hypervisor steal can deepen
+      // mid-run (r13 observed mt_pre 12.5k vs mt_post 8.9k), and the gate
+      // should scale by the window the queries actually ran in
+      val mtRun =
+        if (calibMtPost > 0) math.min(calibMtPre, calibMtPost) else calibMtPre
+      val regs = BenchGate.regressions(best.toMap, benchBaseline, calibSpark, mtRun)
       val regsJson = regs.take(8).map(n => s"\"$n\"").mkString("[", ",", "]")
       val retests = s""""retests":$retestN"""
       val total = if (best.nonEmpty) best.values.sum else 0.0
@@ -230,7 +235,8 @@ object Bench {
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
           (System.nanoTime() - q0) / 1e9
         },
-        () => elapsed() < budgetSec - 5.0)
+        () => elapsed() < budgetSec - 5.0,
+        calibMtRun = calibMtPre)
       retestN = n
       retested.foreach { case (k, v) =>
         best.updateWith(k)(prev => Some(prev.fold(v)(math.min(_, v))))

@@ -62,10 +62,14 @@ object BenchGate {
     }.toMap
   }
 
-  /** Per-query baseline minima plus the calib_spark of the capture that
-    * produced them. `calibSparkRef <= 0` disables normalization (treated
-    * as hostFactor 1). */
-  final case class Baseline(mins: Map[String, Double], calibSparkRef: Double)
+  /** Per-query baseline minima plus the calibration readings of the
+    * captures that produced them. `calibSparkRef <= 0` disables
+    * spark-seconds normalization; `calibMtRef <= 0` disables multi-thread
+    * spin normalization (each treated as hostFactor 1). */
+  final case class Baseline(
+      mins: Map[String, Double],
+      calibSparkRef: Double,
+      calibMtRef: Double = 0.0)
 
   val resourcePath = "graft/bench-baseline.properties"
 
@@ -86,7 +90,9 @@ object BenchGate {
               case _ => None
             }
           }.toMap
-          Baseline(kv - "calib_spark_ref", kv.getOrElse("calib_spark_ref", 0.0))
+          Baseline(kv - "calib_spark_ref" - "calib_mt_ref",
+            kv.getOrElse("calib_spark_ref", 0.0),
+            kv.getOrElse("calib_mt_ref", 0.0))
         } catch { case _: Throwable => Baseline(Map.empty, 0.0) }
         finally s.close()
     }
@@ -108,19 +114,35 @@ object BenchGate {
     }
 
   /** Names of queries whose current minimum exceeds
-    * `max(floorSec, baseline x factor x max(1, calibRun/calibRef))`,
-    * sorted worst-ratio-first so a truncated emission keeps the most
-    * regressed entries. */
+    * `max(floorSec, baseline x factor x hostFactor)`, sorted
+    * worst-ratio-first so a truncated emission keeps the most regressed
+    * entries.
+    *
+    * `hostFactor` is the WORST observed throttle ratio across two
+    * orthogonal probes: spark-seconds (`calibSparkRun/calibSparkRef`,
+    * single-thread-ish fixed Spark work) and the all-cores spin ratio
+    * (`calibMtRef/calibMtRun` — Mops/s, so slower = smaller). The second
+    * exists because hypervisor CPU STEAL degrades a 32-thread query far
+    * more than any single-thread probe shows: the round-13 throttled
+    * window read calib_spark 1.3× but mt spin 1.6× (and deepening
+    * mid-run), and every "regression" it flagged was this gap. Either
+    * ref <= 0 (or run reading <= 0) disables that leg. */
   def regressions(
       current: Map[String, Double],
       baseline: Baseline,
       calibSparkRun: Double,
+      calibMtRun: Double = 0.0,
       factor: Double = 1.5,
       floorSec: Double = 0.90): Seq[String] = {
-    val hostFactor =
+    val stFactor =
       if (baseline.calibSparkRef > 0 && calibSparkRun > 0)
-        math.max(1.0, calibSparkRun / baseline.calibSparkRef)
+        calibSparkRun / baseline.calibSparkRef
       else 1.0
+    val mtFactor =
+      if (baseline.calibMtRef > 0 && calibMtRun > 0)
+        baseline.calibMtRef / calibMtRun
+      else 1.0
+    val hostFactor = math.max(1.0, math.max(stFactor, mtFactor))
     current.toSeq
       .flatMap { case (name, cur) =>
         baseline.mins.get(name).flatMap { base =>
@@ -154,14 +176,15 @@ object BenchGate {
       calibSparkRun: Double,
       measure: String => Option[Double],
       hasTime: () => Boolean,
-      maxRounds: Int = 2): (Map[String, Double], Int) = {
+      maxRounds: Int = 2,
+      calibMtRun: Double = 0.0): (Map[String, Double], Int) = {
     var cur = mins
     var n = 0
     var round = 0
     while (round < maxRounds && hasTime() &&
-        regressions(cur, baseline, calibSparkRun).nonEmpty) {
+        regressions(cur, baseline, calibSparkRun, calibMtRun).nonEmpty) {
       round += 1
-      for (name <- regressions(cur, baseline, calibSparkRun).take(8)
+      for (name <- regressions(cur, baseline, calibSparkRun, calibMtRun).take(8)
            if hasTime())
         measure(name).foreach { dt =>
           n += 1

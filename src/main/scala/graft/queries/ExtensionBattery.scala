@@ -1170,6 +1170,38 @@ object ExtensionBattery {
         .limit(500)
     },
 
+    // Johnson–Lindenstrauss ±1 random projection (Achlioptas), FULLY
+    // ORACLED: 64-dim embeddings → 16 signed-sum components over
+    // fixed-point-quantized inputs — integer sums are order-free, so the
+    // mirror hash-matches. The dim-reduction tier under ANN/clustering:
+    // distances survive to O(1/√16), at 4× less downstream compute. Pure
+    // per-row projection (codegen, zero shuffles). The Scala side embeds
+    // the md5-parity sign matrix as literals; the oracle recomputes it
+    // with SQL md5 — equal by construction (RandomProjectionSpec pins it).
+    sql("q_jl_project",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, CAST(j AS INT) - 1 AS dim, q[j] AS qv
+        |  FROM e, unnest(generate_series(1, 64)) AS u(j)),
+        |sgn AS (
+        |  SELECT p, j,
+        |    (strpos('123456789abcdef',
+        |       substring(md5('jl:' || p || ':' || j), 1, 1)) % 2) * 2 - 1 AS s
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS p),
+        |       (SELECT unnest(generate_series(0, 63)) AS j))
+        |SELECT vec_id, CAST(p AS INT) AS plane, CAST(sum(s * qv) AS BIGINT) AS proj
+        |FROM comp JOIN sgn ON sgn.j = comp.dim
+        |GROUP BY 1, 2 ORDER BY vec_id, plane""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.ext.RandomProjection
+        .project(Tables.embeddings(s, d), "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy($"vec_id", $"plane")
+    },
+
     // Brute-force cosine top-k (exact ANN baseline); double math both sides.
     sql("q_cosine_topk", cosineTopk5OracleSql) { (s, d) =>
       import s.implicits._

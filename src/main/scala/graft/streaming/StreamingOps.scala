@@ -773,6 +773,117 @@ object StreamingOps {
       }
       .start()
 
+  // ---- streaming content-addressed chunk store ------------------------------
+
+  /** Content-addressed chunk-store ingest (the SEVENTH streaming gate —
+    * the STORAGE-dedup tier): arriving documents are cut by
+    * [[graft.ext.ContentChunker]] (content-defined boundaries, so an
+    * edited re-ingest re-synchronizes) and only chunks whose digest the
+    * store has never seen are written; every document lands as a MANIFEST
+    * of (chunk_idx, digest) rows. A near-identical re-upload therefore
+    * stores just its edited chunks — transport/storage dedup at
+    * sub-document granularity, which at 100 TB is the difference between
+    * re-storing a corpus vintage and storing its delta.
+    *
+    * Layout: `chunkTable` holds (chunk_hash, ctext) partitioned by a
+    * digest bucket — the existence probe reads ONLY the buckets the
+    * batch's digests hash into (manifest overlap probe first, same
+    * discipline as the other gates: a read error FAILS the batch, a
+    * non-overlapping batch sees an empty store). `manifestTable` holds
+    * (doc_id, chunk_idx, chunk_hash, n_tok) partitioned by a doc-id
+    * bucket so [[reconstruct]] prunes to the requested docs' buckets.
+    * Both appends carry (appId, batchId) txn watermarks → replays no-op
+    * at both tables. Intra-batch duplicate digests collapse to one
+    * stored row (min (doc_id, chunk_idx) holder writes it). */
+  def startChunkStoreIngest(
+      stream: DataFrame, // (doc_id: Long, text: String)
+      chunkTable: String,
+      manifestTable: String,
+      checkpointDir: String,
+      mask: Int = 16,
+      buckets: Int = 64,
+      appId: String = "graft-chunkstore-ingest",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.sinks.Snapshots
+          val ch = graft.ext.ContentChunker
+            .chunks(batch.toDF().select(col("doc_id"), col("text")),
+              "doc_id", "text", mask)
+            .select(col("id").as("doc_id"), col("chunk_idx"),
+              array_join(col("ctoks"), " ").as("ctext"),
+              size(col("ctoks")).cast("int").as("n_tok"))
+            .withColumn("chunk_hash", md5(col("ctext")))
+            .withColumn("cbucket", pmod(xxhash64(col("chunk_hash")), lit(buckets)))
+            .localCheckpoint()
+          val probed: Set[String] = ch
+            .select(col("cbucket").cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val existing =
+            if (Snapshots.versions(spark, chunkTable).isEmpty ||
+                !Snapshots.partitions(spark, chunkTable).exists(spec =>
+                  Snapshots.parseSpec(spec).get("cbucket").exists(probed)))
+              spark.emptyDataFrame.select(lit("").as("chunk_hash")).limit(0)
+            else Snapshots.read(spark, chunkTable,
+                partitionFilter = spec => spec.get("cbucket").exists(probed))
+              .select(col("chunk_hash"))
+          // novel = never stored; intra-batch twins collapse to one row
+          // (cbucket and ctext are functions of the digest, so first() is
+          // deterministic in content)
+          val novel = ch
+            .join(existing.select(col("chunk_hash")).distinct(),
+              Seq("chunk_hash"), "left_anti")
+            .groupBy(col("chunk_hash"))
+            .agg(first(col("cbucket")).as("cbucket"), first(col("ctext")).as("ctext"))
+            .select(col("cbucket"), col("chunk_hash"), col("ctext"))
+          if (!novel.isEmpty)
+            Snapshots.commitPartitioned(novel, chunkTable, Seq("cbucket"),
+              org.apache.spark.sql.SaveMode.Append,
+              txn = Some(s"$appId-chunks" -> batchId))
+          val manifest = ch.select(
+            pmod(col("doc_id"), lit(buckets)).as("dbucket"),
+            col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("n_tok"))
+          Snapshots.commitPartitioned(manifest, manifestTable, Seq("dbucket"),
+            org.apache.spark.sql.SaveMode.Append,
+            txn = Some(s"$appId-manifest" -> batchId))
+          ()
+        }
+      }
+      .start()
+
+  /** Reassemble documents from the chunk store: manifest rows of the
+    * requested docs (doc-id-bucket pruned) joined to their chunks,
+    * re-ordered by chunk_idx. Returns (doc_id, text). */
+  def reconstruct(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestTable: String,
+      chunkTable: String,
+      docIds: Option[Seq[Long]] = None,
+      buckets: Int = 64): DataFrame = {
+    import graft.sinks.Snapshots
+    val man = docIds match {
+      case Some(ids) =>
+        val bks = ids.map(i => (((i % buckets) + buckets) % buckets).toString).toSet
+        Snapshots.read(spark, manifestTable,
+            partitionFilter = spec => spec.get("dbucket").exists(bks))
+          .filter(col("doc_id").isin(ids: _*))
+      case None => Snapshots.read(spark, manifestTable)
+    }
+    man.join(Snapshots.read(spark, chunkTable)
+        .select(col("chunk_hash"), col("ctext")), Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("ctext")))),
+        e => e.getField("ctext")), " ").as("text"))
+  }
+
   // ---- streaming quality-admission gate ------------------------------------
 
   /** Train (or RETRAIN) the Naive-Bayes quality model on a seed-labeled

@@ -38,6 +38,24 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.regressions(Map("q_mid" -> 0.70), base, 0.25).isEmpty)
   }
 
+  test("multi-core steal (mt spin ratio) widens the allowance even when calib_spark reads quiet") {
+    // the r13 throttled-window shape: single-thread-ish calib_spark at the
+    // reference (ratio 1) but the all-cores spin at HALF speed — a
+    // 32-thread query legitimately runs ~2x slow. With calib_mt_ref set,
+    // the same timing that flags without it is absorbed by the mt leg.
+    val mtBase = base.copy(calibMtRef = 14000.0)
+    val without = BenchGate.regressions(Map("q_mid" -> 1.70), base, 0.50, 7000.0)
+    val withMt = BenchGate.regressions(Map("q_mid" -> 1.70), mtBase, 0.50, 7000.0)
+    assert(without == Seq("q_mid") && withMt.isEmpty)
+    // the gate takes the WORST ratio: a genuine 4x slowdown still flags
+    // under the same 2x mt throttle
+    assert(BenchGate.regressions(Map("q_mid" -> 3.70), mtBase, 0.50, 7000.0) == Seq("q_mid"))
+    // a FASTER mt reading never tightens below the quiet baseline
+    assert(BenchGate.regressions(Map("q_mid" -> 0.85), mtBase, 0.50, 28000.0).isEmpty)
+    // absent mt reading (0) disables the leg, not the gate
+    assert(BenchGate.regressions(Map("q_mid" -> 1.70), mtBase, 0.50, 0.0) == Seq("q_mid"))
+  }
+
   test("sub-floor timings are exempt (scheduler noise, not regressions)") {
     // q_fast far above its baseline but still under the 0.90s floor — the
     // exact class every live false positive to date fell in (q_percentiles

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.Snapshots
+
+/** The content-addressed chunk store: an edited re-upload stores only its
+  * novel chunks (boundaries re-synchronize), documents reconstruct exactly,
+  * and replays no-op at both tables. */
+class ChunkStoreIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(s: String): String =
+    s.trim.toLowerCase.split("\\s+").mkString(" ")
+
+  test("dedup at chunk granularity; exact reconstruction; bucket-pruned reads") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore").toString
+    val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
+
+    val body = (1 to 400).map(i => s"word$i").mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.startChunkStoreIngest(
+      mem.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // batch 1: two docs sharing the same long body → shared chunks
+      // stored ONCE; a short unique doc
+      mem.addData(Seq((1L, body), (2L, body), (3L, "tiny unique doc")))
+      q.processAllAvailable()
+      val stored1 = Snapshots.read(spark, chunkT).count()
+      val doc1Chunks = Snapshots.read(spark, manT)
+        .filter($"doc_id" === 1L).count()
+      val doc3Chunks = Snapshots.read(spark, manT)
+        .filter($"doc_id" === 3L).count()
+      // identical docs contribute no extra chunk rows
+      assert(stored1 == doc1Chunks + doc3Chunks,
+        s"stored $stored1, expected ${doc1Chunks + doc3Chunks}")
+      assert(doc1Chunks > 5, "400 tokens should cut into many chunks")
+
+      // batch 2: doc 4 = doc 1 with a small FRONT edit → boundaries
+      // re-synchronize and only the chunks around the edit are novel
+      mem.addData(Seq((4L, s"edited preamble $body")))
+      q.processAllAvailable()
+      val stored2 = Snapshots.read(spark, chunkT).count()
+      val novel = stored2 - stored1
+      assert(novel >= 1 && novel <= 3,
+        s"front edit should store 1-3 novel chunks, stored $novel")
+
+      // exact reconstruction, both full and pruned forms
+      val all = StreamingOps.reconstruct(spark, manT, chunkT)
+        .as[(Long, String)].collect().toMap
+      assert(all(1L) == norm(body) && all(2L) == norm(body))
+      assert(all(3L) == "tiny unique doc")
+      assert(all(4L) == norm(s"edited preamble $body"))
+      val pruned = StreamingOps.reconstruct(spark, manT, chunkT, Some(Seq(4L)))
+        .as[(Long, String)].collect().toMap
+      assert(pruned == Map(4L -> norm(s"edited preamble $body")))
+    } finally q.stop()
+
+    // replay no-op: a fresh query over the same data with the same appId
+    // but a FRESH checkpoint re-delivers batch 0 — txn watermarks swallow it
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val vChunks = Snapshots.versions(spark, chunkT).size
+    val rows = Snapshots.read(spark, manT).count()
+    val q2 = StreamingOps.startChunkStoreIngest(
+      mem2.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt2",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem2.addData(Seq((1L, body), (2L, body), (3L, "tiny unique doc")))
+      q2.processAllAvailable()
+      assert(Snapshots.read(spark, manT).count() == rows, "replayed manifest rows")
+      assert(Snapshots.versions(spark, chunkT).size == vChunks, "replayed chunk commit")
+    } finally q2.stop()
+  }
+}
