@@ -1633,6 +1633,84 @@ object ExtensionBattery {
         .orderBy($"doc_id", $"chunk_idx")
     },
 
+    // Chunk-level vintage delta, FULLY ORACLED: what a new corpus vintage
+    // actually COSTS a content-addressed store. q_corpus_diff's doc-level
+    // view says "N docs changed"; this one chunks BOTH vintages
+    // (q_corpus_diff's %11/%17/%13 model — the old vintage carries a
+    // trailing ' (stale)' rider on %13 docs) and counts the new vintage's
+    // chunks/tokens whose digest the old vintage already holds. Because
+    // boundaries are content-defined, a trailing edit leaves every earlier
+    // chunk digest intact — reuse stays high where a fixed-size chunker
+    // would re-store from the edit onward. One distinct + one hash join on
+    // the digest; chunking itself is map-side.
+    sql("q_chunk_delta", {
+      val h16c = (s: String) => (0 until 4).map(i =>
+        s"strpos('123456789abcdef', substring(md5('c:' || $s), ${i + 1}, 1)) * ${1 << (4 * (3 - i))}")
+        .mkString(" + ")
+      def cdc(alias: String, textExpr: String, where: String) =
+        s"""${alias}_tok AS (
+           |  SELECT doc_id,
+           |    CASE WHEN trim($textExpr) = '' THEN []
+           |         ELSE string_split_regex(trim(lower($textExpr)), '\\s+') END AS toks
+           |  FROM documents WHERE $where),
+           |${alias}_b AS (
+           |  SELECT doc_id, toks, len(toks) AS n,
+           |    CASE WHEN len(toks) >= 4 THEN
+           |      list_filter(generate_series(3, len(toks) - 1), i ->
+           |        (${h16c("array_to_string(toks[(i-2):i], ' ')")}) % 16 = 0)
+           |    ELSE [] END AS bpos
+           |  FROM ${alias}_tok WHERE len(toks) > 0),
+           |$alias AS (
+           |  SELECT doc_id,
+           |    md5(array_to_string(
+           |      toks[(list_prepend(0, bpos)[j] + 1):(list_append(bpos, n)[j])], ' ')) AS h,
+           |    len(toks[(list_prepend(0, bpos)[j] + 1):(list_append(bpos, n)[j])]) AS nt
+           |  FROM ${alias}_b, unnest(generate_series(1, len(bpos) + 1)) AS u(j))""".stripMargin
+      s"""WITH ${cdc("oldc",
+             "CASE WHEN doc_id % 13 = 0 THEN text || ' (stale)' ELSE text END",
+             "doc_id % 11 <> 0")},
+         |${cdc("newc", "text", "doc_id % 17 <> 0")},
+         |old_h AS (SELECT DISTINCT h FROM oldc),
+         |j AS (
+         |  SELECT d.source, newc.nt, old_h.h IS NULL AS novel
+         |  FROM newc JOIN documents d USING (doc_id)
+         |  LEFT JOIN old_h ON newc.h = old_h.h)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS total_chunks,
+         |  CAST(count(*) FILTER (WHERE novel) AS BIGINT) AS novel_chunks,
+         |  CAST(sum(nt) AS BIGINT) AS total_tok,
+         |  CAST(coalesce(sum(nt) FILTER (WHERE novel), 0) AS BIGINT) AS novel_tok,
+         |  round(1.0 - CAST(coalesce(sum(nt) FILTER (WHERE novel), 0) AS DOUBLE)
+         |    / sum(nt), 4) AS reuse
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      val oldDocs = docs.filter(pmod($"doc_id", lit(11)) =!= 0)
+        .select($"doc_id",
+          when(pmod($"doc_id", lit(13)) === 0, concat($"text", lit(" (stale)")))
+            .otherwise($"text").as("text"))
+      val newDocs = docs.filter(pmod($"doc_id", lit(17)) =!= 0)
+        .select($"doc_id", $"text")
+      val oldH = graft.ext.ContentChunker.chunks(oldDocs, "doc_id", "text")
+        .select(md5(array_join($"ctoks", " ")).as("h")).distinct()
+      val newC = graft.ext.ContentChunker.chunks(newDocs, "doc_id", "text")
+        .select($"id".as("doc_id"), md5(array_join($"ctoks", " ")).as("h"),
+          size($"ctoks").cast("long").as("nt"))
+      newC
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+        .join(oldH.withColumn("seen", lit(1)), Seq("h"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("total_chunks"),
+          sum(when($"seen".isNull, 1L).otherwise(0L)).as("novel_chunks"),
+          sum($"nt").as("total_tok"),
+          sum(when($"seen".isNull, $"nt").otherwise(0L)).as("novel_tok"))
+        .select($"source", $"total_chunks", $"novel_chunks", $"total_tok",
+          $"novel_tok",
+          round(lit(1.0) - $"novel_tok".cast("double") / $"total_tok", 4).as("reuse"))
+        .orderBy($"source")
+    },
+
     // Sequence packing: greedy fill of 512-token packs in doc_id order
     // WITHIN deterministic shards (doc_id % 64) — the running-sum window is
     // partitioned by shard, so packing parallelizes across shards instead of
