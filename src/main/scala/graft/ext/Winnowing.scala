@@ -35,6 +35,13 @@ object Winnowing {
   def hash16(s: Column): Column =
     conv(substring(md5(concat(lit("w:"), s)), 1, 4), 16, 10).cast("int")
 
+  /** PRODUCTION-SPEED 16-bit shingle hash: the low bits of the JVM
+    * xxhash64 — one fused hash per shingle instead of md5 + hex decode.
+    * Engine-specific by design (rows-only twin); WinnowingSpec pins that
+    * planted near-dups surface through both hash families identically. */
+  def fastHash16(s: Column): Column =
+    xxhash64(lit("w:"), s).bitwiseAND(lit(0xffffL)).cast("int")
+
   /** One row per (id, fingerprint), DISTINCT per document. Documents with
     * fewer than k tokens yield no fingerprints (no k-shingle exists);
     * every document with at least one shingle yields at least one
@@ -45,10 +52,12 @@ object Winnowing {
       idCol: String,
       textCol: String,
       k: Int = 3,
-      w: Int = 8): DataFrame = {
+      w: Int = 8,
+      portable: Boolean = true): DataFrame = {
+    val h: Column => Column = if (portable) hash16 else fastHash16
     val shingleHashes = transform(
       sequence(lit(1), size(col("toks")) - (k - 1)),
-      i => hash16(array_join(slice(col("toks"), i, lit(k)), " ")))
+      i => h(array_join(slice(col("toks"), i, lit(k)), " ")))
     val windowMins = transform(
       sequence(lit(1), greatest(lit(1), size(col("hs")) - (w - 1))),
       i => array_min(slice(col("hs"), i, lit(w))))
@@ -72,8 +81,9 @@ object Winnowing {
       k: Int = 3,
       w: Int = 8,
       minShared: Int = 2,
-      maxDf: Int = 100): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, k, w)
+      maxDf: Int = 100,
+      portable: Boolean = true): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w, portable)
     val df = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     // one shuffle key (fp) shared by the df filter and the pair join
     val kept = fp.join(df.filter(col("df") <= maxDf), "fp")

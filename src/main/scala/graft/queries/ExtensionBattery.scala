@@ -1202,6 +1202,20 @@ object ExtensionBattery {
         .orderBy($"vec_id", $"plane")
     },
 
+    // PRODUCTION-SPEED winnowing: the same selection/pairing pipeline over
+    // one fused xxhash64 per shingle instead of md5 + hex decode — the
+    // path production fingerprinting actually runs (the oracled twin pays
+    // the documented cross-engine md5 tax, as in the MinHash/SimHash/LSH
+    // families). Rows-only; WinnowingSpec pins planted-dup agreement
+    // between the two hash families.
+    rowsOnly("q_winnow_neardup_fast") { (s, d) =>
+      import s.implicits._
+      Winnowing.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, w = 8, minShared = 2, maxDf = 100, portable = false)
+        .orderBy($"shared".desc, $"doc_a", $"doc_b")
+        .limit(500)
+    },
+
     // Brute-force cosine top-k (exact ANN baseline); double math both sides.
     sql("q_cosine_topk", cosineTopk5OracleSql) { (s, d) =>
       import s.implicits._

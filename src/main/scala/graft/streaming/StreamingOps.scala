@@ -860,7 +860,14 @@ object StreamingOps {
 
   /** Reassemble documents from the chunk store: manifest rows of the
     * requested docs (doc-id-bucket pruned) joined to their chunks,
-    * re-ordered by chunk_idx. Returns (doc_id, text). */
+    * re-ordered by chunk_idx. Returns (doc_id, text).
+    *
+    * Manifest rows are DEDUPED first: a document RE-DELIVERED in a later
+    * batch (new batchId, so the txn watermark correctly does not swallow
+    * it) appends a second identical manifest, and without the distinct the
+    * reassembly would double every chunk. Documents are immutable by
+    * contract here — an UPDATED text under a reused doc_id is a different
+    * system (versioned manifests), not a re-delivery. */
   def reconstruct(
       spark: org.apache.spark.sql.SparkSession,
       manifestTable: String,
@@ -876,7 +883,8 @@ object StreamingOps {
           .filter(col("doc_id").isin(ids: _*))
       case None => Snapshots.read(spark, manifestTable)
     }
-    man.join(Snapshots.read(spark, chunkTable)
+    man.select(col("doc_id"), col("chunk_idx"), col("chunk_hash")).distinct()
+      .join(Snapshots.read(spark, chunkTable)
         .select(col("chunk_hash"), col("ctext")), Seq("chunk_hash"))
       .groupBy(col("doc_id"))
       .agg(array_join(transform(

@@ -61,6 +61,22 @@ class WinnowingSpec extends SparkSpec {
     assert(!pairs.exists { case (a, _, _, _) => a >= 10L }, s"boilerplate pair leaked: $pairs")
   }
 
+  test("fast (xxhash64) and portable (md5) families find the same planted near-dup pairs") {
+    val body = (1 to 80).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, body), (2L, body),                        // exact pair
+      (3L, s"shift one two $body"),                   // shifted near-dup
+      (4L, "entirely different content over here now with many words")
+    ).toDF("id", "text")
+    def pairSet(portable: Boolean) =
+      Winnowing.nearDupPairs(docs, "id", "text", portable = portable)
+        .select($"doc_a".as[Long], $"doc_b".as[Long]).collect().toSet
+    val (p, f) = (pairSet(portable = true), pairSet(portable = false))
+    assert(p == f, s"portable $p != fast $f")
+    assert(p.contains((1L, 2L)) && p.contains((1L, 3L)) && p.contains((2L, 3L)))
+    assert(!p.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("detection guarantee: a shared run of k + w - 1 tokens produces a shared fingerprint") {
     val run = (1 to 10).map(i => s"run$i").mkString(" ") // k=3, w=8 → 10 tokens
     val m = fps(Seq(

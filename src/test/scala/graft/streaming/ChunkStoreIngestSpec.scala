@@ -58,6 +58,15 @@ class ChunkStoreIngestSpec extends SparkSpec {
       val pruned = StreamingOps.reconstruct(spark, manT, chunkT, Some(Seq(4L)))
         .as[(Long, String)].collect().toMap
       assert(pruned == Map(4L -> norm(s"edited preamble $body")))
+
+      // RE-DELIVERY in a later batch (new batchId — txn correctly lets it
+      // through): the duplicate manifest must not double the reconstruction
+      mem.addData(Seq((3L, "tiny unique doc")))
+      q.processAllAvailable()
+      assert(Snapshots.read(spark, manT).filter($"doc_id" === 3L).count() == 2L)
+      val re = StreamingOps.reconstruct(spark, manT, chunkT, Some(Seq(3L)))
+        .as[(Long, String)].collect().toMap
+      assert(re == Map(3L -> "tiny unique doc"), s"re-delivered doc corrupted: $re")
     } finally q.stop()
 
     // replay no-op: a fresh query over the same data with the same appId
