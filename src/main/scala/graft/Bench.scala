@@ -151,6 +151,15 @@ object Bench {
 
     // Running per-query minimum across all completed measurements so far.
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // measurements per query (passes + isolated retests): the gate only
+    // flags WARM-measured queries (n >= 2) — a budget-truncated capture
+    // leaves its tail with one COLD measurement each, and comparing a cold
+    // reading against warm baselines manufactured eight false flags at
+    // once in a degraded r13 window (2.7-3.4x "ratios" that were nothing
+    // but first-run codegen/IO). A query measured only once simply has no
+    // warm minimum to compare; a real regression still flags the moment a
+    // second pass or a retest warm-measures it.
+    val nMeasured = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     var fullPasses = 0
     var retestN = 0
     def emit(pass: Int, complete: Boolean): Unit = {
@@ -166,7 +175,11 @@ object Bench {
       // should scale by the window the queries actually ran in
       val mtRun =
         if (calibMtPost > 0) math.min(calibMtPre, calibMtPost) else calibMtPre
-      val regs = BenchGate.regressions(best.toMap, benchBaseline, calibSpark, mtRun)
+      // warm-measured only: cold single readings have no warm minimum to
+      // regress against (see nMeasured above)
+      val regs = BenchGate
+        .regressions(best.toMap, benchBaseline, calibSpark, mtRun)
+        .filter(nMeasured(_) >= 2)
       val regsJson = regs.take(8).map(n => s"\"$n\"").mkString("[", ",", "]")
       val retests = s""""retests":$retestN"""
       val total = if (best.nonEmpty) best.values.sum else 0.0
@@ -211,6 +224,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - q0) / 1e9
         best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+        nMeasured(name) += 1
         // measured passes stop 25 s short of the budget: the reserve pays
         // for the flag-retest pass below (isolated re-measures of any
         // currently-flagged floor-adjacent entries) + the final emit
@@ -233,6 +247,7 @@ object Bench {
         name => SparkEntry.queries.get(name).map { fn =>
           val q0 = System.nanoTime()
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          nMeasured(name) += 1
           (System.nanoTime() - q0) / 1e9
         },
         () => elapsed() < budgetSec - 5.0,
