@@ -63,10 +63,13 @@ object ContentChunker {
       idCol: String,
       textCol: String,
       mask: Int = 16): DataFrame = {
+    // materialize once: the digest groupBy and the join back both read
+    // this frame — without the checkpoint the chunking pipeline runs twice
     val ch = chunks(docs, idCol, textCol, mask)
       .select(col("id"), col("chunk_idx"),
         size(col("ctoks")).cast("int").as("n_tok"),
         md5(array_join(col("ctoks"), " ")).as("chunk_hash"))
+      .localCheckpoint()
     val shared = ch.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("id")).as("n_docs"))
     ch.join(shared, Seq("chunk_hash"))

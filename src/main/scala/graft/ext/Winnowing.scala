@@ -83,7 +83,10 @@ object Winnowing {
       minShared: Int = 2,
       maxDf: Int = 100,
       portable: Boolean = true): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, k, w, portable)
+    // materialize once: the df cut, the kept join, and BOTH sides of the
+    // pair self-join read this frame — without the checkpoint Catalyst
+    // re-derives the tokenize→shingle→hash→window pipeline four times
+    val fp = fingerprints(docs, idCol, textCol, k, w, portable).localCheckpoint()
     val df = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     // one shuffle key (fp) shared by the df filter and the pair join
     val kept = fp.join(df.filter(col("df") <= maxDf), "fp")

@@ -1146,9 +1146,12 @@ object CurationBattery {
       import s.implicits._
       val docs = nbDocs(s, d)
       val scored = QualityFilter.scores(docs, "doc_id", "toks", "label", "is_train")
+      // materialize once: the top-k build AND the score re-attach both
+      // read this frame — without the checkpoint the NB train+score runs twice
       val sc = docs.filter(!$"is_train")
         .join(scored, Seq("doc_id"))
         .select($"doc_id", $"lang", round($"score", 6).as("score"))
+        .localCheckpoint()
       val top = sc.groupBy($"lang")
         .agg(graft.functions.TopKAggregate.top_k(-abs($"score"), $"doc_id", 5).as("tk"))
         .select($"lang", posexplode($"tk"))
