@@ -1121,6 +1121,49 @@ object CurationBattery {
         .orderBy($"doc_id")
     },
 
+    // Classifier CALIBRATION (reliability report): per integer log-odds
+    // bin of the held-out NB score, how often is the label actually
+    // positive? A filter that says "4 log-odds" should be right ~98% of
+    // the time there — systematic gaps mean the admission threshold is
+    // lying about its precision, which silently reshapes the corpus. Bins
+    // are integer floors of the round-6 score (clamped to [-8, 8]), so the
+    // binning is exact cross-engine — no sigmoid float edge to diverge on.
+    // One conditional aggregate over the held-out slice; the output is
+    // bounded by the bin domain at any corpus size.
+    sql("q_quality_calibration",
+      s"""WITH $nbCtesSql,
+         |sc AS (
+         |  SELECT doc_id, label, round(prior + coalesce(sw, 0.0), 6) AS score
+         |  FROM base CROSS JOIN pri LEFT JOIN sums USING (doc_id)
+         |  WHERE NOT is_train),
+         |b AS (
+         |  SELECT CAST(least(greatest(floor(score), -8), 8) AS INT) AS bin,
+         |    label, score
+         |  FROM sc)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE label) AS BIGINT) AS n_pos,
+         |  round(CAST(count(*) FILTER (WHERE label) AS DOUBLE) / count(*), 4)
+         |    AS pos_rate,
+         |  round(avg(score), 4) AS mean_score
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = nbDocs(s, d)
+      val scored = QualityFilter.scores(docs, "doc_id", "toks", "label", "is_train")
+      docs.filter(!$"is_train")
+        .join(scored, Seq("doc_id"))
+        .select($"label", round($"score", 6).as("score"))
+        .withColumn("bin",
+          least(greatest(floor($"score"), lit(-8)), lit(8)).cast("int"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"label", 1L).otherwise(0L)).as("n_pos"),
+          round(avg($"score"), 4).as("mean_score"))
+        .select($"bin", $"n_docs", $"n_pos",
+          round($"n_pos".cast("double") / $"n_docs", 4).as("pos_rate"),
+          $"mean_score")
+        .orderBy($"bin")
+    },
+
     // Active-learning uncertainty sampling: the docs the NB quality filter
     // is LEAST sure about (|log-odds| nearest 0) are the ones worth human
     // labels — the label-efficiency loop every learned data filter runs

@@ -296,7 +296,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_quality_select",
       // same NB scorer feeding the bounded top-k uncertainty pick; the
       // ≤5·|langs|-row picked set broadcasts back onto the score frame
-      "q_uncertainty_sample")
+      "q_uncertainty_sample",
+      // same NB scorer feeding the bin-domain-bounded reliability report
+      "q_quality_calibration")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sweep EVERY plan the build executes (gate probes, index builds,

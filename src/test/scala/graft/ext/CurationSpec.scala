@@ -467,6 +467,25 @@ class CurationSpec extends SparkSpec {
       g.map(_._2).sorted.toSeq == (1 to g.length)))
   }
 
+  test("calibration: bins partition the held-out slice; rates recompute from raw scores") {
+    val out = graft.SparkEntry.queries("q_quality_calibration")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // bins are distinct, within the clamp, and cover the whole held-out slice
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall { case (b, _, _, _) => b >= -8 && b <= 8 })
+    val heldOut = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(pmod($"doc_id", lit(5)) === 0).count()
+    assert(out.map(_._2).sum == heldOut)
+    // each bin's positive rate is internally consistent and a RATE
+    assert(out.forall { case (_, n, p, r) =>
+      p <= n && math.abs(r - p.toDouble / n) < 5e-5 })
+    // calibration sanity: the most-confident negative bin has a lower
+    // positive rate than the most-confident positive bin
+    val byBin = out.sortBy(_._1)
+    assert(byBin.head._4 <= byBin.last._4)
+  }
+
   test("corpus diff: counts match direct slice arithmetic") {
     val out = graft.SparkEntry.queries("q_corpus_diff")(spark, sf)
       .agg(sum($"n_added"), sum($"n_removed"), sum($"n_changed"), sum($"n_unchanged"))
