@@ -366,11 +366,18 @@ object CurationBattery {
       val quality = corpus.filter(length($"text") >= 100 && size($"toks") >= 20)
       val exactIds = quality.groupBy(md5($"text")).agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
+      // materialize the stage outputs referenced by multiple downstream
+      // branches (SetSimJoin + survivorship read `kept`; gram
+      // decontamination + the final anti-join read `surv`) — without the
+      // checkpoints the tokenize/filter/exact-dedup prefix re-derives
+      // per reference
       val kept = quality.join(exactIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
       val pairs = SetSimJoin.join(kept, "doc_id", "text", 0.8)
       val comp = Components.connectedComponents(pairs, srcCol = "doc_a", dstCol = "doc_b")
       val dropIds = comp.filter($"id" =!= $"component").select($"id".as("doc_id"))
       val surv = kept.join(dropIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       def grams(df: DataFrame): DataFrame = df
         .filter(size($"toks") >= 3)
         .select($"doc_id", explode(transform(sequence(lit(1), size($"toks") - 2),
