@@ -892,6 +892,68 @@ object StreamingOps {
         e => e.getField("ctext")), " ").as("text"))
   }
 
+  /** Right-to-be-forgotten for the content-addressed store: drop the
+    * erased docs' manifests, then any chunk NO OTHER document references —
+    * shared chunks survive (their text is still live data through the
+    * docs that hold it; deleting them would corrupt innocent documents),
+    * unique chunks leave the live table. Content addressing cuts both
+    * ways for governance: dedup means one stored blob can serve many
+    * owners, so erasure must be reference-counted, not per-doc.
+    *
+    * Cost shape: the erased docs' digests come from their own dbucket
+    * partitions (pruned); the still-referenced probe is ONE column-pruned
+    * manifest scan (erasure GC is a rare batch job — a standing refcount
+    * table would trade that scan for bookkeeping on every ingest); chunk
+    * rewrites touch only the dead digests' cbucket partitions, dropping
+    * ones that empty out. Physical file removal then completes with
+    * [[graft.sinks.Snapshots.vacuum]] — partition-granular, so a
+    * partly-live bulk commit loses exactly its dead spec subdirs. */
+  def chunkStoreErase(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestTable: String,
+      chunkTable: String,
+      docIds: Seq[Long],
+      buckets: Int = 64): Unit = {
+    import graft.sinks.Snapshots
+    if (docIds.isEmpty || Snapshots.versions(spark, manifestTable).isEmpty) return
+    val dbks = docIds.map(i => (((i % buckets) + buckets) % buckets).toString).toSet
+    // manifest overlap probe FIRST (the standing gate discipline): after a
+    // prior erase emptied these docs' dbuckets the filter matches nothing,
+    // and a filtered read would refuse — that absence IS the no-op signal
+    val replacedMan = Snapshots.partitions(spark, manifestTable)
+      .filter(sp => Snapshots.parseSpec(sp).get("dbucket").exists(dbks))
+    if (replacedMan.isEmpty) return // no bucket holds these docs
+    val erasedDigests = Snapshots.read(spark, manifestTable,
+        partitionFilter = m => m.get("dbucket").exists(dbks))
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("chunk_hash")).distinct().localCheckpoint()
+    if (erasedDigests.isEmpty) return // already erased — idempotent no-op
+    val keptMan = Snapshots.read(spark, manifestTable,
+        partitionFilter = m => m.get("dbucket").exists(dbks))
+      .filter(!col("doc_id").isin(docIds: _*))
+    Snapshots.commitPartitionReplace(keptMan, manifestTable,
+      Seq("dbucket"), replacedMan)
+    // dead = erased minus still-referenced by ANY surviving manifest
+    val dead = erasedDigests.join(
+        Snapshots.read(spark, manifestTable).select(col("chunk_hash")),
+        Seq("chunk_hash"), "left_anti")
+      .localCheckpoint() // bounded by the erased docs' own chunk count
+    val cbks = dead
+      .select(pmod(xxhash64(col("chunk_hash")), lit(buckets)).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (cbks.nonEmpty && Snapshots.versions(spark, chunkTable).nonEmpty) {
+      val replaced = Snapshots.partitions(spark, chunkTable)
+        .filter(sp => Snapshots.parseSpec(sp).get("cbucket").exists(cbks))
+      if (replaced.nonEmpty) {
+        val keptCh = Snapshots.read(spark, chunkTable,
+            partitionFilter = m => m.get("cbucket").exists(cbks))
+          .join(dead, Seq("chunk_hash"), "left_anti")
+        Snapshots.commitPartitionReplace(keptCh, chunkTable,
+          Seq("cbucket"), replaced)
+      }
+    }
+  }
+
   // ---- streaming quality-admission gate ------------------------------------
 
   /** Train (or RETRAIN) the Naive-Bayes quality model on a seed-labeled

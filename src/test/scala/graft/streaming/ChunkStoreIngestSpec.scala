@@ -69,6 +69,51 @@ class ChunkStoreIngestSpec extends SparkSpec {
       assert(re == Map(3L -> "tiny unique doc"), s"re-delivered doc corrupted: $re")
     } finally q.stop()
 
+    // ERASURE with reference counting: dropping doc 1 must keep every
+    // chunk doc 2 still references (deleting a shared blob would corrupt
+    // an innocent document) and remove only what became unreferenced
+    val preChunks = Snapshots.read(spark, chunkT).count()
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L))
+    assert(Snapshots.read(spark, manT).filter($"doc_id" === 1L).isEmpty)
+    // doc 1's body chunks are all shared with doc 2 → none may die; only a
+    // chunk unique to doc 1 could go, and doc 1 == doc 2 so there is none
+    assert(Snapshots.read(spark, chunkT).count() == preChunks)
+    val after1 = StreamingOps.reconstruct(spark, manT, chunkT)
+      .as[(Long, String)].collect().toMap
+    assert(!after1.contains(1L) && after1(2L) == norm(body))
+    // idempotent re-erase
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L))
+    assert(Snapshots.read(spark, chunkT).count() == preChunks)
+
+    // doc 4 (the edited re-upload) still references the body chunks, so
+    // erasing doc 2 keeps them live and doc 4 reconstructs intact
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(2L))
+    val after2 = StreamingOps.reconstruct(spark, manT, chunkT)
+      .as[(Long, String)].collect().toMap
+    assert(after2.keySet == Set(3L, 4L))
+    assert(after2(4L) == norm(s"edited preamble $body"),
+      "doc 4 must survive: its manifest still references the shared body chunks")
+
+    // only once the LAST referencing doc goes do the body chunks orphan
+    // and leave the live table; doc 3 is untouched throughout
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(4L))
+    val liveText = Snapshots.read(spark, chunkT)
+      .select($"ctext".as[String]).collect()
+    assert(!liveText.exists(_.contains("word17")), "orphaned body chunk survives")
+    val after4 = StreamingOps.reconstruct(spark, manT, chunkT)
+      .as[(Long, String)].collect().toMap
+    assert(after4 == Map(3L -> "tiny unique doc"))
+
+    // physical completion: partition-granular vacuum leaves NO on-disk
+    // parquet holding an erased chunk's text in either table
+    for (t <- Seq(chunkT, manT)) Snapshots.vacuum(spark, t, retainLast = 1, minAgeMs = 0L)
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(chunkT))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(onDisk.nonEmpty)
+    val diskText = spark.read.parquet(onDisk: _*).select($"ctext".as[String]).collect()
+    assert(!diskText.exists(_.contains("word17")),
+      "erased chunk text survives on disk after vacuum")
+
     // replay no-op: a fresh query over the same data with the same appId
     // but a FRESH checkpoint re-delivers batch 0 — txn watermarks swallow it
     val mem2 = org.apache.spark.sql.execution.streaming.runtime
