@@ -721,9 +721,14 @@ object ExtensionBattery {
        |$ctes""".stripMargin
   }
 
+  // `toks` is emitted as ONE chr(31)-joined string, not an array column:
+  // the driver's checker canonicalizes via pandas sort_values over all
+  // columns and array-typed cells are unhashable (TypeError) — oracled
+  // entries must return atomic columns only (pinned in BenchContractSpec).
   private val fixedBpeOracleSql: String =
     s"""WITH $fixedBpeSymCtesSql
-       |SELECT doc_id, flatten(list(string_split(sym, chr(31)) ORDER BY wpos)) AS toks
+       |SELECT doc_id,
+       |  array_to_string(flatten(list(string_split(sym, chr(31)) ORDER BY wpos)), chr(31)) AS toks
        |FROM $fixedBpeSymFinal GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
@@ -775,7 +780,8 @@ object ExtensionBattery {
     sql("q_bpe_tokens_fixed", fixedBpeOracleSql) { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        .select($"doc_id", graft.ext.Bpe.tokens($"text", fixedBpeMerges).as("toks"))
+        .select($"doc_id",
+          array_join(graft.ext.Bpe.tokens($"text", fixedBpeMerges), "\u001f").as("toks"))
         .orderBy($"doc_id")
     },
 

@@ -900,14 +900,23 @@ object StreamingOps {
     * ways for governance: dedup means one stored blob can serve many
     * owners, so erasure must be reference-counted, not per-doc.
     *
-    * Cost shape: the erased docs' digests come from their own dbucket
-    * partitions (pruned); the still-referenced probe is ONE column-pruned
-    * manifest scan (erasure GC is a rare batch job — a standing refcount
+    * Cost shape: the erased docs' rows come from their own dbucket
+    * partitions (pruned); the dead-chunk probe is ONE column-pruned scan
+    * of each table (erasure GC is a rare batch job — a standing refcount
     * table would trade that scan for bookkeeping on every ingest); chunk
     * rewrites touch only the dead digests' cbucket partitions, dropping
     * ones that empty out. Physical file removal then completes with
     * [[graft.sinks.Snapshots.vacuum]] — partition-granular, so a
-    * partly-live bulk commit loses exactly its dead spec subdirs. */
+    * partly-live bulk commit loses exactly its dead spec subdirs.
+    *
+    * CRASH-SAFE: the two commits (manifest replace, chunk-table rewrite)
+    * are not atomic together, so the dead set is derived from the chunk
+    * table ITSELF (stored digests left-anti ALL surviving manifest
+    * references) — never from the pre-replace manifest. A failure between
+    * the commits leaves orphaned chunk rows, and the next erase (or a
+    * bare [[sweepOrphanChunks]] with no docIds) completes the sweep; the
+    * earlier derivation early-returned on the re-run (erased docs' rows
+    * already gone from the manifest) and stranded the text forever. */
   def chunkStoreErase(
       spark: org.apache.spark.sql.SparkSession,
       manifestTable: String,
@@ -915,43 +924,56 @@ object StreamingOps {
       docIds: Seq[Long],
       buckets: Int = 64): Unit = {
     import graft.sinks.Snapshots
-    if (docIds.isEmpty || Snapshots.versions(spark, manifestTable).isEmpty) return
-    val dbks = docIds.map(i => (((i % buckets) + buckets) % buckets).toString).toSet
-    // manifest overlap probe FIRST (the standing gate discipline): after a
-    // prior erase emptied these docs' dbuckets the filter matches nothing,
-    // and a filtered read would refuse — that absence IS the no-op signal
-    val replacedMan = Snapshots.partitions(spark, manifestTable)
-      .filter(sp => Snapshots.parseSpec(sp).get("dbucket").exists(dbks))
-    if (replacedMan.isEmpty) return // no bucket holds these docs
-    val erasedDigests = Snapshots.read(spark, manifestTable,
-        partitionFilter = m => m.get("dbucket").exists(dbks))
-      .filter(col("doc_id").isin(docIds: _*))
-      .select(col("chunk_hash")).distinct().localCheckpoint()
-    if (erasedDigests.isEmpty) return // already erased — idempotent no-op
-    val keptMan = Snapshots.read(spark, manifestTable,
-        partitionFilter = m => m.get("dbucket").exists(dbks))
-      .filter(!col("doc_id").isin(docIds: _*))
-    Snapshots.commitPartitionReplace(keptMan, manifestTable,
-      Seq("dbucket"), replacedMan)
-    // dead = erased minus still-referenced by ANY surviving manifest
-    val dead = erasedDigests.join(
-        Snapshots.read(spark, manifestTable).select(col("chunk_hash")),
-        Seq("chunk_hash"), "left_anti")
-      .localCheckpoint() // bounded by the erased docs' own chunk count
-    val cbks = dead
-      .select(pmod(xxhash64(col("chunk_hash")), lit(buckets)).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
-    if (cbks.nonEmpty && Snapshots.versions(spark, chunkTable).nonEmpty) {
-      val replaced = Snapshots.partitions(spark, chunkTable)
-        .filter(sp => Snapshots.parseSpec(sp).get("cbucket").exists(cbks))
-      if (replaced.nonEmpty) {
-        val keptCh = Snapshots.read(spark, chunkTable,
-            partitionFilter = m => m.get("cbucket").exists(cbks))
-          .join(dead, Seq("chunk_hash"), "left_anti")
-        Snapshots.commitPartitionReplace(keptCh, chunkTable,
-          Seq("cbucket"), replaced)
+    if (Snapshots.versions(spark, manifestTable).nonEmpty && docIds.nonEmpty) {
+      val dbks = docIds.map(i => (((i % buckets) + buckets) % buckets).toString).toSet
+      // manifest overlap probe FIRST (the standing gate discipline): after a
+      // prior erase emptied these docs' dbuckets the filter matches nothing,
+      // and a filtered read would refuse — that absence means the manifest
+      // leg is already done (the chunk sweep below still runs: recovery)
+      val replacedMan = Snapshots.partitions(spark, manifestTable)
+        .filter(sp => Snapshots.parseSpec(sp).get("dbucket").exists(dbks))
+      if (replacedMan.nonEmpty) {
+        val bucketRows = Snapshots.read(spark, manifestTable,
+            partitionFilter = m => m.get("dbucket").exists(dbks))
+          .localCheckpoint() // one read serves the probe and the rewrite
+        if (!bucketRows.filter(col("doc_id").isin(docIds: _*)).isEmpty)
+          Snapshots.commitPartitionReplace(
+            bucketRows.filter(!col("doc_id").isin(docIds: _*)),
+            manifestTable, Seq("dbucket"), replacedMan)
       }
     }
+    sweepOrphanChunks(spark, manifestTable, chunkTable)
+  }
+
+  /** GC leg of [[chunkStoreErase]], callable on its own as crash recovery:
+    * delete every stored chunk that NO surviving manifest references.
+    * Reads one column of each table, rewrites only the cbucket partitions
+    * that actually hold dead digests (none dead → no commit at all). */
+  def sweepOrphanChunks(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestTable: String,
+      chunkTable: String): Unit = {
+    import graft.sinks.Snapshots
+    if (Snapshots.versions(spark, chunkTable).isEmpty) return
+    val stored = Snapshots.read(spark, chunkTable)
+      .select(col("cbucket"), col("chunk_hash"))
+    // an empty (or never-written) manifest orphans every stored chunk
+    val dead = (if (Snapshots.versions(spark, manifestTable).isEmpty) stored
+      else stored.join(
+        Snapshots.read(spark, manifestTable).select(col("chunk_hash")),
+        Seq("chunk_hash"), "left_anti"))
+      .localCheckpoint() // bounded by the erased docs' own chunk count
+    val cbks = dead.select(col("cbucket").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (cbks.isEmpty) return // nothing orphaned — idempotent no-op
+    val replaced = Snapshots.partitions(spark, chunkTable)
+      .filter(sp => Snapshots.parseSpec(sp).get("cbucket").exists(cbks))
+    if (replaced.nonEmpty)
+      Snapshots.commitPartitionReplace(
+        Snapshots.read(spark, chunkTable,
+            partitionFilter = m => m.get("cbucket").exists(cbks))
+          .join(dead.select(col("chunk_hash")), Seq("chunk_hash"), "left_anti"),
+        chunkTable, Seq("cbucket"), replaced)
   }
 
   // ---- streaming quality-admission gate ------------------------------------

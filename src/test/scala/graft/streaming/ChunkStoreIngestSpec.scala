@@ -130,4 +130,45 @@ class ChunkStoreIngestSpec extends SparkSpec {
       assert(Snapshots.versions(spark, chunkT).size == vChunks, "replayed chunk commit")
     } finally q2.stop()
   }
+
+  test("erase completes the chunk sweep after a crash between its two commits") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-crash").toString
+    val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
+    val body = (1 to 400).map(i => s"crash$i").mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.startChunkStoreIngest(
+      mem.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(Seq((1L, body), (2L, "other text entirely")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // simulate the crash: replay EXACTLY chunkStoreErase's first commit
+    // (manifest replace dropping doc 1), then "die" before the chunk sweep
+    val dbks = Set("1") // doc 1's dbucket at the default 64 buckets
+    val replacedMan = Snapshots.partitions(spark, manT)
+      .filter(sp => Snapshots.parseSpec(sp).get("dbucket").exists(dbks))
+    Snapshots.commitPartitionReplace(
+      Snapshots.read(spark, manT,
+          partitionFilter = m => m.get("dbucket").exists(dbks))
+        .filter(!$"doc_id".isin(1L)),
+      manT, Seq("dbucket"), replacedMan)
+    assert(Snapshots.read(spark, chunkT)
+        .select($"ctext".as[String]).collect().exists(_.contains("crash17")),
+      "precondition: doc 1's unique chunks still stored after the crashed run")
+
+    // the RE-RUN sees no doc-1 manifest rows (its leg no-ops) but must
+    // still complete the sweep — the dead set comes from the chunk table
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L))
+    val live = Snapshots.read(spark, chunkT).select($"ctext".as[String]).collect()
+    assert(!live.exists(_.contains("crash17")),
+      "crashed erase never completed the chunk sweep — erased text still live")
+    // the innocent document is untouched and still reconstructs
+    val after = StreamingOps.reconstruct(spark, manT, chunkT)
+      .as[(Long, String)].collect().toMap
+    assert(after == Map(2L -> "other text entirely"))
+  }
 }
