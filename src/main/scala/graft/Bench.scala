@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   * host the sweep truncates at its own cap and the design degrades to the
   * old behavior, never to nothing.
   *
+  * Measured order (round-13 lesson — the registry outgrew the budget and
+  * BENCH_r13 recorded full_passes 0 with ~200 cold singles): a WARM
+  * HEADLINE PHASE first (two measured passes over the frozen 32-entry
+  * cross-round subset — the contract numbers are warm in any host window),
+  * then full-battery passes with the remaining budget.
+  *
   * KNOWN BOUND: the budget and the periodic emit are both checked BETWEEN
   * queries — a single query that hangs runs unbounded, and if the driver
   * then kills the process the stdout tail still holds the last complete
@@ -131,7 +137,9 @@ object Bench {
     val warmupDir = BenchGate.warmupDirFor(sfDir,
       sys.env.get("SPARK_GRAFT_BENCH_WARMUP_DIR"))
     // Sweep order maximizes absorbed one-time cost when the cap truncates
-    // it: queries with NO baseline first (new this round — unknown cold
+    // it: HEADLINE entries first (the warm headline phase below re-measures
+    // them immediately, so their one-time costs must be paid here, not
+    // there), then queries with NO baseline (new this round — unknown cold
     // inflation, and the regression gate can't contextualize them), then
     // descending baseline time (the shapes whose cold execution inflates
     // the measured total most, in absolute terms).
@@ -140,7 +148,8 @@ object Bench {
     if (warmupDir != "none") {
       val warmupDeadline = math.min(budgetSec * 0.25, elapsed() + 90.0)
       val it = queryList.sortBy { case (name, _) =>
-        -benchBaseline.mins.getOrElse(name, Double.MaxValue) }.iterator
+        (headlineRank.getOrElse(name, Int.MaxValue),
+         -benchBaseline.mins.getOrElse(name, Double.MaxValue)) }.iterator
       while (it.hasNext && elapsed() < warmupDeadline) {
         val (_, fn) = it.next()
         try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
@@ -161,6 +170,7 @@ object Bench {
     // second pass or a retest warm-measures it.
     val nMeasured = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     var fullPasses = 0
+    var headlinePasses = 0
     var retestN = 0
     def emit(pass: Int, complete: Boolean): Unit = {
       // The driver captures only the tail, so each line stays well under
@@ -177,10 +187,17 @@ object Bench {
         if (calibMtPost > 0) math.min(calibMtPre, calibMtPost) else calibMtPre
       // warm-measured only: cold single readings have no warm minimum to
       // regress against (see nMeasured above)
-      val regs = BenchGate
+      val allFlags = BenchGate
         .regressions(best.toMap, benchBaseline, calibSpark, mtRun)
-        .filter(nMeasured(_) >= 2)
+      val regs = allFlags.filter(nMeasured(_) >= 2)
       val regsJson = regs.take(8).map(n => s"\"$n\"").mkString("[", ",", "]")
+      // ADVISORY (not the gate): would-be flags with only ONE (cold)
+      // measurement. The warm-only gate correctly says nothing about them,
+      // but a truncated capture that repeatedly leaves the same tail cold
+      // would otherwise hide a real regression indefinitely — these names
+      // tell the reader exactly which entries need an isolated warm probe.
+      val coldFlags = allFlags.filter(nMeasured(_) == 1)
+      val coldJson = coldFlags.take(8).map(n => s"\"$n\"").mkString("[", ",", "]")
       val retests = s""""retests":$retestN"""
       val total = if (best.nonEmpty) best.values.sum else 0.0
       // calibration in Mops/s; *_post stay 0.0 until the post-run probes fire
@@ -193,7 +210,7 @@ object Bench {
       // aborting with full_passes=2 means the minima rest on two COMPLETE
       // sweeps (a valid measurement), not a partial signal — the r11 run-1
       // misread ("complete:false" despite two finished passes)
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,"full_passes":$fullPasses,"warmup_n":$warmupN,"warmup_t":${r3(warmupT)},"regressions":$regsJson,"regressions_n":${regs.size},$retests,$calib,"queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,"full_passes":$fullPasses,"headline_passes":$headlinePasses,"warmup_n":$warmupN,"warmup_t":${r3(warmupT)},"regressions":$regsJson,"regressions_n":${regs.size},"cold_flags":$coldJson,"cold_flags_n":${coldFlags.size},$retests,$calib,"queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
     }
 
@@ -201,6 +218,43 @@ object Bench {
     var pass = 0
     var outOfTime = false
     var lastComplete = false
+    // retest reserve: proportional for small budgets (a fixed 25 s reserve
+    // aborted a 25-s-budget run after its first query), capped at 25 s so
+    // big budgets don't idle
+    val reserveSec = math.min(25.0, budgetSec * 0.1)
+
+    // WARM HEADLINE PHASE (round-13 verdict item 2): the frozen 32-entry
+    // headline subset is the ONLY cross-round-comparable aggregate, so it
+    // gets warm (n >= 2) measured-scale minima FIRST — two measured passes
+    // over just these entries, before the full battery spends the budget.
+    // BENCH_r13 ran a throttled window at 228 entries and got full_passes 0
+    // with the warm-up sweep covering 22 queries: every headline number was
+    // a cold single. This phase costs ~2x the headline warm sum (well under
+    // a minute quiet) and guarantees the contract subset survives ANY host
+    // window that leaves the full battery truncated. Headline entries also
+    // re-measure inside the full passes below — more minima, same key.
+    val headlineList = queryList.filter { case (n, _) => headlineRank.contains(n) }
+    while (headlinePasses < 2 && !outOfTime) {
+      var aborted = false
+      // phase pass 2 repairs slowest-first, same rationale as the main loop
+      val order =
+        if (headlinePasses == 0) headlineList
+        else headlineList.sortBy { case (n, _) => -best.getOrElse(n, Double.MaxValue) }
+      val it = order.iterator
+      while (it.hasNext && !aborted) {
+        val (name, fn) = it.next()
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - q0) / 1e9
+        best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+        nMeasured(name) += 1
+        if (elapsed() > budgetSec - reserveSec) { aborted = true; outOfTime = true }
+        else if (elapsed() - lastEmit > 20.0) { emit(0, complete = false); lastEmit = elapsed() }
+      }
+      if (!aborted) headlinePasses += 1
+      emit(0, complete = false)
+      lastEmit = elapsed()
+    }
     // Always start the next pass if budget remains: pass 1 still carries
     // whatever one-time cost the warm-up sweep didn't absorb (sf0.1-sized
     // IO, AQE re-plans), so predicting pass 2 from it would skip warm
@@ -225,10 +279,10 @@ object Bench {
         val dt = (System.nanoTime() - q0) / 1e9
         best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
         nMeasured(name) += 1
-        // measured passes stop 25 s short of the budget: the reserve pays
-        // for the flag-retest pass below (isolated re-measures of any
-        // currently-flagged floor-adjacent entries) + the final emit
-        if (elapsed() > budgetSec - 25.0) { aborted = true; outOfTime = true }
+        // measured passes stop `reserveSec` short of the budget: the
+        // reserve pays for the flag-retest pass below (isolated re-measures
+        // of any currently-flagged floor-adjacent entries) + the final emit
+        if (elapsed() > budgetSec - reserveSec) { aborted = true; outOfTime = true }
         else if (elapsed() - lastEmit > 20.0) { emit(pass, complete = false); lastEmit = elapsed() }
       }
       lastComplete = !aborted

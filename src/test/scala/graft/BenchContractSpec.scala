@@ -51,7 +51,8 @@ class BenchContractSpec extends AnyFunSuite {
     assert(last("metric") == "total")
     assert(last("unit") == "sec")
     val requiredKeys = Seq("value", "t", "n_queries", "pass", "complete",
-      "full_passes", "warmup_n", "warmup_t", "regressions", "regressions_n",
+      "full_passes", "headline_passes", "warmup_n", "warmup_t",
+      "regressions", "regressions_n", "cold_flags", "cold_flags_n",
       "calib_st_pre", "calib_mt_pre", "calib_st_post", "calib_mt_post",
       "calib_spark", "queries", "sf")
     requiredKeys.foreach(k => assert(last.contains(k), s"missing field $k"))
