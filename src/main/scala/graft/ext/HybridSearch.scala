@@ -32,6 +32,15 @@ object HybridSearch {
       roundTo: Int = 6): DataFrame = {
     require(legs.nonEmpty, "need at least one ranking leg")
     val idType = legs.head.schema(idCol).dataType
+    // the fusion keys on a lossless cast to long (TopKAggregate carries
+    // long ids): a non-integral id would silently cast to NULL, fuse every
+    // unparseable id into one bogus group, and emit null ids — refuse it
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"rrf requires an integral $idCol column (got $idType); " +
+        "map string ids to a surrogate long key before fusing")
     val contrib = legs
       .map(_.select(col(idCol).cast("long").as("id"),
         (lit(1.0) / (lit(kRrf) + col(rankCol).cast("int"))).as("c")))
@@ -51,6 +60,11 @@ object HybridSearch {
   def rankLeg(scored: DataFrame, idCol: String, scoreCol: String,
       depth: Int): DataFrame = {
     val idType = scored.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"rankLeg requires an integral $idCol column (got $idType)")
     scored
       .agg(graft.functions.TopKAggregate.top_k(col(scoreCol), col(idCol), depth).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "e")))

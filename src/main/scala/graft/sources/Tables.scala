@@ -12,17 +12,23 @@ object Tables {
   /** Resolved-relation cache, keyed by (session, path): a catalog stand-in.
     * `spark.read.parquet` re-lists files and re-reads footers on every
     * call — fixed per-query analysis cost that a metastore amortizes in
-    * any real deployment, and at 228 registry entries it is pure overhead
+    * any real deployment, and at 229 registry entries it is pure overhead
     * repeated hundreds of times per bench pass / Verify run. The cached
-    * DataFrame is lazy and immutable (the test tables never change on
-    * disk); plans built from it stay independent. Entries die with their
-    * session (the key holds the session reference). */
+    * DataFrame is lazy and immutable — a cached path's FILES MUST NOT be
+    * rewritten while its session lives (true for the driver-generated test
+    * tables; a mutable path would serve stale listings); plans built from
+    * it stay independent. Stopped sessions are purged on the next access
+    * ([[table]] sweeps `sparkContext.isStopped` keys), so a long-lived JVM
+    * cycling sessions — the test runner — never accretes dead sessions
+    * and their DataFrames. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    cache.keySet.removeIf(_._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       key => key._1.read.parquet(key._2))
+  }
 
   def region(spark: SparkSession, d: String): DataFrame   = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame   = table(spark, d, "nation")

@@ -32,6 +32,25 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getDouble(1) == out(1).getDouble(1))
   }
 
+  test("rrf/rankLeg: refuse non-integral id columns instead of null-fusing them") {
+    // a string id would cast("long") to NULL, silently merging every
+    // unparseable id into one bogus group — the guard turns that into an
+    // immediate, named error
+    val strLeg = Seq(("a", 1), ("b", 2)).toDF("id", "rank")
+    val e1 = intercept[IllegalArgumentException] {
+      HybridSearch.rrf(Seq(strLeg))
+    }
+    assert(e1.getMessage.contains("integral"))
+    val strScored = Seq(("a", 0.9)).toDF("doc_id", "score")
+    val e2 = intercept[IllegalArgumentException] {
+      HybridSearch.rankLeg(strScored, "doc_id", "score", depth = 3)
+    }
+    assert(e2.getMessage.contains("integral"))
+    // int ids (not just long) remain accepted — lossless widening
+    val intLeg = Seq((1, 1), (2, 2)).toDF("id", "rank")
+    assert(HybridSearch.rrf(Seq(intLeg), limit = 2).collect().length == 2)
+  }
+
   test("rankLeg: truncates to depth with positional 1-based ranks") {
     val scored = Seq((1L, 0.9), (2L, 0.7), (3L, 0.8), (4L, 0.1))
       .toDF("doc_id", "score")
