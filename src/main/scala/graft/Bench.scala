@@ -267,9 +267,16 @@ object Bench {
       // Warm passes re-measure slowest-first: the reported total is a sum of
       // per-query minima, so when the budget truncates a warm pass the
       // queries whose cold measurement is most inflated (one-time codegen /
-      // JIT / GC spikes) get repaired first.
+      // JIT / GC spikes) get repaired first. Pass 1 skips the headline
+      // entries when the phase above fully warm-measured them (n >= 2
+      // each): re-running them would spend ~10% of the budget on a third
+      // measurement while ~200 entries still have none — "full pass 1" =
+      // headline phase + the rest, i.e. the whole battery measured at
+      // measured scale. Later passes include everything.
       val passOrder =
-        if (pass == 1) queryList
+        if (pass == 1 && headlinePasses >= 2)
+          queryList.filterNot { case (name, _) => headlineRank.contains(name) }
+        else if (pass == 1) queryList
         else queryList.sortBy { case (name, _) => -best.getOrElse(name, Double.MaxValue) }
       val it = passOrder.iterator
       while (it.hasNext && !aborted) {

@@ -1939,6 +1939,103 @@ object ExtensionBattery {
         .orderBy($"doc_id", $"span_start")
     },
 
+    // MAXIMAL duplicated substring PER DUP PAIR (round-13 stretch — the
+    // suffix-array role filled by a gram-chain walk): for every document
+    // pair sharing a duplicated 8-gram, emit the LONGEST common token
+    // substring itself (text, length, both start positions). Method: a
+    // shared substring of L >= 8 tokens is exactly a run of L-7 consecutive
+    // matching 8-gram positions on ONE DIAGONAL (i - j constant), so the
+    // maximal substring is the longest gaps-and-islands run per (pair,
+    // diagonal) — no suffix array needed, and unlike one it distributes:
+    // the window partitions by (pair, diagonal), never globally. Scale
+    // shape: pair generation is the winnowing discipline (gram df capped
+    // at maxDf=16, so each gram fans out to at most maxDf^2 pairs — hot
+    // boilerplate grams are CUT, which also means a run through a cut gram
+    // splits; both engines apply the identical rule). Ties break to the
+    // smallest a_start then b_start. Substrings shorter than 8 tokens
+    // carry no duplicated 8-gram and are out of scope by construction
+    // (the Lee et al. 2022 ExactSubstr threshold).
+    sql("q_dup_longest_substring",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:(i+7)], ' ') AS gram
+        |  FROM tok, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |df AS (SELECT gram FROM grams GROUP BY gram
+        |       HAVING count(DISTINCT doc_id) BETWEEN 2 AND 16),
+        |dup AS (SELECT g.doc_id, g.i, g.gram FROM grams g JOIN df USING (gram)),
+        |cells AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+        |  FROM dup a JOIN dup b USING (gram) WHERE a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
+        |    ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
+        |  FROM cells),
+        |runs AS (
+        |  SELECT doc_a, doc_b, min(ia) AS a_start, min(ib) AS b_start,
+        |    count(*) + 7 AS lcs_tokens
+        |  FROM isl GROUP BY doc_a, doc_b, diag, grp),
+        |best AS (
+        |  SELECT doc_a, doc_b, a_start, b_start, lcs_tokens,
+        |    row_number() OVER (PARTITION BY doc_a, doc_b
+        |      ORDER BY lcs_tokens DESC, a_start, b_start) AS rk
+        |  FROM runs)
+        |SELECT doc_a, doc_b,
+        |  CAST(lcs_tokens AS BIGINT) AS lcs_tokens,
+        |  CAST(a_start AS BIGINT) AS a_start, CAST(b_start AS BIGINT) AS b_start,
+        |  array_to_string(t.toks[a_start:(a_start + lcs_tokens - 1)], ' ') AS lcs_text
+        |FROM best JOIN tok t ON t.doc_id = best.doc_a
+        |WHERE rk = 1 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .withColumn("toks", filter(split(lower($"text"), "\\s+"), w => length(w) > 0))
+        .select($"doc_id", $"toks")
+      val g = tok.filter(size($"toks") >= 8)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => struct(i.as("i"),
+              array_join(slice($"toks", i, lit(8)), " ").as("gram")))).as("x"))
+        .select($"doc_id", $"x.i".as("i"), $"x.gram".as("gram"))
+      // df-capped dup grams: the winnowing maxDf discipline bounds every
+      // gram bucket to at most 16^2 pair cells — never all-pairs
+      val dupGrams = g.groupBy($"gram")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2 && $"nd" <= 16)
+        .select($"gram")
+      // pinned: both sides of the self-join read this frame — without the
+      // checkpoint Catalyst re-derives the gram explode + df aggregate per
+      // side (the q_winnow_neardup lesson)
+      val dup = g.join(dupGrams, Seq("gram")).localCheckpoint()
+      val cells = dup.as("a").join(dup.as("b"), Seq("gram"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.i".as("ia"), $"b.i".as("ib"))
+        .distinct()
+      val wDiag = Window.partitionBy($"doc_a", $"doc_b", $"ia" - $"ib").orderBy($"ia")
+      val runs = cells
+        .withColumn("diag", $"ia" - $"ib")
+        .withColumn("grp", $"ia" - row_number().over(wDiag))
+        .groupBy($"doc_a", $"doc_b", $"diag", $"grp")
+        .agg(min($"ia").as("a_start"), min($"ib").as("b_start"),
+          (count(lit(1)) + 7).as("lcs_tokens"))
+      val wBest = Window.partitionBy($"doc_a", $"doc_b")
+        .orderBy($"lcs_tokens".desc, $"a_start", $"b_start")
+      runs
+        .withColumn("rk", row_number().over(wBest))
+        .filter($"rk" === 1)
+        .join(tok.select($"doc_id".as("doc_a"), $"toks"), Seq("doc_a"))
+        .select($"doc_a", $"doc_b",
+          $"lcs_tokens".cast("long").as("lcs_tokens"),
+          $"a_start".cast("long").as("a_start"), $"b_start".cast("long").as("b_start"),
+          array_join(slice($"toks", $"a_start".cast("int"), $"lcs_tokens".cast("int")), " ")
+            .as("lcs_text"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // DELTA-vs-CORPUS duplicated spans (the SemDedup.dedupDelta discipline
     // applied to the exact-substring family): decide which spans of an
     // ingest batch (doc_id ≥ 250) duplicate the standing corpus

@@ -1,0 +1,57 @@
+package graft.sinks
+
+import graft.SparkSpec
+
+/** The sidecar that bounds the chunk-store gate's per-batch probe: no
+  * false negatives ever, deterministic across JVMs, distributed build ≡
+  * driver build, version-matched read discipline. */
+class DigestBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def digests(n: Int): Seq[String] =
+    (0 until n).map(i => s"digest-$i-${i * 2654435761L}")
+
+  test("no false negatives; false positives stay low at design load") {
+    val b = DigestBloom.empty(1 << 16, 6) // small filter, 4k inserts
+    val in = digests(4000)
+    in.foreach(b.add)
+    assert(in.forall(b.contains), "false negative — forbidden")
+    val out = (0 until 4000).map(i => s"absent-$i")
+    val fp = out.count(b.contains)
+    assert(fp < 200, s"fp rate ${fp / 4000.0} too high for m/n=16")
+  }
+
+  test("or merges; copy isolates") {
+    val a = DigestBloom.empty(1 << 10, 4)
+    val b = DigestBloom.empty(1 << 10, 4)
+    a.add("only-a"); b.add("only-b")
+    val c = a.copy().or(b)
+    assert(c.contains("only-a") && c.contains("only-b"))
+    assert(!a.contains("only-b"), "or mutated through copy")
+  }
+
+  test("distributed build equals driver-side adds") {
+    val in = digests(5000)
+    val df = in.toDF("chunk_hash").repartition(8)
+    val built = DigestBloom.build(df, "chunk_hash", 1 << 16, 6)
+    val ref = DigestBloom.empty(1 << 16, 6)
+    in.foreach(ref.add)
+    assert(built.bits.sameElements(ref.bits), "distributed OR drifted from driver build")
+    // zero-partition edge: empty frame builds an empty (all-miss) bloom
+    val empty = DigestBloom.build(
+      spark.emptyDataFrame.select(org.apache.spark.sql.functions.lit("x").as("chunk_hash")).limit(0),
+      "chunk_hash", 1 << 10, 4)
+    assert(!empty.contains("anything"))
+  }
+
+  test("sidecar write/read round-trips; reads are version-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val b = DigestBloom.empty(1 << 12, 5)
+    digests(100).foreach(b.add)
+    DigestBloom.write(spark, dir, 7L, b)
+    val back = DigestBloom.read(spark, dir, 7L)
+    assert(back.isDefined && back.get.k == 5 && back.get.bits.sameElements(b.bits))
+    // a different version has no sidecar — the fallback signal
+    assert(DigestBloom.read(spark, dir, 8L).isEmpty)
+  }
+}

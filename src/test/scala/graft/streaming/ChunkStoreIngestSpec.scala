@@ -131,6 +131,44 @@ class ChunkStoreIngestSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("compaction cadence: buckets collapse to one file each, sidecar re-stamps, dedup and reconstruct unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-compact").toString
+    val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
+    val body = (1 to 300).map(i => s"cmpt$i").mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.startChunkStoreIngest(
+      mem.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt",
+      compactEvery = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      for (b <- 0 until 4) {
+        mem.addData(Seq((b * 2L, s"batch$b " + body), (b * 2L + 1, s"solo$b text$b")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // shared body chunks stored once despite the interleaved compactions
+    val stored = Snapshots.read(spark, chunkT)
+    assert(stored.count() == stored.select($"chunk_hash").distinct().count(),
+      "compaction or probe loss produced duplicate chunk rows")
+    // the sidecar tracks the latest (compacted) version — no rebuild needed
+    val v = Snapshots.versions(spark, chunkT).last
+    assert(graft.sinks.DigestBloom.read(spark, chunkT, v).isDefined,
+      s"no sidecar at the compacted version $v")
+    // post-compaction: each live bucket spec reads from ONE commit dir
+    val parts = Snapshots.partitions(spark, chunkT)
+    assert(parts.nonEmpty)
+    // all documents reconstruct exactly through the compacted store
+    val all = StreamingOps.reconstruct(spark, manT, chunkT)
+      .as[(Long, String)].collect().toMap
+    assert(all.size == 8)
+    for (b <- 0 until 4) {
+      assert(all(b * 2L) == norm(s"batch$b " + body), s"doc ${b * 2} corrupted")
+      assert(all(b * 2L + 1) == s"solo$b text$b")
+    }
+  }
+
   test("erase completes the chunk sweep after a crash between its two commits") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-crash").toString
