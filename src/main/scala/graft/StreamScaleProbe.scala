@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * batch cost tracks corpus size re-reads its state per batch and becomes
   * the bottleneck long before 100 TB; a bounded gate's curve is flat.
   *
-  * Usage: StreamScaleProbe <sfDir> <nBatches> <rowsPerBatch> [gate] [compactEvery]
+  * Usage: StreamScaleProbe <sfDir> <nBatches> <rowsPerBatch> [gate] [knob]
   *   gate = chunkstore (default) | semdedup
+  *   knob = compactEvery for chunkstore (default 0 = off);
+  *          gridBits for semdedup (default 8), then [compactEvery]
   * Output: one `SBATCH` line per micro-batch on stderr —
   *   `SBATCH gate=… b=<i> wall=<s> state_rows=<n>` — plus a `STOTAL` line.
   * Fixed batch size by design: the x-axis is accumulated state, nothing
@@ -51,10 +53,14 @@ object StreamScaleProbe {
         (query, () => sinks.Snapshots.read(spark, chunkT).count())
       case "semdedup" =>
         val outT = s"$dir/corpus"
+        val gridBits = if (args.length > 4) args(4).toInt else 8
+        val compactEvery = if (args.length > 5) args(5).toInt else 0
         val query = streaming.StreamingOps.startSemDedupIngest(
           embeddingsFor(mem.toDF().toDF("doc_id", "text")),
-          outT, s"$dir/ckpt", minCos = 0.995, gridBits = 8, dim = 16)
-        (query, () => sinks.Snapshots.read(spark, outT).count())
+          outT, s"$dir/ckpt", minCos = 0.995, gridBits = gridBits, dim = 16,
+          compactEvery = compactEvery, trigger = trigger)
+        (query, () => if (sinks.Snapshots.versions(spark, outT).isEmpty) 0L
+                      else sinks.Snapshots.read(spark, outT).count())
       case other => sys.error(s"unknown gate $other")
     }
 

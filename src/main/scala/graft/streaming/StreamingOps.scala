@@ -159,7 +159,14 @@ object StreamingOps {
     * failure + replay the verdicts are recomputed (possibly against a
     * corpus that already contains this batch's kept rows — harmless: the
     * replayed copy defers to its standing twin under the corpus bias) and
-    * the commit no-ops on the watermark. */
+    * the commit no-ops on the watermark.
+    *
+    * `compactEvery` (0 = off): every K corpus commits, rewrite each cell
+    * partition to one file ([[graft.sinks.Snapshots.compact]] — txn map
+    * carries forward, replays still no-op). Measured (§9.4): per-append
+    * fragmentation, not pair math, dominated per-batch cost growth at 50
+    * batches (the probed-cell read unions one tiny file per cell per
+    * commit), same disease and same cure as the chunk store. */
   def startSemDedupIngest(
       stream: DataFrame, // (id, v)
       corpusTable: String,
@@ -169,6 +176,7 @@ object StreamingOps {
       dim: Int = 64,
       maxCellSize: Long = 4096,
       appId: String = "graft-semdedup-ingest",
+      compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -210,11 +218,14 @@ object StreamingOps {
           // a batch may keep NOTHING (every row matched the corpus) — no
           // commit then; a replay recomputes the same empty verdict set, so
           // the missing txn watermark costs nothing
-          if (!kept.isEmpty)
-            graft.sinks.Snapshots.commitPartitioned(
+          if (!kept.isEmpty) {
+            val v2 = graft.sinks.Snapshots.commitPartitioned(
               kept.select(col("id"), col("v"), col("cluster_id")),
               corpusTable, Seq("cluster_id"),
               org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))
+            if (compactEvery > 0 && v2 % compactEvery == 0)
+              graft.sinks.Snapshots.compact(spark, corpusTable)
+          }
           ()
         }
       }
