@@ -57,7 +57,7 @@ mt_ref = lower_median(mts) if all(m is not None for m in mts) else None
 
 lines = [
     "# Per-query warm minima: UPPER MEDIAN across quiet multi-pass captures",
-    f"# ({len(pairs)} capture(s), round 13), plus the combined calib_spark",
+    f"# ({len(pairs)} capture(s)), plus the combined calib_spark",
     "# (and calib_mt, Mops/s) of those captures. Consumed by BenchGate: a",
     "# run flags q when min(q) > max(0.9, baseline * 1.5 * hostFactor),",
     "# hostFactor = max(1, calib_spark/calib_spark_ref, calib_mt_ref/calib_mt_run).",
