@@ -917,9 +917,14 @@ object StreamingOps {
           val manifest = ch.select(
             pmod(col("doc_id"), lit(buckets)).as("dbucket"),
             col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("n_tok"))
-          Snapshots.commitPartitioned(manifest, manifestTable, Seq("dbucket"),
+          val vm = Snapshots.commitPartitioned(manifest, manifestTable, Seq("dbucket"),
             org.apache.spark.sql.SaveMode.Append,
             txn = Some(s"$appId-manifest" -> batchId))
+          // same cadence for the manifest table: reconstruct() and the
+          // erase sweep read it whole, and it fragments one file per
+          // dbucket per batch just like the chunk table
+          if (compactEvery > 0 && vm % compactEvery == 0)
+            Snapshots.compact(spark, manifestTable)
           ()
         }
       }
