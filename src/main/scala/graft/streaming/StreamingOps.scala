@@ -218,14 +218,12 @@ object StreamingOps {
           // a batch may keep NOTHING (every row matched the corpus) — no
           // commit then; a replay recomputes the same empty verdict set, so
           // the missing txn watermark costs nothing
-          if (!kept.isEmpty) {
-            val v2 = graft.sinks.Snapshots.commitPartitioned(
-              kept.select(col("id"), col("v"), col("cluster_id")),
-              corpusTable, Seq("cluster_id"),
-              org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))
-            if (compactEvery > 0 && v2 % compactEvery == 0)
-              graft.sinks.Snapshots.compact(spark, corpusTable)
-          }
+          if (!kept.isEmpty)
+            maintainCompact(spark, corpusTable, compactEvery,
+              graft.sinks.Snapshots.commitPartitioned(
+                kept.select(col("id"), col("v"), col("cluster_id")),
+                corpusTable, Seq("cluster_id"),
+                org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId)))
           ()
         }
       }
@@ -297,6 +295,19 @@ object StreamingOps {
     * commit completes the pair. Replay after both committed recomputes
     * verdicts that may now see the batch's own grams in the index —
     * harmless, because both commits no-op on their watermarks. */
+  /** §9.4 fragmentation maintenance, shared by the ingest gates: compact
+    * `table` every `every` commits (0 = off). Append gates accrete one
+    * tiny file per partition per commit, and any per-batch read of that
+    * state (gram index, token index, corpus cells, chunk digests) comes to
+    * be dominated by file count rather than data volume — measured on both
+    * the chunk-store and semdedup gates. Compaction preserves the txn map,
+    * so replays still no-op. */
+  private def maintainCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, every: Int, committedVersion: Long): Unit =
+    if (every > 0 && committedVersion % every == 0)
+      graft.sinks.Snapshots.compact(spark, table)
+
   def startDupSpanIngest(
       stream: DataFrame, // (doc_id: Long, text: String)
       docsTable: String,
@@ -306,6 +317,7 @@ object StreamingOps {
       gramN: Int = 8,
       buckets: Int = 64,
       appId: String = "graft-dupspan-ingest",
+      compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -377,9 +389,10 @@ object StreamingOps {
               .join(accepted.select(col("doc_id")), "doc_id")
               .select(col("bucket"), col("gram")).distinct()
             if (!acceptedGrams.isEmpty)
-              graft.sinks.Snapshots.commitPartitioned(acceptedGrams, gramTable,
-                Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
-                txn = Some(s"$appId-grams" -> batchId))
+              maintainCompact(spark, gramTable, compactEvery,
+                graft.sinks.Snapshots.commitPartitioned(acceptedGrams, gramTable,
+                  Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
+                  txn = Some(s"$appId-grams" -> batchId)))
           }
           ()
         }
@@ -425,6 +438,7 @@ object StreamingOps {
       threshold: Double = 0.8,
       buckets: Int = 64,
       appId: String = "graft-split-ingest",
+      compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -538,14 +552,16 @@ object StreamingOps {
                 .otherwise(graft.ext.Splits.splitOf(col("comp"))).as("split"))
             .withColumn("dbucket", pmod(col("doc_id"), lit(buckets)))
             .localCheckpoint()
-          graft.sinks.Snapshots.commitPartitioned(assigned, docsTable,
-            Seq("dbucket"), org.apache.spark.sql.SaveMode.Append,
-            txn = Some(s"$appId-docs" -> batchId))
+          maintainCompact(spark, docsTable, compactEvery,
+            graft.sinks.Snapshots.commitPartitioned(assigned, docsTable,
+              Seq("dbucket"), org.apache.spark.sql.SaveMode.Append,
+              txn = Some(s"$appId-docs" -> batchId)))
           val newToks = batchToks.select(col("bucket"), col("token"), col("doc_id"))
           if (!newToks.isEmpty)
-            graft.sinks.Snapshots.commitPartitioned(newToks, tokenTable,
-              Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
-              txn = Some(s"$appId-tokens" -> batchId))
+            maintainCompact(spark, tokenTable, compactEvery,
+              graft.sinks.Snapshots.commitPartitioned(newToks, tokenTable,
+                Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
+                txn = Some(s"$appId-tokens" -> batchId)))
           ()
         }
       }
@@ -917,14 +933,13 @@ object StreamingOps {
           val manifest = ch.select(
             pmod(col("doc_id"), lit(buckets)).as("dbucket"),
             col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("n_tok"))
-          val vm = Snapshots.commitPartitioned(manifest, manifestTable, Seq("dbucket"),
-            org.apache.spark.sql.SaveMode.Append,
-            txn = Some(s"$appId-manifest" -> batchId))
           // same cadence for the manifest table: reconstruct() and the
           // erase sweep read it whole, and it fragments one file per
           // dbucket per batch just like the chunk table
-          if (compactEvery > 0 && vm % compactEvery == 0)
-            Snapshots.compact(spark, manifestTable)
+          maintainCompact(spark, manifestTable, compactEvery,
+            Snapshots.commitPartitioned(manifest, manifestTable, Seq("dbucket"),
+              org.apache.spark.sql.SaveMode.Append,
+              txn = Some(s"$appId-manifest" -> batchId)))
           ()
         }
       }
