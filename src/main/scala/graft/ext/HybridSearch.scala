@@ -34,13 +34,18 @@ object HybridSearch {
     val idType = legs.head.schema(idCol).dataType
     // the fusion keys on a lossless cast to long (TopKAggregate carries
     // long ids): a non-integral id would silently cast to NULL, fuse every
-    // unparseable id into one bogus group, and emit null ids — refuse it
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-        .contains(idType),
-      s"rrf requires an integral $idCol column (got $idType); " +
-        "map string ids to a surrogate long key before fusing")
+    // unparseable id into one bogus group, and emit null ids — refuse it,
+    // in EVERY leg (a string-id leg hiding behind an integral head would
+    // hit exactly the failure this guard exists to exclude)
+    legs.zipWithIndex.foreach { case (leg, i) =>
+      val t = leg.schema(idCol).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+          .contains(t),
+        s"rrf requires an integral $idCol column in every leg (leg $i has $t); " +
+          "map string ids to a surrogate long key before fusing")
+    }
     val contrib = legs
       .map(_.select(col(idCol).cast("long").as("id"),
         (lit(1.0) / (lit(kRrf) + col(rankCol).cast("int"))).as("c")))

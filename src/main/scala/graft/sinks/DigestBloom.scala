@@ -114,14 +114,21 @@ object DigestBloom {
           else {
             val k = in.readInt()
             val n = in.readInt()
-            val bits = new Array[Long](n)
-            var i = 0
-            while (i < n) { bits(i) = in.readLong(); i += 1 }
-            Some(new DigestBloom(bits, k))
+            // a truncated/corrupt payload can yield garbage k or n — a
+            // negative or absurd n would throw past an IOException-only
+            // catch (NegativeArraySizeException / OOM) and crash the
+            // streaming batch instead of falling back to the full probe
+            if (k < 1 || k > 64 || n < 1 || n > (1 << 26)) None // ≤ 512 MiB
+            else {
+              val bits = new Array[Long](n)
+              var i = 0
+              while (i < n) { bits(i) = in.readLong(); i += 1 }
+              Some(new DigestBloom(bits, k))
+            }
           }
         } finally in.close()
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Publish the sidecar for version `v` (atomic rename, same discipline as
@@ -138,8 +145,13 @@ object DigestBloom {
         out.writeInt(bloom.bits.length)
         bloom.bits.foreach(out.writeLong)
       } finally out.close()
-      f.rename(tmp, path(table, v))
+      // rename-no-overwrite filesystems return false with the destination
+      // already present (e.g. a concurrent writer won the publish): the
+      // sidecar there is for the SAME version so losing the race is fine,
+      // but the tmp must not leak into _bloom/
+      if (!f.rename(tmp, path(table, v))) f.delete(tmp, false)
       ()
-    } catch { case _: java.io.IOException => try f.delete(tmp, false) catch { case _: java.io.IOException => () } }
+    } catch { case scala.util.control.NonFatal(_) =>
+      try f.delete(tmp, false) catch { case _: java.io.IOException => () } }
   }
 }

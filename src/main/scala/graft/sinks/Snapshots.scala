@@ -48,7 +48,8 @@ object Snapshots {
   private[sinks] case class Manifest(
       dirs: Seq[String],
       partitions: Map[String, Seq[String]],
-      txn: Map[String, Long] = Map.empty)
+      txn: Map[String, Long] = Map.empty,
+      schema: Option[String] = None)
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     FileSystem.get(new java.net.URI(table), spark.sparkContext.hadoopConfiguration)
@@ -85,7 +86,8 @@ object Snapshots {
     if (node.has("txn")) node.get("txn").fields().forEachRemaining { e =>
       txn += e.getKey -> e.getValue.asLong()
     }
-    Manifest(dirs.result(), parts.result(), txn.result())
+    val schema = if (node.has("schema")) Some(node.get("schema").asText()) else None
+    Manifest(dirs.result(), parts.result(), txn.result(), schema)
   }
 
   /** Write-temp + rename publication shared by both commit flavors. */
@@ -105,6 +107,7 @@ object Snapshots {
       val to = root.putObject("txn")
       m.txn.toSeq.sortBy(_._1).foreach { case (app, id) => to.put(app, id) }
     }
+    m.schema.foreach(root.put("schema", _))
     f.mkdirs(manifestDir(table))
     val tmp = new Path(manifestDir(table), f".v$v%05d.json.tmp")
     val out = f.create(tmp, true)
@@ -157,7 +160,8 @@ object Snapshots {
       val dirs =
         if (mode == SaveMode.Overwrite) Seq(dataDir)
         else prevManifest.map(_.dirs).getOrElse(Seq.empty) :+ dataDir
-      publish(f, table, v, Manifest(dirs, Map.empty, prevTxn ++ txn))
+      publish(f, table, v,
+        Manifest(dirs, Map.empty, prevTxn ++ txn, Some(df.schema.json)))
     }
   }
 
@@ -211,7 +215,8 @@ object Snapshots {
           prevParts -- touched ++ touched.map(_ -> Seq(base))
         else
           prevParts ++ touched.map(s => s -> (prevParts.getOrElse(s, Seq.empty) :+ base))
-      publish(f, table, v, Manifest(Seq.empty, merged.toMap, prevTxnMap ++ txn))
+      publish(f, table, v,
+        Manifest(Seq.empty, merged.toMap, prevTxnMap ++ txn, Some(df.schema.json)))
     }
   }
 
@@ -260,7 +265,8 @@ object Snapshots {
         s"rewrite produced partitions outside the replaced set: ${stray.mkString(", ")}")
       val prevParts = prevManifest.map(_.partitions).getOrElse(Map.empty[String, Seq[String]])
       val merged = prevParts -- replaced ++ touched.map(_ -> Seq(base))
-      publish(f, table, v, Manifest(Seq.empty, merged.toMap, prevTxnMap ++ txn))
+      publish(f, table, v,
+        Manifest(Seq.empty, merged.toMap, prevTxnMap ++ txn, Some(df.schema.json)))
     }
   }
 
@@ -366,7 +372,20 @@ object Snapshots {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val m = readManifest(f, table, v)
-    if (m.partitions.isEmpty) readDirs(spark, m.dirs)
+    if (m.dirs.isEmpty && m.partitions.isEmpty) {
+      // A versioned-but-EMPTY snapshot: commitPartitionReplace can legally
+      // erase every spec (full GDPR erase of a small table), after which
+      // there are zero data dirs to scan. The manifest records the last
+      // committed schema precisely so this read returns an empty TYPED
+      // frame instead of spark.read.parquet() with no paths (which throws)
+      // — keeping erase/sweep idempotent on fully-erased tables.
+      val schemaJson = m.schema.getOrElse(
+        throw new IllegalStateException(
+          s"$table v$v is empty and records no schema (pre-schema manifest)"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } else if (m.partitions.isEmpty) readDirs(spark, m.dirs)
     else {
       val kept = m.partitions.filter { case (spec, _) => partitionFilter(parseSpec(spec)) }
       require(kept.nonEmpty, s"partitionFilter matched no partitions of $table v$v")

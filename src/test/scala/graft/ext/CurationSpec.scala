@@ -49,6 +49,12 @@ class CurationSpec extends SparkSpec {
     // int ids (not just long) remain accepted — lossless widening
     val intLeg = Seq((1, 1), (2, 2)).toDF("id", "rank")
     assert(HybridSearch.rrf(Seq(intLeg), limit = 2).collect().length == 2)
+    // the guard covers EVERY leg: a string-id leg hiding behind an
+    // integral head leg is the exact silent-null-fusion the guard refuses
+    val e3 = intercept[IllegalArgumentException] {
+      HybridSearch.rrf(Seq(intLeg, strLeg))
+    }
+    assert(e3.getMessage.contains("leg 1"))
   }
 
   test("rankLeg: truncates to depth with positional 1-based ranks") {

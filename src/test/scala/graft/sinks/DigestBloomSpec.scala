@@ -54,4 +54,44 @@ class DigestBloomSpec extends SparkSpec {
     // a different version has no sidecar — the fallback signal
     assert(DigestBloom.read(spark, dir, 8L).isEmpty)
   }
+
+  test("corrupt or truncated sidecars read as None, never throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-corrupt").toString
+    val b = DigestBloom.empty(1 << 12, 5)
+    digests(50).foreach(b.add)
+    DigestBloom.write(spark, dir, 1L, b)
+    val p = java.nio.file.Paths.get(s"$dir/_bloom/v-00001")
+    val good = java.nio.file.Files.readAllBytes(p)
+
+    // truncated mid-header: readInt on k/n sees garbage or EOF
+    java.nio.file.Files.write(p, good.take(6))
+    assert(DigestBloom.read(spark, dir, 1L).isEmpty, "truncated header")
+    // valid magic but absurd n (would NegativeArraySize/OOM a naive reader)
+    val bogus = java.nio.ByteBuffer.allocate(12)
+      .putInt(java.nio.ByteBuffer.wrap(good).getInt).putInt(5).putInt(-7).array()
+    java.nio.file.Files.write(p, bogus)
+    assert(DigestBloom.read(spark, dir, 1L).isEmpty, "negative word count")
+    val huge = java.nio.ByteBuffer.allocate(12)
+      .putInt(java.nio.ByteBuffer.wrap(good).getInt).putInt(5)
+      .putInt(Int.MaxValue).array()
+    java.nio.file.Files.write(p, huge)
+    assert(DigestBloom.read(spark, dir, 1L).isEmpty, "absurd word count")
+    // k outside 1..64
+    val badK = java.nio.ByteBuffer.allocate(12)
+      .putInt(java.nio.ByteBuffer.wrap(good).getInt).putInt(0).putInt(64).array()
+    java.nio.file.Files.write(p, badK)
+    assert(DigestBloom.read(spark, dir, 1L).isEmpty, "k=0")
+
+    // restore the intact payload: reads recover
+    java.nio.file.Files.write(p, good)
+    assert(DigestBloom.read(spark, dir, 1L).isDefined)
+
+    // publish race: local FS rename won't overwrite an existing sidecar —
+    // the loser must clean its tmp out of _bloom/, not leak it
+    DigestBloom.write(spark, dir, 1L, b)
+    val leaked = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/_bloom"))
+      .toArray.map(_.toString).filter(_.endsWith(".tmp"))
+    assert(leaked.isEmpty, s"tmp files leaked: ${leaked.mkString(",")}")
+    assert(DigestBloom.read(spark, dir, 1L).isDefined)
+  }
 }

@@ -209,4 +209,51 @@ class ChunkStoreIngestSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(after == Map(2L -> "other text entirely"))
   }
+
+  test("erasing the LAST documents leaves both tables empty-but-readable; erase and sweep stay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-full").toString
+    val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
+    val body = (1 to 400).map(i => s"full$i").mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.startChunkStoreIngest(
+      mem.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(Seq((1L, body), (2L, "second doc text")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // erase EVERY referenced document: the manifest replace removes its
+    // last populated specs (empty manifest version) and the sweep then
+    // orphans every stored chunk — this used to crash on the read of a
+    // versioned-but-empty snapshot, stranding the erased text
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L, 2L))
+    assert(Snapshots.read(spark, manT).isEmpty, "manifest rows survive full erase")
+    assert(Snapshots.read(spark, chunkT).isEmpty, "chunk rows survive full erase")
+
+    // idempotent re-runs on the fully-erased tables: the documented
+    // recovery path must be a no-op, not a throw
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L))
+    StreamingOps.sweepOrphanChunks(spark, manT, chunkT)
+    assert(Snapshots.read(spark, chunkT).isEmpty)
+
+    // the store keeps working after a full erase: new ingest re-populates
+    // (a NEW writer appId — the first writer's txn watermark survives the
+    // erase and would rightly swallow a fresh checkpoint's batch 0)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q2 = StreamingOps.startChunkStoreIngest(
+      mem2.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt2",
+      appId = "graft-chunkstore-ingest-2",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem2.addData(Seq((9L, "fresh after erase")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val back = StreamingOps.reconstruct(spark, manT, chunkT)
+      .as[(Long, String)].collect().toMap
+    assert(back == Map(9L -> "fresh after erase"))
+  }
 }
