@@ -30,8 +30,16 @@ import org.apache.spark.sql.SparkSession
   * Measured order (round-13 lesson — the registry outgrew the budget and
   * BENCH_r13 recorded full_passes 0 with ~200 cold singles): a WARM
   * HEADLINE PHASE first (two measured passes over the frozen 32-entry
-  * cross-round subset — the contract numbers are warm in any host window),
-  * then full-battery passes with the remaining budget.
+  * cross-round subset), then full-battery passes with the remaining
+  * budget. The phase is PACE-AWARE (round-14 lesson — a 20-50x throttled
+  * window spent the whole budget cold-measuring 12 headline entries and
+  * BENCH_r14 captured 12/230): between entries it re-projects its
+  * remaining cost from the observed pace ([[BenchGate.headlineTarget]])
+  * and degrades 2 passes → 1 → abort-to-sweep so one full-battery sweep
+  * always fits first — breadth beats warmth when the window can't afford
+  * both. `degraded: true` in the JSON line records that a fallback
+  * engaged; a min/med/max micro-calib + IO-probe timeline sampled at the
+  * ~20 s emit points records the window itself.
   *
   * KNOWN BOUND: the budget and the periodic emit are both checked BETWEEN
   * queries — a single query that hangs runs unbounded, and if the driver
@@ -64,6 +72,56 @@ object Bench {
     "q_ivf_search_exact", "q_pq_search_exact", "q_semdedup_delta",
     "q_bpe_tokens", "q_pq_topk")
 
+  /** MICRO Spark calibration: a fixed CPU-only job small enough (~15 ms
+    * quiet) to sample every ~20 s WITHOUT perturbing the measured queries.
+    * The r14 post-mortem: the driver window ran queries 20-50x slow while
+    * the ENDPOINT probes read near-quiet (calib_spark 0.66) — instants at
+    * the edges missed the window entirely. A timeline of these samples,
+    * summarized as min/med/max in the final line, makes a capture from a
+    * degraded window explain its own numbers. */
+  private def microCalibSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // & 1048575 bounds the addends: a raw sum of 64-bit hashes overflows
+    // under ANSI mode (Spark 4 default) and ABORTS the job — the probe
+    // would time an exception path, not the fixed work
+    try spark.range(0L, 4000000L, 1L, 4)
+      .selectExpr("sum(xxhash64(id) & 1048575) AS s").collect()
+    catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Timed cold-path read of one parquet footer region (~64 KiB via the
+    * Hadoop FS API, no Spark job): separates IO starvation from CPU steal —
+    * a throttle window that inflates [[microCalibSec]] but not this is
+    * compute-side; both inflating means the storage path is starved too. */
+  private def ioProbeSec(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    try {
+      val p0 = new org.apache.hadoop.fs.Path(s"$sfDir/nation.parquet")
+      val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st0 = fs.getFileStatus(p0)
+      val fileSt =
+        if (st0.isDirectory)
+          fs.listStatus(p0).find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .getOrElse(st0)
+        else st0
+      val n = math.min(65536L, fileSt.getLen).toInt
+      val buf = new Array[Byte](n)
+      val in = fs.open(fileSt.getPath)
+      try in.readFully(0L, buf, 0, n) finally in.close()
+    } catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def statsJson(prefix: String, vs: Seq[Double]): String = {
+    def r3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    if (vs.isEmpty) s""""${prefix}_n":0"""
+    else {
+      val s = vs.sorted
+      s""""${prefix}_n":${s.size},"${prefix}_min":${r3(s.head)},"${prefix}_med":${r3(s(s.size / 2))},"${prefix}_max":${r3(s.last)}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
@@ -71,7 +129,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "360").toDouble
     val spark = SessionFactory.builder("graft-bench", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bench's contract is its stdout JSON lines; WARN
+    // chatter (broadcast-size notes etc.) only risks filling an undrained
+    // stderr pipe in whatever harness runs this main
+    spark.sparkContext.setLogLevel("ERROR")
     // Self-calibration (see SpinProbe): fixed-work CPU probes measured
     // before pass 1 and again after the last pass, carried in EVERY JSON
     // line so the judge can read a throttle multiple straight off the
@@ -103,9 +164,18 @@ object Bench {
     // loops miss); this constant makes that visible in the bench line
     // itself. Runs after warmup so one-time session init never contaminates
     // it. Quiet-host reference in SURVEY §8.
+    // & 1048575: round-15 forensics — the raw sum of 64-bit hashes
+    // OVERFLOWS under ANSI mode (Spark 4 default) within the first few
+    // rows of each task, so every capture to date timed a fast job-abort
+    // (scheduling + codegen + exception path: ~0.46 s here vs 0.58 ref —
+    // it still tracked host vintage, which is why the gate arithmetic
+    // stayed consistent). Bounded addends make it the designed fixed
+    // 256M-row scan+hash+sum; baselines re-blessed same-round so
+    // calib_spark_ref and runs stay same-units.
     val calibSpark = {
       val t0 = System.nanoTime()
-      try spark.range(0L, 256000000L, 1L, 32).selectExpr("sum(xxhash64(id)) AS s").collect()
+      try spark.range(0L, 256000000L, 1L, 32)
+        .selectExpr("sum(xxhash64(id) & 1048575) AS s").collect()
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
@@ -144,9 +214,14 @@ object Bench {
     // descending baseline time (the shapes whose cold execution inflates
     // the measured total most, in absolute terms).
     val benchBaseline = BenchGate.loadBaseline()
+    // set whenever a pace-aware fallback engages (truncated warm-up,
+    // reduced/aborted headline phase): tells the reader the capture's
+    // structure was reshaped by a degraded host window, not by code
+    var degraded = false
     var warmupN = 0
     if (warmupDir != "none") {
-      val warmupDeadline = math.min(budgetSec * 0.25, elapsed() + 90.0)
+      val warmupStart = elapsed()
+      var warmupDeadline = math.min(budgetSec * 0.25, elapsed() + 90.0)
       val it = queryList.sortBy { case (name, _) =>
         (headlineRank.getOrElse(name, Int.MaxValue),
          -benchBaseline.mins.getOrElse(name, Double.MaxValue)) }.iterator
@@ -154,9 +229,29 @@ object Bench {
         val (_, fn) = it.next()
         try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
         warmupN += 1
+        // pace cap (r14: the sweep burnt 90 s covering 19 entries at ~5 s
+        // each in a throttled window — a quiet host does ~0.3-0.4 s/entry).
+        // Warm-up is an INVESTMENT against cold measured passes; at >1.5
+        // s/entry the window is so degraded that measured-scale breadth is
+        // worth more than further JIT absorption — wind down within 10 s.
+        if (warmupN == 8 && (elapsed() - warmupStart) / 8 > 1.5) {
+          warmupDeadline = math.min(warmupDeadline, elapsed() + 10.0)
+          degraded = true
+        }
       }
     }
     val warmupT = elapsed()
+
+    // Continuous calibration timeline (round-15): micro-calib + IO probe
+    // sampled at every periodic emit point, summarized min/med/max in each
+    // line — the quiet references live in SURVEY §8.
+    val mcalSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleProbes(): Unit = {
+      mcalSamples += microCalibSec(spark)
+      ioSamples += ioProbeSec(spark, sfDir)
+    }
+    sampleProbes() // one sample before any measured work brackets the start
 
     // Running per-query minimum across all completed measurements so far.
     val best = scala.collection.mutable.Map.empty[String, Double]
@@ -172,6 +267,9 @@ object Bench {
     var fullPasses = 0
     var headlinePasses = 0
     var retestN = 0
+    // live pace model + the phase's current pass target (2 = quiet contract)
+    val pace = new BenchGate.Pace(benchBaseline.mins)
+    var headlineTarget = 2
     def emit(pass: Int, complete: Boolean): Unit = {
       // The driver captures only the tail, so each line stays well under
       // 2000 chars: full-battery total + a fixed headline subset.
@@ -210,7 +308,12 @@ object Bench {
       // aborting with full_passes=2 means the minima rest on two COMPLETE
       // sweeps (a valid measurement), not a partial signal — the r11 run-1
       // misread ("complete:false" despite two finished passes)
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,"full_passes":$fullPasses,"headline_passes":$headlinePasses,"warmup_n":$warmupN,"warmup_t":${r3(warmupT)},"regressions":$regsJson,"regressions_n":${regs.size},"cold_flags":$coldJson,"cold_flags_n":${coldFlags.size},$retests,$calib,"queries":$qs,"sf":"$sfDir"}""")
+      // degraded + headline_target record the pace-aware fallback's state;
+      // mcal/io carry the min/med/max of the ~20 s probe timeline so a
+      // throttled window explains its own numbers (r14: endpoint probes
+      // read near-quiet while queries ran 20-50x slow)
+      val probes = s"""${statsJson("mcal", mcalSamples.toSeq)},${statsJson("io", ioSamples.toSeq)}"""
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,"full_passes":$fullPasses,"headline_passes":$headlinePasses,"headline_target":$headlineTarget,"degraded":$degraded,"warmup_n":$warmupN,"warmup_t":${r3(warmupT)},"regressions":$regsJson,"regressions_n":${regs.size},"cold_flags":$coldJson,"cold_flags_n":${coldFlags.size},$retests,$probes,$calib,"queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
     }
 
@@ -233,25 +336,56 @@ object Bench {
     // a minute quiet) and guarantees the contract subset survives ANY host
     // window that leaves the full battery truncated. Headline entries also
     // re-measure inside the full passes below — more minima, same key.
+    // PACE-AWARE FALLBACK (round-15 — the r14 failure): the phase
+    // re-projects its remaining cost between entries (BenchGate.Pace /
+    // headlineTarget) and degrades 2 passes → 1 → abort-to-sweep the
+    // moment the plan stops fitting alongside ONE full-battery sweep of
+    // the unmeasured entries. Aborting loses warmth, never coverage: the
+    // full passes below order headline entries first. BENCH_r14 spent its
+    // whole budget cold-measuring 12/32 headline entries at 13-68 s each
+    // in a 20-50x window; under this fallback the same window aborts the
+    // phase after ~3 entries and spends the budget on breadth.
     val headlineList = queryList.filter { case (n, _) => headlineRank.contains(n) }
-    while (headlinePasses < 2 && !outOfTime) {
+    val phaseStart = elapsed()
+    while (headlinePasses < headlineTarget && !outOfTime) {
       var aborted = false
+      var phaseAborted = false
       // phase pass 2 repairs slowest-first, same rationale as the main loop
       val order =
         if (headlinePasses == 0) headlineList
         else headlineList.sortBy { case (n, _) => -best.getOrElse(n, Double.MaxValue) }
       val it = order.iterator
-      while (it.hasNext && !aborted) {
+      var done = 0
+      while (it.hasNext && !aborted && !phaseAborted) {
         val (name, fn) = it.next()
         val q0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - q0) / 1e9
         best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
         nMeasured(name) += 1
+        pace.observe(name, dt)
+        done += 1
+        val target = BenchGate.headlineTarget(
+          pace,
+          remainingThisPass = order.drop(done).map(_._1),
+          headlineAll = if (headlinePasses == 0 && headlineTarget == 2)
+            headlineList.map(_._1) else Seq.empty,
+          unmeasuredRest = queryList.collect {
+            case (n, _) if nMeasured(n) == 0 => n },
+          elapsed = elapsed(), budget = budgetSec, reserve = reserveSec,
+          phaseSpent = elapsed() - phaseStart)
+        if (target < headlineTarget) {
+          headlineTarget = target
+          degraded = true
+          if (headlinePasses >= target) phaseAborted = true // mid-pass cut
+        }
         if (elapsed() > budgetSec - reserveSec) { aborted = true; outOfTime = true }
-        else if (elapsed() - lastEmit > 20.0) { emit(0, complete = false); lastEmit = elapsed() }
+        else if (elapsed() - lastEmit > 20.0) {
+          sampleProbes(); emit(0, complete = false); lastEmit = elapsed()
+        }
       }
-      if (!aborted) headlinePasses += 1
+      if (!aborted && !phaseAborted) headlinePasses += 1
+      if (phaseAborted) headlinePasses = headlineTarget // exit the phase loop
       emit(0, complete = false)
       lastEmit = elapsed()
     }
@@ -273,9 +407,14 @@ object Bench {
       // measurement while ~200 entries still have none — "full pass 1" =
       // headline phase + the rest, i.e. the whole battery measured at
       // measured scale. Later passes include everything.
+      // Pass 1 covers every entry with NO measurement yet ("full pass 1" =
+      // headline phase + the rest). In the quiet case that is exactly the
+      // old filterNot(headline); after a degraded/aborted headline phase it
+      // also skips any entry the phase already measured once — breadth
+      // first, their warm repair comes in pass 2 if the window allows.
       val passOrder =
-        if (pass == 1 && headlinePasses >= 2)
-          queryList.filterNot { case (name, _) => headlineRank.contains(name) }
+        if (pass == 1 && (headlinePasses >= 1 || degraded))
+          queryList.filter { case (name, _) => nMeasured(name) == 0 }
         else if (pass == 1) queryList
         else queryList.sortBy { case (name, _) => -best.getOrElse(name, Double.MaxValue) }
       val it = passOrder.iterator
@@ -290,7 +429,9 @@ object Bench {
         // reserve pays for the flag-retest pass below (isolated re-measures
         // of any currently-flagged floor-adjacent entries) + the final emit
         if (elapsed() > budgetSec - reserveSec) { aborted = true; outOfTime = true }
-        else if (elapsed() - lastEmit > 20.0) { emit(pass, complete = false); lastEmit = elapsed() }
+        else if (elapsed() - lastEmit > 20.0) {
+          sampleProbes(); emit(pass, complete = false); lastEmit = elapsed()
+        }
       }
       lastComplete = !aborted
       if (!aborted) fullPasses += 1
@@ -324,6 +465,7 @@ object Bench {
     // moving mid-run (the r8 failure mode) rather than a uniform window.
     calibStPost = SpinProbe.singleThread()
     calibMtPost = SpinProbe.allCores()
+    sampleProbes() // bracket the end of the timed window
     emit(pass, complete = lastComplete)
     // dev knob: dump EVERY query's timing (sorted slowest-first) for triage
     sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>

@@ -154,6 +154,74 @@ object BenchGate {
       .map(_._1)
   }
 
+  private def median(vs: Seq[Double]): Double = {
+    val s = vs.sorted
+    if (s.isEmpty) 0.0 else s(s.size / 2)
+  }
+
+  /** Live pace model for budget planning (round-15: BENCH_r14 measured
+    * 12/230 entries because the headline phase kept cold-measuring 13-68 s
+    * entries in a window running 20-50x slow — no projection ever asked
+    * whether the plan still fit the budget).
+    *
+    * `factor` is the median of observed/expected ratios, where expected is
+    * the blessed per-query baseline (median baseline for unblessed
+    * entries). Median, not mean: the first measured entries carry one-time
+    * cold costs that would otherwise overstate the pace permanently.
+    * Returns 1.0 until 3 samples exist (no decision before evidence), and
+    * never projects below 0.5x baseline (a fast host can't promise
+    * negative time). */
+  final class Pace(baselineMins: Map[String, Double]) {
+    private val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    private val medBase: Double = {
+      val vs = baselineMins.values.toSeq
+      if (vs.isEmpty) 0.5 else median(vs)
+    }
+    /** Expected warm seconds for `name` on the quiet reference host. */
+    def est(name: String): Double = baselineMins.getOrElse(name, medBase)
+    def observe(name: String, dt: Double): Unit =
+      ratios += dt / math.max(est(name), 1e-3)
+    def samples: Int = ratios.size
+    def factor: Double =
+      if (ratios.size < 3) 1.0 else math.max(0.5, median(ratios.toSeq))
+    /** Projected seconds to run `names` once at the current pace. */
+    def project(names: Seq[String]): Double = names.map(est).sum * factor
+  }
+
+  /** How many headline passes the remaining budget can afford, re-decided
+    * between headline entries: 2 (the quiet-window contract), 1, or 0
+    * (abort the phase — the full-battery sweep measures the headline
+    * entries first anyway, so aborting trades warmth for breadth, never
+    * coverage). Two constraints, both from the r14 post-mortem:
+    *   - the whole headline plan must fit `headlineShare` of the budget
+    *     (the phase exists to warm 32 entries, not to spend the capture);
+    *   - after the phase, ONE full-battery sweep of the still-unmeasured
+    *     entries must fit what remains — breadth beats warmth when the
+    *     window can't afford both (r13's 228 cold singles were far more
+    *     useful than r14's 12 warm-ish ones).
+    * Conservative by construction: with fewer than 3 pace samples it
+    * returns 2 (never degrades on no evidence). */
+  def headlineTarget(
+      pace: Pace,
+      remainingThisPass: Seq[String],
+      headlineAll: Seq[String],
+      unmeasuredRest: Seq[String],
+      elapsed: Double,
+      budget: Double,
+      reserve: Double,
+      phaseSpent: Double,
+      headlineShare: Double = 0.4): Int = {
+    if (pace.samples < 3) return 2
+    val avail = budget - reserve - elapsed
+    val sweep = pace.project(unmeasuredRest)
+    val rest1 = pace.project(remainingThisPass)
+    val pass2 = pace.project(headlineAll)
+    if (rest1 + pass2 <= math.max(0.0, budget * headlineShare - phaseSpent) &&
+        rest1 + pass2 + sweep <= avail) 2
+    else if (rest1 + sweep <= avail) 1
+    else 0
+  }
+
   /** SELF-TRIAGING pass over the current flags: re-measure each flagged
     * query in ISOLATION (the caller runs this after the battery passes,
     * when nothing else competes for the executor threads) and fold the

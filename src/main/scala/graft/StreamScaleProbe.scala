@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * the bottleneck long before 100 TB; a bounded gate's curve is flat.
   *
   * Usage: StreamScaleProbe <sfDir> <nBatches> <rowsPerBatch> [gate] [knob]
-  *   gate = chunkstore (default) | semdedup
-  *   knob = compactEvery for chunkstore (default 0 = off);
+  *   gate = chunkstore (default) | semdedup | split
+  *   knob = compactEvery for chunkstore and split (default 0 = off);
   *          gridBits for semdedup (default 8), then [compactEvery]
   * Output: one `SBATCH` line per micro-batch on stderr —
   *   `SBATCH gate=… b=<i> wall=<s> state_rows=<n>` — plus a `STOTAL` line.
@@ -61,6 +61,17 @@ object StreamScaleProbe {
           compactEvery = compactEvery, trigger = trigger)
         (query, () => if (sinks.Snapshots.versions(spark, outT).isEmpty) 0L
                       else sinks.Snapshots.read(spark, outT).count())
+      case "split" =>
+        // the leakage-safe split gate reads TWO state tables per batch
+        // (token index probe + candidate doc fetch) — the §9.4 axis here
+        // is the token index, whose row count grows fastest
+        val (docsT, tokenT) = (s"$dir/docs", s"$dir/tokens")
+        val compactEvery = if (args.length > 4) args(4).toInt else 0
+        val query = streaming.StreamingOps.startSplitIngest(
+          mem.toDF().toDF("doc_id", "text"), docsT, tokenT, s"$dir/ckpt",
+          compactEvery = compactEvery, trigger = trigger)
+        (query, () => if (sinks.Snapshots.versions(spark, tokenT).isEmpty) 0L
+                      else sinks.Snapshots.read(spark, tokenT).count())
       case other => sys.error(s"unknown gate $other")
     }
 

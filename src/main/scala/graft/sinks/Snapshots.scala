@@ -490,6 +490,53 @@ object Snapshots {
     }
   }
 
+  /** PARTITION-SELECTIVE (size-tiered) compaction — the Delta/Iceberg
+    * OPTIMIZE discipline: rewrite ONLY partitions whose accumulated
+    * commit-dir count exceeds `maxBasesPerSpec`; every other partition's
+    * manifest entry (and therefore its on-disk files) carries forward
+    * untouched. [[compact]] rewrites the whole table, which is fine as a
+    * one-off but becomes the scale-killer when a streaming gate invokes it
+    * on a fixed cadence: at 100 TB the maintenance loop would rewrite the
+    * FULL corpus every K micro-batches, while the fragmentation it cures
+    * is concentrated in the partitions the recent batches touched.
+    * Rewrite bytes here are ∝ fragmented specs, not corpus.
+    *
+    * Fragmentation is measured from the manifest alone (bases per spec —
+    * one base dir per touching commit, the exact unit append gates accrete
+    * at), so deciding costs zero file-system listing. A spec crosses the
+    * threshold only after `maxBasesPerSpec` distinct commits touched it
+    * since its last rewrite; cold partitions are never rewritten.
+    *
+    * Unpartitioned tables degrade to all-or-nothing ([[compact]] when
+    * `dirs` exceeds the threshold) — without partition bounds there is no
+    * selective unit. Returns the committed version, or the CURRENT version
+    * unchanged when nothing is fragmented (no commit, no new manifest). */
+  def compactFragmented(
+      spark: SparkSession,
+      table: String,
+      maxBasesPerSpec: Int = 4): Long = {
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val m = readManifest(f, table, vs.last)
+    if (m.partitions.isEmpty) {
+      if (m.dirs.size > maxBasesPerSpec) compact(spark, table) else vs.last
+    } else {
+      val frag = m.partitions.collect {
+        case (spec, bases) if bases.size > maxBasesPerSpec => spec }.toSeq.sorted
+      if (frag.isEmpty) vs.last
+      else {
+        val fragParsed = frag.map(parseSpec).toSet
+        val cols = parseSpec(m.partitions.keys.head).keys.toSeq
+          .sortBy(k => m.partitions.keys.head.split('/').indexWhere(_.startsWith(k + "=")))
+        // one shuffle task per rewritten spec → one file per spec dir
+        val df = read(spark, table, None, spec => fragParsed.contains(spec))
+          .repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+        commitPartitionReplace(df, table, cols, replaced = frag)
+      }
+    }
+  }
+
   /** Drop data referenced by no retained manifest (failed commits,
     * overwritten versions after `retainLast` manifests are pruned) — at
     * PARTITION granularity: manifests of partitioned tables reference

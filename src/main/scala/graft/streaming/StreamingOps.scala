@@ -295,18 +295,23 @@ object StreamingOps {
     * commit completes the pair. Replay after both committed recomputes
     * verdicts that may now see the batch's own grams in the index —
     * harmless, because both commits no-op on their watermarks. */
-  /** §9.4 fragmentation maintenance, shared by the ingest gates: compact
-    * `table` every `every` commits (0 = off). Append gates accrete one
-    * tiny file per partition per commit, and any per-batch read of that
-    * state (gram index, token index, corpus cells, chunk digests) comes to
-    * be dominated by file count rather than data volume — measured on both
-    * the chunk-store and semdedup gates. Compaction preserves the txn map,
-    * so replays still no-op. */
+  /** §9.4 fragmentation maintenance, shared by the ingest gates: every
+    * `every` commits (0 = off), selectively rewrite the partitions whose
+    * commit-dir count crossed [[graft.sinks.Snapshots.compactFragmented]]'s
+    * threshold. Append gates accrete one tiny file per partition per
+    * commit, and any per-batch read of that state (gram index, token
+    * index, corpus cells, chunk digests) comes to be dominated by file
+    * count rather than data volume — measured on both the chunk-store and
+    * semdedup gates. Selective, not whole-table (round-15): the fixed-
+    * cadence full rewrite was itself the remaining O(corpus)-per-K-batches
+    * term — at 100 TB the maintenance loop must rewrite bytes ∝ the
+    * fragmented (recently-touched) partitions, and cold partitions never.
+    * Compaction preserves the txn map, so replays still no-op. */
   private def maintainCompact(
       spark: org.apache.spark.sql.SparkSession,
       table: String, every: Int, committedVersion: Long): Unit =
     if (every > 0 && committedVersion % every == 0)
-      graft.sinks.Snapshots.compact(spark, table)
+      graft.sinks.Snapshots.compactFragmented(spark, table)
 
   def startDupSpanIngest(
       stream: DataFrame, // (doc_id: Long, text: String)
@@ -922,12 +927,14 @@ object StreamingOps {
                 "chunk_hash"))
             novelDigests.foreach(next.add)
             DigestBloom.write(spark, chunkTable, v2, next)
-            // fragmentation maintenance: rewrite each bucket to one file
-            // every compactEvery commits, then re-stamp the sidecar at the
-            // compacted version (identical digest set — no rebuild needed)
+            // fragmentation maintenance: selectively rewrite buckets whose
+            // commit-dir count crossed the threshold, then re-stamp the
+            // sidecar at the compacted version (identical digest set — no
+            // rebuild needed; a no-op compaction returns v2, where the
+            // sidecar already sits)
             if (compactEvery > 0 && v2 % compactEvery == 0) {
-              val v3 = Snapshots.compact(spark, chunkTable)
-              DigestBloom.write(spark, chunkTable, v3, next)
+              val v3 = Snapshots.compactFragmented(spark, chunkTable)
+              if (v3 != v2) DigestBloom.write(spark, chunkTable, v3, next)
             }
           }
           val manifest = ch.select(

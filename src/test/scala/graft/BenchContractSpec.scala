@@ -22,13 +22,23 @@ class BenchContractSpec extends AnyFunSuite {
     assume(script.canExecute, "tools/run.sh not present/executable")
     val pb = new ProcessBuilder(script.getAbsolutePath, "graft.Bench")
     pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    // 10 s: small enough that no host finishes a COLD 190+-query pass
+    // 20 s: small enough that no host finishes a COLD 190+-query pass
     // (cold per-query floor is ~0.3 s — a full pass needs a minute), so
-    // the truncation assertions below can never flip on a fast machine
-    pb.environment().put("SPARK_GRAFT_BENCH_BUDGET_SEC", "10")
+    // the truncation assertions below can never flip on a fast machine,
+    // yet large enough that the pace model always gets its 3 samples
+    // before the hard budget abort (session init + 3 cold entries is
+    // ~8-12 s) — the degraded-fallback assertions need the decision to
+    // have actually run
+    pb.environment().put("SPARK_GRAFT_BENCH_BUDGET_SEC", "20")
     pb.environment().put("SPARK_GRAFT_BENCH_WARMUP_DIR", "none")
     pb.environment().put("SPARK_GRAFT_CPUS", "4")
     pb.redirectErrorStream(false)
+    // DRAIN (discard) the child's stderr: log4j writes Spark WARN/ERROR
+    // lines there, and an undrained 64 KiB pipe buffer wedges the child's
+    // executor threads mid-log — the child then never closes stdout and
+    // the readLine loop below waits forever (observed live in round 15
+    // when the probe timeline pushed stderr volume past the buffer)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     val proc = pb.start()
     val out = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
@@ -51,8 +61,11 @@ class BenchContractSpec extends AnyFunSuite {
     assert(last("metric") == "total")
     assert(last("unit") == "sec")
     val requiredKeys = Seq("value", "t", "n_queries", "pass", "complete",
-      "full_passes", "headline_passes", "warmup_n", "warmup_t",
+      "full_passes", "headline_passes", "headline_target", "degraded",
+      "warmup_n", "warmup_t",
       "regressions", "regressions_n", "cold_flags", "cold_flags_n",
+      "mcal_n", "mcal_min", "mcal_med", "mcal_max",
+      "io_n", "io_min", "io_med", "io_max",
       "calib_st_pre", "calib_mt_pre", "calib_st_post", "calib_mt_post",
       "calib_spark", "queries", "sf")
     requiredKeys.foreach(k => assert(last.contains(k), s"missing field $k"))
@@ -64,5 +77,12 @@ class BenchContractSpec extends AnyFunSuite {
     // a 10 s budget cannot fit a full 190+-query pass: truncation must be
     // visible and honest
     assert(last("complete") == false && last("full_passes") == BigInt(0))
+    // the calib timeline brackets the run: at least the start + end samples
+    assert(last("mcal_n").asInstanceOf[BigInt] >= 2, "micro-calib timeline missing")
+    assert(last("io_n").asInstanceOf[BigInt] >= 2, "io-probe timeline missing")
+    // a 10 s budget can never fit 2 headline passes + a sweep at measured
+    // pace — the pace-aware fallback MUST have engaged and said so
+    assert(last("degraded") == true, "pace fallback did not engage on a 10 s budget")
+    assert(last("headline_target").asInstanceOf[BigInt] < 2)
   }
 }

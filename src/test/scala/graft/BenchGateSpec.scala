@@ -159,6 +159,71 @@ class BenchGateSpec extends AnyFunSuite {
     assert(same("q_mid") == 1.80 && n3 == 0)
   }
 
+  // ---- pace-aware headline fallback (round-15: the BENCH_r14 failure) ----
+
+  // a 32-entry headline at 0.75 s baseline each (24 s quiet) + a 198-entry
+  // battery remainder at 0.5 s each (99 s quiet): the r14-era shape
+  private val hl = (1 to 32).map(i => f"q_h$i%02d")
+  private val rest = (1 to 198).map(i => f"q_r$i%03d")
+  private val paceBase = (hl.map(_ -> 0.75) ++ rest.map(_ -> 0.5)).toMap
+
+  private def paceAt(factor: Double, n: Int = 4): BenchGate.Pace = {
+    val p = new BenchGate.Pace(paceBase)
+    hl.take(n).foreach(q => p.observe(q, 0.75 * factor))
+    p
+  }
+
+  test("pace: median of observed/expected, 1.0 under 3 samples, floored at 0.5") {
+    val p = new BenchGate.Pace(paceBase)
+    p.observe("q_h01", 7.5) // 10x — but a single sample decides nothing
+    assert(p.factor == 1.0)
+    p.observe("q_h02", 7.5); p.observe("q_h03", 7.5)
+    assert(math.abs(p.factor - 10.0) < 1e-9)
+    // median, not mean: one cold outlier cannot set the pace
+    val p2 = new BenchGate.Pace(paceBase)
+    Seq(1.0, 1.0, 40.0).zip(hl).foreach { case (f, q) => p2.observe(q, 0.75 * f) }
+    assert(math.abs(p2.factor - 1.0) < 1e-9)
+    // a fast host floors at 0.5x — projections never promise negative time
+    val p3 = paceAt(0.1)
+    assert(p3.factor == 0.5)
+    // unblessed entries project at the median baseline
+    assert(new BenchGate.Pace(paceBase).est("q_brand_new") == 0.5)
+  }
+
+  test("quiet window: the full 2-pass headline contract stands") {
+    val t = BenchGate.headlineTarget(paceAt(1.0), remainingThisPass = hl.drop(4),
+      headlineAll = hl, unmeasuredRest = rest,
+      elapsed = 103.0, budget = 360.0, reserve = 25.0, phaseSpent = 3.0)
+    assert(t == 2) // 45 s of headline + 99 s sweep fits a 360 s budget
+  }
+
+  test("an r14-grade window (20-50x) aborts the phase for breadth") {
+    // at 20x, finishing even THIS pass costs 28 entries x 15 s = 420 s:
+    // the only budget-respecting plan is the full-battery sweep, which
+    // orders headline entries first anyway — coverage over warmth
+    val t = BenchGate.headlineTarget(paceAt(20.0), remainingThisPass = hl.drop(4),
+      headlineAll = hl, unmeasuredRest = rest,
+      elapsed = 150.0, budget = 360.0, reserve = 25.0, phaseSpent = 50.0)
+    assert(t == 0)
+  }
+
+  test("a mildly slow window drops to one warm pass when that still leaves the sweep") {
+    // 4x pace late in the battery (only 10 entries left unmeasured):
+    // finishing this pass costs 84 s, a second pass 96 s more — two passes
+    // blow the 40% headline share, but one pass + the 20 s sweep fits
+    val t = BenchGate.headlineTarget(paceAt(4.0), remainingThisPass = hl.drop(4),
+      headlineAll = hl, unmeasuredRest = rest.take(10),
+      elapsed = 60.0, budget = 360.0, reserve = 25.0, phaseSpent = 12.0)
+    assert(t == 1)
+  }
+
+  test("no decision before evidence: under 3 samples the target stays 2") {
+    val t = BenchGate.headlineTarget(paceAt(50.0, n = 2), remainingThisPass = hl.drop(2),
+      headlineAll = hl, unmeasuredRest = rest,
+      elapsed = 300.0, budget = 360.0, reserve = 25.0, phaseSpent = 100.0)
+    assert(t == 2)
+  }
+
   test("shipped baseline resource loads and covers the headline queries") {
     val b = BenchGate.loadBaseline()
     // the resource ships with the repo; a parse failure would yield empty

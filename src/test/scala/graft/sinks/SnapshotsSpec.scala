@@ -113,6 +113,58 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 6)
   }
 
+  test("compactFragmented rewrites only over-threshold partitions; untouched specs byte-identical") {
+    val t = tmp()
+    // spec g=hot is touched by 6 commits (fragmented); g=cold by one
+    Snapshots.commitPartitioned(
+      Seq(("cold", 0), ("hot", -1)).toDF("g", "k"), t, Seq("g"))
+    (1 to 5).foreach { i =>
+      Snapshots.commitPartitioned(Seq(("hot", i)).toDF("g", "k"), t, Seq("g"))
+    }
+    def bases(spec: String): Seq[String] = {
+      // commit base dirs referenced for `spec`, via the files actually read
+      Snapshots.read(spark, t, None, m => m("g") == spec.stripPrefix("g="))
+        .inputFiles.map(f => f.substring(0, f.indexOf("/g="))).distinct.toSeq
+    }
+    val coldFilesBefore = Snapshots.read(spark, t, None, m => m("g") == "cold")
+      .inputFiles.sorted.toSeq
+    val coldBytesBefore = coldFilesBefore.map(f =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        new java.net.URI(f))).toSeq)
+    assert(bases("g=hot").size == 6)
+
+    val vBefore = Snapshots.versions(spark, t).last
+    val v = Snapshots.compactFragmented(spark, t, maxBasesPerSpec = 4)
+    assert(v == vBefore + 1, "fragmented spec present — must commit")
+    // hot collapsed to one commit dir / one file; cold untouched
+    assert(bases("g=hot").size == 1)
+    val coldFilesAfter = Snapshots.read(spark, t, None, m => m("g") == "cold")
+      .inputFiles.sorted.toSeq
+    assert(coldFilesAfter == coldFilesBefore,
+      "untouched spec must keep its exact manifest file references")
+    val coldBytesAfter = coldFilesAfter.map(f =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        new java.net.URI(f))).toSeq)
+    assert(coldBytesAfter == coldBytesBefore, "untouched spec files rewritten")
+    // data identical through the rewrite
+    assert(Snapshots.read(spark, t).select("k").as[Int].collect().sorted.toSeq ==
+      Seq(-1, 0, 1, 2, 3, 4, 5))
+    // nothing fragmented anymore: the next call is a NO-OP — no commit
+    assert(Snapshots.compactFragmented(spark, t, maxBasesPerSpec = 4) == v)
+    assert(Snapshots.versions(spark, t).last == v)
+
+    // unpartitioned tier: all-or-nothing via dirs count
+    val u = tmp()
+    (1 to 3).foreach(i => Snapshots.commit(Seq((i, s"v$i")).toDF("k", "v"), u))
+    val uv = Snapshots.versions(spark, u).last
+    assert(Snapshots.compactFragmented(spark, u, maxBasesPerSpec = 4) == uv) // 3 <= 4
+    (4 to 6).foreach(i => Snapshots.commit(Seq((i, s"v$i")).toDF("k", "v"), u))
+    val uv2 = Snapshots.compactFragmented(spark, u, maxBasesPerSpec = 4)
+    assert(uv2 == Snapshots.versions(spark, u).last)
+    assert(Snapshots.read(spark, u).count() == 6)
+    assert(Snapshots.read(spark, u).inputFiles.length == 1)
+  }
+
   test("partitioned and plain commits don't mix; specs decode hive escaping") {
     val t = tmp()
     Snapshots.commitPartitioned(Seq(("x y", 1)).toDF("g", "k"), t, Seq("g"))
