@@ -67,10 +67,21 @@ object Opq {
       a += 1
     }
     val (values, vectors) = jacobiEigen(cov)
-    // eigenvalue allocation: descending λ, each eigenvector goes to the
-    // subspace with the smallest current log-product of assigned λs
-    val order = values.zipWithIndex.sortBy { case (v, idx) => (-v, idx) }
+    // rows of R = eigenvectors in allocation-bucket order
+    allocate(values, m).flatten
+      .map(idx => Array.tabulate(d)(row => vectors(row)(idx)))
+  }
+
+  /** Eigenvalue allocation (Ge et al. CVPR'13): descending value order,
+    * each index goes to the subspace with the smallest current log-product
+    * of assigned values (capped at d/m per subspace; ties → lowest
+    * subspace). Shared by the eigensolver path ([[rotationFor]]) and the
+    * rotation-free [[permutationModel]], where raw per-dim variances play
+    * the eigenvalue role. */
+  private[ext] def allocate(values: Array[Double], m: Int): Array[Seq[Int]] = {
+    val d = values.length
     val sub = d / m
+    val order = values.zipWithIndex.sortBy { case (v, idx) => (-v, idx) }
     val logProd = new Array[Double](m)
     val buckets = Array.fill(m)(Seq.newBuilder[Int])
     val sizes = new Array[Int](m)
@@ -85,8 +96,45 @@ object Opq {
       sizes(best) += 1
       logProd(best) += math.log(math.max(lambda, 1e-12))
     }
-    // rows of R = eigenvectors in bucket order
-    buckets.flatMap(_.result()).map(idx => Array.tabulate(d)(row => vectors(row)(idx)))
+    buckets.map(_.result())
+  }
+
+  /** The ROTATION-FREE tier of OPQ practice: keep the identity eigenbasis
+    * and run the same eigenvalue allocation on raw PER-DIM VARIANCES, so
+    * the learned transform is a variance-balanced dimension PERMUTATION —
+    * an orthonormal rotation like any other, meaning every Model consumer
+    * (encode / search / apply) is the unmodified OPQ machinery. Compared
+    * to [[train]] it forgoes decorrelation but still fixes PQ's worst
+    * failure mode (all high-variance dims landing in one subspace), at
+    * zero eigensolver cost. It is also the fixed-point-ORACLED twin of the
+    * eigensolver path (`q_opq_alloc_exact`): variances, the greedy
+    * allocator, the rotation apply, and the downstream PQ coding all pin
+    * cross-engine; only [[jacobiEigen]] itself remains engine-only. */
+  def permutationModel(
+      vectors: DataFrame, // (id, vec)
+      m: Int = 8,
+      k: Int = 16,
+      sampleN: Int = 10000,
+      iters: Int = 5): Model = {
+    val sample = PqIndex.sampleVectors(vectors, sampleN)
+    require(sample.nonEmpty, "empty training sample")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val n = sample.length
+    // two-pass mean/variance in sample (= id) order, the operand sequence
+    // the oracle mirrors with ordered list folds
+    val mean = new Array[Double](d)
+    sample.foreach { v => var i = 0; while (i < d) { mean(i) += v(i); i += 1 } }
+    locally { var i = 0; while (i < d) { mean(i) /= n; i += 1 } }
+    val varr = new Array[Double](d)
+    sample.foreach { v =>
+      var i = 0
+      while (i < d) { val t = v(i) - mean(i); varr(i) += t * t; i += 1 }
+    }
+    locally { var i = 0; while (i < d) { varr(i) /= n; i += 1 } }
+    val perm = allocate(varr, m).flatten
+    val r = perm.map(src => Array.tabulate(d)(i => if (i == src) 1.0 else 0.0))
+    Model(r, PqIndex.trainOnPoints(sample.map(apply(r, _)), m, k, iters))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

@@ -352,6 +352,149 @@ object ExtensionBattery {
     (encodeSql, searchSql)
   }
 
+  // Mirrors IvfPq.train's COARSE leg + IvfPq.encode's cluster assignment on
+  // the integer-quantized vectors: whole-vector Lloyd's via
+  // PqIndex.trainOnPoints(m=1, k=4, iters=2) — ONE subspace of all 8 dims,
+  // with PQ training's own rules (value-dedup first-occurrence seeding,
+  // strict-less L2 argmin → lowest cluster, empty cluster keeps its old
+  // centroid), then every vector's nearest-centroid list id. Determinism:
+  // integer inputs keep sums exact through the means (sum/count is one
+  // exactly-rounded division both engines share); distances are index-order
+  // left folds of exact products. The residual-PQ leg stays engine-only
+  // (q_ivfpq_topk rows-only) — this pins the half that routes every query.
+  private val ivfpqCoarseExactOracleSql: String = {
+    val dims = 8
+    def fold(term: String) =
+      s"list_reduce(list_transform(generate_series(1, $dims), i -> $term), (acc, x) -> acc + x)"
+    val distPC = fold("(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])")
+    def assignCte(name: String, rel: String, cent: String) =
+      s"""$name AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT p.id, p.v, c.cid,
+         |      row_number() OVER (PARTITION BY p.id ORDER BY $distPC ASC, c.cid) AS rn
+         |    FROM $rel p CROSS JOIN $cent c)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(name: String, arel: String, prev: String) =
+      s"""$name AS (
+         |  SELECT s.cid, coalesce(m.c, s.c) AS c
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT cid, list(mm ORDER BY pos) AS c FROM (
+         |      SELECT a.cid, t.i AS pos, avg(a.v[t.i]) AS mm
+         |      FROM $arel a CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) t
+         |      GROUP BY a.cid, t.i)
+         |    GROUP BY cid) m ON s.cid = m.cid)""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding[1:$dims],
+       |      x -> floor(CAST(x AS DOUBLE) * 8.0::DOUBLE + 0.5::DOUBLE)) AS v
+       |  FROM embeddings),
+       |samp AS (SELECT id, v FROM pts ORDER BY id LIMIT 4096),
+       |seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY fid) - 1 AS INTEGER) AS cid, v AS c
+       |  FROM (SELECT v, min(id) AS fid FROM samp GROUP BY v)
+       |  QUALIFY row_number() OVER (ORDER BY fid) <= 4),
+       |${assignCte("a1", "samp", "seed")},
+       |${meanCte("c1", "a1", "seed")},
+       |${assignCte("a2", "samp", "c1")},
+       |${meanCte("c2", "a2", "c1")},
+       |${assignCte("fin", "pts", "c2")}
+       |SELECT id, CAST(cid AS INTEGER) AS cluster_id
+       |FROM fin ORDER BY id""".stripMargin
+  }
+
+  // Mirrors Opq.permutationModel + Opq.encode end-to-end: two-pass per-dim
+  // mean/variance over the ordered sample (id-order list folds — the
+  // engine's sample-order loops), the greedy eigenvalue allocator run on
+  // the variances (WITH RECURSIVE over the 8 descending-variance steps,
+  // carrying each subspace's log-product and size; ties and caps mirror
+  // the engine's strict-less lowest-j scan), the resulting permutation
+  // applied positionally (a permutation rotation moves values exactly —
+  // zero float work), then the established m=2/k=4/iters=2 integer PQ
+  // train/encode chain on the PERMUTED vectors. Allocation comparisons ride
+  // ln() on both sides; variances differ at the 1e-3 level while libm
+  // disagreement sits at 1 ulp, so the branch can't flip cross-engine.
+  private val opqAllocExactOracleSql: String = {
+    val dims = 8
+    val sub = 4 // m = 2 subspaces
+    def fold4(term: String) =
+      s"list_reduce(list_transform(generate_series(1, $sub), i -> $term), (acc, x) -> acc + x)"
+    val distPC = fold4("(p.sv[i] - c.c[i]) * (p.sv[i] - c.c[i])")
+    def assignCte(name: String, rel: String, cent: String) =
+      s"""$name AS (
+         |  SELECT id, j, sv, cid FROM (
+         |    SELECT p.id, p.j, p.sv, c.cid,
+         |      row_number() OVER (PARTITION BY p.id, p.j ORDER BY $distPC ASC, c.cid) AS rn
+         |    FROM $rel p JOIN $cent c ON p.j = c.j)
+         |  WHERE rn = 1)""".stripMargin
+    def meanCte(name: String, arel: String, prev: String) =
+      s"""$name AS (
+         |  SELECT s.j, s.cid, coalesce(m.c, s.c) AS c
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT j, cid, list(mm ORDER BY pos) AS c FROM (
+         |      SELECT a.j, a.cid, t.i AS pos, avg(a.sv[t.i]) AS mm
+         |      FROM $arel a CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) t
+         |      GROUP BY a.j, a.cid, t.i)
+         |    GROUP BY j, cid) m ON s.j = m.j AND s.cid = m.cid)""".stripMargin
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding[1:$dims],
+       |      x -> floor(CAST(x AS DOUBLE) * 8.0::DOUBLE + 0.5::DOUBLE)) AS v
+       |  FROM embeddings),
+       |sampv AS (SELECT id, v FROM pts ORDER BY id LIMIT 4096),
+       |dimmu AS (
+       |  SELECT t.i AS dim,
+       |    list_reduce(list(s.v[t.i] ORDER BY s.id), (acc, x) -> acc + x) / count(*) AS mu
+       |  FROM sampv s CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) t
+       |  GROUP BY t.i),
+       |dimvar AS (
+       |  SELECT d.dim,
+       |    list_reduce(list((s.v[d.dim] - d.mu) * (s.v[d.dim] - d.mu) ORDER BY s.id),
+       |      (acc, x) -> acc + x) / count(*) AS vr
+       |  FROM sampv s CROSS JOIN dimmu d
+       |  GROUP BY d.dim, d.mu),
+       |vrank AS (
+       |  SELECT dim, vr, row_number() OVER (ORDER BY vr DESC, dim) AS pos FROM dimvar),
+       |alloc(step, dim, b, lp0, lp1, s0, s1) AS (
+       |  SELECT 1, dim, 0, ln(greatest(vr, 1e-12)), CAST(0 AS DOUBLE), 1, 0
+       |  FROM vrank WHERE pos = 1
+       |  UNION ALL
+       |  SELECT step, dim,
+       |    b,
+       |    CASE WHEN b = 0 THEN lp0 + lnv ELSE lp0 END,
+       |    CASE WHEN b = 1 THEN lp1 + lnv ELSE lp1 END,
+       |    s0 + CASE WHEN b = 0 THEN 1 ELSE 0 END,
+       |    s1 + CASE WHEN b = 1 THEN 1 ELSE 0 END
+       |  FROM (
+       |    SELECT a.step + 1 AS step, v.dim, a.lp0, a.lp1, a.s0, a.s1,
+       |      ln(greatest(v.vr, 1e-12)) AS lnv,
+       |      CASE WHEN a.s0 >= $sub THEN 1 WHEN a.s1 >= $sub THEN 0
+       |           WHEN a.lp1 < a.lp0 THEN 1 ELSE 0 END AS b
+       |    FROM alloc a JOIN vrank v ON v.pos = a.step + 1
+       |    WHERE a.step < $dims) x),
+       |perm AS (
+       |  SELECT dim, row_number() OVER (ORDER BY b, step) AS pos FROM alloc),
+       |ppts AS (
+       |  SELECT p.id, list(p.v[m.dim] ORDER BY m.pos) AS v
+       |  FROM pts p CROSS JOIN perm m GROUP BY p.id),
+       |spts AS (
+       |  SELECT id, 0 AS j, v[1:4] AS sv FROM ppts
+       |  UNION ALL SELECT id, 1 AS j, v[5:8] AS sv FROM ppts),
+       |sids AS (SELECT id FROM ppts ORDER BY id LIMIT 4096),
+       |samp AS (SELECT s.id, s.j, s.sv FROM spts s JOIN sids USING (id)),
+       |seed AS (
+       |  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY fid) - 1 AS INTEGER) AS cid,
+       |    sv AS c
+       |  FROM (SELECT j, sv, min(id) AS fid FROM samp GROUP BY j, sv)
+       |  QUALIFY row_number() OVER (PARTITION BY j ORDER BY fid) <= 4),
+       |${assignCte("a1", "samp", "seed")},
+       |${meanCte("c1", "a1", "seed")},
+       |${assignCte("a2", "samp", "c1")},
+       |${meanCte("c2", "a2", "c1")},
+       |${assignCte("enc", "spts", "c2")}
+       |SELECT id, CAST(j AS INTEGER) AS sub, CAST(cid AS INTEGER) AS code
+       |FROM enc ORDER BY id, sub""".stripMargin
+  }
+
   // Mirrors the PRODUCTION q_pq_topk end-to-end — FLOAT embeddings, m=16,
   // k=256, iters=5 — in DuckDB. Why a float k-means is oracle-able here
   // when the distributed IvfIndex one is not: PqIndex.trainOnPoints runs
@@ -2371,6 +2514,39 @@ object ExtensionBattery {
 
       graft.ext.IvfPq.searchIndexed(s, emb.filter($"id" < 5), dir, topK = 10, nprobe = 4)
         .orderBy($"query_id", $"rank")
+    },
+
+    // IVF+PQ COARSE LEG, FULLY ORACLED (round-15: the q_ivf_*_exact
+    // technique applied to the composed index's routing half): coarse
+    // whole-vector Lloyd's + every vector's list assignment hash-checked
+    // against DuckDB's re-run. See ivfpqCoarseExactOracleSql for the
+    // determinism argument; the residual-PQ leg stays rows-only above.
+    sql("q_ivfpq_coarse_exact", ivfpqCoarseExactOracleSql) { (s, d) =>
+      import s.implicits._
+      val pts = intQuantizedVecs(s, d)
+      val model = graft.ext.IvfPq.train(pts, nlist = 4, m = 2, k = 4,
+        sampleN = 4096, iters = 2)
+      graft.ext.IvfPq.encode(pts, model)
+        .select($"id", $"cluster_id".cast("int").as("cluster_id"))
+        .orderBy($"id")
+    },
+
+    // OPQ's ALLOCATION + ROTATION-APPLY + CODING, FULLY ORACLED (round-15):
+    // Opq.permutationModel drives the same eigenvalue allocator with raw
+    // per-dim variances (identity eigenbasis → the learned rotation is a
+    // variance-balanced dimension permutation), so everything OPQ adds on
+    // top of PQ except the Jacobi eigensolver itself is pinned cross-
+    // engine. See opqAllocExactOracleSql; q_opq_topk (the eigensolver
+    // path) stays rows-only above.
+    sql("q_opq_alloc_exact", opqAllocExactOracleSql) { (s, d) =>
+      import s.implicits._
+      val pts = intQuantizedVecs(s, d)
+      val model = graft.ext.Opq.permutationModel(pts, m = 2, k = 4,
+        sampleN = 4096, iters = 2)
+      val unpack = udf((b: Array[Byte]) => b.map(x => x & 0xFF))
+      graft.ext.Opq.encode(pts, model)
+        .select($"id", posexplode(unpack($"code")).as(Seq("sub", "code")))
+        .orderBy($"id", $"sub")
     },
 
     // Mergeable distinct-count sketches (DataSketches HLL): one sketch per

@@ -94,6 +94,38 @@ class OpqSpec extends SparkSpec {
     assert(recallOpq > recallPq, s"OPQ $recallOpq vs PQ $recallPq")
     assert(recallOpq >= 0.5, s"OPQ recall@10 on skewed data = $recallOpq")
   }
+  test("permutationModel: rotation is a variance-balanced permutation matrix") {
+    // integer vectors whose per-dim variance grows with the dim index and
+    // sits above 1 — the log-product greedy's balancing regime (for λ<1
+    // the rule still mirrors the engine's eigen path bit-for-bit, but
+    // degenerates to stuffing one bucket, so it isn't what's asserted)
+    val d = 8
+    val synth = (0L until 200L).map { id =>
+      (id, Array.tabulate(d)(i => ((id * 2654435761L + i) % (10 + 10 * i)).toDouble))
+    }
+    val sdf = synth.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+    val model = Opq.permutationModel(sdf, m = 2, k = 4, sampleN = 200, iters = 2)
+    val r = model.rotation
+    // each row/column has exactly one 1.0 (a permutation = orthonormal)
+    assert(r.forall(row => row.count(_ == 1.0) == 1 && row.forall(x => x == 0.0 || x == 1.0)))
+    assert((0 until d).forall(cCol => r.count(row => row(cCol) == 1.0) == 1))
+    val perm = r.map(_.indexWhere(_ == 1.0))
+    // allocation balances total variance: the top-variance dim and the
+    // runner-up land in DIFFERENT subspaces (greedy log-product rule)
+    val sample = synth.map(_._2)
+    val n = sample.length
+    val mean = Array.tabulate(d)(i => sample.map(_(i)).sum / n)
+    val varr = Array.tabulate(d)(i => sample.map(v => { val t = v(i) - mean(i); t * t }).sum / n)
+    assert(varr.forall(_ > 1.0), "synthetic variances must sit in the balancing regime")
+    val byVar = varr.zipWithIndex.sortBy { case (v, idx) => (-v, idx) }.map(_._2)
+    val sub = d / 2
+    def subspaceOf(dim: Int) = perm.indexWhere(_ == dim) / sub
+    assert(subspaceOf(byVar(0)) != subspaceOf(byVar(1)),
+      "two highest-variance dims must split across subspaces")
+    // the permuted model still round-trips through the shared machinery
+    assert(Opq.encode(sdf, model).count() == 200)
+  }
+
   test("persisted index: searchIndexed ≡ in-path rotate+encode+search") {
     val dir = java.nio.file.Files.createTempDirectory("graft-opq-idx").toString + "/idx"
     val model = Opq.buildIndex(emb, dir, m = 8, k = 16, sampleN = 200, iters = 3)
