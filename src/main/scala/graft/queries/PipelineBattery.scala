@@ -397,5 +397,37 @@ object PipelineBattery {
       gold.write.mode("overwrite").orc(dir)
       s.read.orc(dir).orderBy($"l_returnflag", $"l_linestatus")
     },
+
+    // Delta Lake transaction-log interop (the north star's named table
+    // format, closing SURVEY "What's missing" 2): gold aggregate committed
+    // as a PARTITIONED Snapshots table, published as a Delta log
+    // (sinks/DeltaExport.export — protocol-v1 JSON actions referencing the
+    // snapshot's immutable files in place, no data copy), then read back
+    // THROUGH the Delta log reader (log-resolved file set, partition
+    // columns materialized from each add's partitionValues, zero directory
+    // listing). Oracle = the aggregate itself, so the snapshot → log →
+    // external-scan loop must preserve values, types, and the partition
+    // column exactly. Re-runs republish (remove+add reconcile) — the
+    // reader sees one consistent current version every time.
+    sql("q_delta_roundtrip",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val gold = Tables.documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg($"n_chars"), 2).as("avg_chars"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val table = s"${sys.props("java.io.tmpdir")}/graft-delta-$key/gold"
+      // dynamic overwrite touches every lang spec each run → a stable
+      // current snapshot; export then publishes it as the next Delta
+      // version (remove+add against the prior log)
+      graft.sinks.Snapshots.commitPartitioned(gold, table, Seq("lang"),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sinks.DeltaExport.export(s, table)
+      graft.sinks.DeltaExport.read(s, table)
+        .select($"lang", $"n_docs", $"avg_chars")
+        .orderBy($"lang")
+    },
   )
 }
