@@ -425,6 +425,7 @@ object Bench {
         val dt = (System.nanoTime() - q0) / 1e9
         best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
         nMeasured(name) += 1
+        pace.observe(name, dt) // keeps the recovery projection warm-informed
         // measured passes stop `reserveSec` short of the budget: the
         // reserve pays for the flag-retest pass below (isolated re-measures
         // of any currently-flagged floor-adjacent entries) + the final emit
@@ -435,6 +436,35 @@ object Bench {
       }
       lastComplete = !aborted
       if (!aborted) fullPasses += 1
+      emit(pass, complete = lastComplete)
+      lastEmit = elapsed()
+    }
+    // HEADLINE RECOVERY: the phase's degradation decision rests on 3-4
+    // EARLY samples that still carry measured-scale first-touch costs, so
+    // it can under-promise in a window that turns out fine (observed live:
+    // a 720 s blessing capture dropped to 1 headline pass, then fit THREE
+    // full passes). If headline warmth was sacrificed and budget remains
+    // after the full passes, run the missing warm pass(es) now — warmth
+    // recovered exactly when it costs nothing, never at breadth's expense.
+    while (headlinePasses < 2 && !outOfTime &&
+        elapsed() + pace.project(headline) < budgetSec - reserveSec) {
+      var aborted = false
+      val it = headlineList.sortBy { case (n, _) =>
+        -best.getOrElse(n, Double.MaxValue) }.iterator
+      while (it.hasNext && !aborted) {
+        val (name, fn) = it.next()
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - q0) / 1e9
+        best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+        nMeasured(name) += 1
+        pace.observe(name, dt)
+        if (elapsed() > budgetSec - reserveSec) { aborted = true; outOfTime = true }
+        else if (elapsed() - lastEmit > 20.0) {
+          sampleProbes(); emit(pass, complete = lastComplete); lastEmit = elapsed()
+        }
+      }
+      if (!aborted) headlinePasses += 1
       emit(pass, complete = lastComplete)
       lastEmit = elapsed()
     }
