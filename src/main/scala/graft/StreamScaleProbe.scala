@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * the bottleneck long before 100 TB; a bounded gate's curve is flat.
   *
   * Usage: StreamScaleProbe <sfDir> <nBatches> <rowsPerBatch> [gate] [knob]
-  *   gate = chunkstore (default) | semdedup | split
-  *   knob = compactEvery for chunkstore and split (default 0 = off);
-  *          gridBits for semdedup (default 8), then [compactEvery]
+  *   gate = chunkstore (default) | semdedup | split | dupspan
+  *   knob = compactEvery for chunkstore, split, and dupspan (default 0 =
+  *          off); gridBits for semdedup (default 8), then [compactEvery]
   * Output: one `SBATCH` line per micro-batch on stderr —
   *   `SBATCH gate=… b=<i> wall=<s> state_rows=<n>` — plus a `STOTAL` line.
   * Fixed batch size by design: the x-axis is accumulated state, nothing
@@ -61,6 +61,17 @@ object StreamScaleProbe {
           compactEvery = compactEvery, trigger = trigger)
         (query, () => if (sinks.Snapshots.versions(spark, outT).isEmpty) 0L
                       else sinks.Snapshots.read(spark, outT).count())
+      case "dupspan" =>
+        // exact-substring admission gate: per-batch cost is the batch's
+        // grams probed against the bucket-pruned 8-gram index — the index
+        // is the growing state axis
+        val (docsT, gramT) = (s"$dir/docs", s"$dir/grams")
+        val compactEvery = if (args.length > 4) args(4).toInt else 0
+        val query = streaming.StreamingOps.startDupSpanIngest(
+          mem.toDF().toDF("doc_id", "text"), docsT, gramT, s"$dir/ckpt",
+          compactEvery = compactEvery, trigger = trigger)
+        (query, () => if (sinks.Snapshots.versions(spark, gramT).isEmpty) 0L
+                      else sinks.Snapshots.read(spark, gramT).count())
       case "split" =>
         // the leakage-safe split gate reads TWO state tables per batch
         // (token index probe + candidate doc fetch) — the §9.4 axis here

@@ -165,6 +165,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, u).inputFiles.length == 1)
   }
 
+  test("concurrent writers: each version is won by exactly one publish; losers fail loudly, the chain stays consistent") {
+    // the contract behind OUT-OF-BAND maintenance (§9.5): a gate append
+    // and a compactFragmented job may interleave — publish is write-temp +
+    // rename, so a version collision makes exactly one writer throw
+    // 'commit race' BEFORE any manifest is replaced; nothing is torn and
+    // the loser (a maintenance job or a replayed micro-batch) just retries
+    val t = tmp()
+    Snapshots.commitPartitioned(Seq(("a", 0), ("b", 0)).toDF("g", "k"), t, Seq("g"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = (1 to 6).map { i =>
+      Future(
+        try Right(Snapshots.commitPartitioned(
+          Seq(("a", i)).toDF("g", "k"), t, Seq("g")))
+        catch { case e: java.io.IOException => Left(e.getMessage) })
+    }
+    val results = Await.result(Future.sequence(attempts), 5.minutes)
+    val won = results.collect { case Right(v) => v }
+    val lost = results.collect { case Left(m) => m }
+    assert(lost.forall(_.contains("commit race")), s"unexpected failures: $lost")
+    // contiguous manifest chain: one version per successful publish, no gaps
+    val vs = Snapshots.versions(spark, t)
+    assert(vs == (1L to (1 + won.size)).toSeq, s"chain $vs vs ${won.size} wins")
+    assert(won.toSet.size == won.size, "two writers claimed the same version")
+    // every winner's row is present exactly once; no loser's row leaked in
+    val ks = Snapshots.read(spark, t).select("k").as[Int].collect().sorted.toSeq
+    assert(ks.count(_ == 0) == 2 && ks.size == 2 + won.size)
+  }
+
   test("partitioned and plain commits don't mix; specs decode hive escaping") {
     val t = tmp()
     Snapshots.commitPartitioned(Seq(("x y", 1)).toDF("g", "k"), t, Seq("g"))
