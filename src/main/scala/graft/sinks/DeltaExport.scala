@@ -25,9 +25,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     ([[Snapshots.read]]) applied to the external format: no directory
   *     listing, partition pruning available BEFORE any file IO.
   *
-  * Scope (documented, deliberate): protocol v1 readers — JSON commits, no
-  * parquet checkpoint files, no deletion vectors, no column mapping. An
-  * exported log always satisfies that floor (protocol minReaderVersion=1).
+  * Checkpoints: [[export]] writes a single-part parquet CHECKPOINT
+  * (`NNN…N.checkpoint.parquet` + `_last_checkpoint`) every
+  * `checkpointInterval` versions — the protocol's log-compaction device,
+  * and what real writers do every 10 commits. [[read]] starts from the
+  * newest checkpoint at-or-below the requested version and replays only
+  * the JSON tail, so it consumes real-world tables whose old JSON commits
+  * were vacuumed away (only a checkpoint + tail remain).
+  *
+  * Scope (documented, deliberate): protocol v1 — single-part checkpoints,
+  * no deletion vectors, no column mapping. An exported log always
+  * satisfies that floor (protocol minReaderVersion=1).
   */
 object DeltaExport {
 
@@ -44,12 +52,14 @@ object DeltaExport {
   /** Publish the current snapshot version of `table` as Delta commit 0 (or
     * the next Delta version when a log already exists: prior live files are
     * `remove`d and the current set re-`add`ed — a full-snapshot republish,
-    * which the protocol allows and readers reconcile exactly).
+    * which the protocol allows and readers reconcile exactly). Every
+    * `checkpointInterval`-th version additionally writes a parquet
+    * checkpoint + `_last_checkpoint` (0 disables).
     *
     * Data files are NEVER moved or rewritten: the log references the
     * snapshot's immutable commit-dir files relative to the table root.
     * Returns the Delta version written. */
-  def export(spark: SparkSession, table: String): Long = {
+  def export(spark: SparkSession, table: String, checkpointInterval: Int = 10): Long = {
     val f = fs(spark, table)
     val vs = Snapshots.versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
@@ -80,10 +90,23 @@ object DeltaExport {
       (rel, st.getLen, st.getModificationTime, pv)
     }
     val priorVersions = listDeltaVersions(f, table)
-    val v = priorVersions.lastOption.map(_ + 1).getOrElse(0L)
+    val priorCkpts = listCheckpointVersions(f, table)
+    val v = (priorVersions ++ priorCkpts).maxOption.map(_ + 1).getOrElse(0L)
+    // prior live set resolves CHECKPOINT-FIRST like read(): after old JSON
+    // commits are vacuumed past a checkpoint, a JSON-only replay would
+    // miss files the checkpoint still carries and the new delta would
+    // fail to remove them
     val priorLive: Set[String] =
-      if (priorVersions.isEmpty) Set.empty
-      else liveAdds(f, table, priorVersions).map(_._1).toSet
+      if (priorVersions.isEmpty && priorCkpts.isEmpty) Set.empty
+      else {
+        val upTo = (priorVersions ++ priorCkpts).max
+        val ck = checkpointAtOrBelow(f, table, upTo)
+        val m = ck.map(readCheckpoint(spark, table, _)._1).getOrElse(
+          scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]])
+        replayJson(f, table,
+          priorVersions.filter(pv => pv <= upTo && ck.forall(pv > _)), m)
+        m.keySet.toSet
+      }
 
     val sb = new StringBuilder
     def line(json: String): Unit = { sb.append(json); sb.append('\n') }
@@ -134,7 +157,139 @@ object DeltaExport {
     finally out.close()
     if (!f.rename(tmp, versionFile(table, v)))
       throw new java.io.IOException(s"delta export race on $table v$v")
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
+      writeCheckpoint(spark, f, table, v, schemaJson, partCols, files)
     v
+  }
+
+  private def checkpointPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint.parquet")
+
+  /** Single-part protocol checkpoint: the reconciled state at `v` as one
+    * parquet file of action structs (protocol / metaData / add columns —
+    * a checkpoint carries live state, tombstones long expired), plus the
+    * `_last_checkpoint` pointer readers consult first. Written via a temp
+    * dir + rename of the single part file (Spark writes directories; the
+    * protocol wants one file at an exact name). Best-effort: a failed
+    * checkpoint leaves the JSON chain authoritative. */
+  private def writeCheckpoint(
+      spark: SparkSession,
+      f: FileSystem,
+      table: String,
+      v: Long,
+      schemaJson: String,
+      partCols: Seq[String],
+      files: Seq[(String, Long, Long, Map[String, String])]): Unit = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val pvType = MapType(StringType, StringType, valueContainsNull = true)
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", pvType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", pvType),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", pvType),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    // table identity comes from the log's own metaData action (written at
+    // v0) — a checkpoint must not mint a new table id
+    val tableId = metaNodeIn(f, table, listDeltaVersions(f, table))
+      .map(_.get("id").asText()).getOrElse(java.util.UUID.randomUUID().toString)
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(1, 2), null, null))
+    rows.add(Row(null,
+      Row(tableId, Row("parquet", Map.empty[String, String]), schemaJson,
+        partCols, Map.empty[String, String], System.currentTimeMillis()),
+      null))
+    files.foreach { case (rel, len, mtime, pv) =>
+      rows.add(Row(null, null, Row(rel, pv, len, mtime, true)))
+    }
+    val tmpDir = new Path(logDir(table), f".ckpt-$v%020d-tmp")
+    try {
+      spark.createDataFrame(rows, ckptSchema).coalesce(1)
+        .write.mode("overwrite").parquet(tmpDir.toString)
+      val part = f.listStatus(tmpDir)
+        .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new java.io.IOException("checkpoint part file missing"))
+      f.delete(checkpointPath(table, v), false)
+      if (!f.rename(part.getPath, checkpointPath(table, v)))
+        throw new java.io.IOException(s"checkpoint publish race on $table v$v")
+      val lcTmp = new Path(logDir(table), ".last_checkpoint.tmp")
+      val out = f.create(lcTmp, true)
+      try out.write(s"""{"version":$v,"size":${rows.size}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      f.delete(new Path(logDir(table), "_last_checkpoint"), false)
+      if (!f.rename(lcTmp, new Path(logDir(table), "_last_checkpoint")))
+        f.delete(lcTmp, false)
+    } finally f.delete(tmpDir, true)
+  }
+
+  private def listCheckpointVersions(f: FileSystem, table: String): Seq[Long] =
+    if (!f.exists(logDir(table))) Seq.empty
+    else f.listStatus(logDir(table)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+        n.stripSuffix(".checkpoint.parquet").toLong }
+      .sorted
+
+  /** Live (path → partitionValues) plus metaData from a checkpoint file. */
+  private def readCheckpoint(
+      spark: SparkSession,
+      table: String,
+      v: Long): (scala.collection.mutable.LinkedHashMap[String, Map[String, String]],
+      Option[(String, Seq[String])]) = {
+    val df = spark.read.parquet(checkpointPath(table, v).toString)
+    val cols = df.columns.toSet
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    var meta: Option[(String, Seq[String])] = None
+    df.collect().foreach { row =>
+      if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
+        val a = row.getStruct(row.fieldIndex("add"))
+        val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+          .map(_.toMap).getOrElse(Map.empty[String, String])
+        live += decodePath(a.getAs[String]("path")) -> pv
+      }
+      if (cols("remove") && !row.isNullAt(row.fieldIndex("remove")))
+        live -= decodePath(row.getStruct(row.fieldIndex("remove")).getAs[String]("path"))
+      if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
+        val m = row.getStruct(row.fieldIndex("metaData"))
+        val pc = Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+          .map(_.toSeq).getOrElse(Seq.empty[String])
+        meta = Some((m.getAs[String]("schemaString"), pc))
+      }
+    }
+    (live, meta)
+  }
+
+  /** Newest checkpoint at or below `upTo`: `_last_checkpoint` when it
+    * qualifies (the protocol's fast path), else the directory listing
+    * (time travel below the last checkpoint, or a torn pointer). */
+  private def checkpointAtOrBelow(f: FileSystem, table: String, upTo: Long): Option[Long] = {
+    val fromPointer =
+      try {
+        val p = new Path(logDir(table), "_last_checkpoint")
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          val body = try org.apache.commons.io.IOUtils.toString(
+            in, java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          val v = mapper.readTree(body).get("version").asLong
+          if (v <= upTo && f.exists(checkpointPath(table, v))) Some(v) else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fromPointer.orElse(listCheckpointVersions(f, table).filter(_ <= upTo).lastOption)
   }
 
   private def listDeltaVersions(f: FileSystem, table: String): Seq[Long] =
@@ -144,12 +299,16 @@ object DeltaExport {
       .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
       .sorted
 
-  /** Replay the log through `versions`: live (path, partitionValues) set. */
-  private def liveAdds(
+  /** Replay JSON commits `versions` into `into` (add minus remove, path
+    * identity); returns the LAST metaData action seen — per protocol the
+    * newest metaData wins. */
+  private def replayJson(
       f: FileSystem,
       table: String,
-      versions: Seq[Long]): Seq[(String, Map[String, String])] = {
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+      versions: Seq[Long],
+      into: scala.collection.mutable.LinkedHashMap[String, Map[String, String]])
+      : Option[(String, Seq[String])] = {
+    var meta: Option[(String, Seq[String])] = None
     versions.foreach { v =>
       val in = f.open(versionFile(table, v))
       val body = try org.apache.commons.io.IOUtils.toString(
@@ -163,13 +322,46 @@ object DeltaExport {
             a.get("partitionValues").fields().forEachRemaining { e =>
               pv += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
             }
-          live += decodePath(a.get("path").asText()) -> pv.result()
+          into += decodePath(a.get("path").asText()) -> pv.result()
         } else if (node.has("remove")) {
-          live -= decodePath(node.get("remove").get("path").asText())
+          into -= decodePath(node.get("remove").get("path").asText())
+        } else if (node.has("metaData")) {
+          val m = node.get("metaData")
+          val pc = Seq.newBuilder[String]
+          m.get("partitionColumns").forEach(c => pc += c.asText())
+          meta = Some((m.get("schemaString").asText(), pc.result()))
         }
       }
     }
+    meta
+  }
+
+  /** Pure-JSON live set (export reconciles its own log, which retains
+    * every JSON commit it wrote). */
+  private def liveAdds(
+      f: FileSystem,
+      table: String,
+      versions: Seq[Long]): Seq[(String, Map[String, String])] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    replayJson(f, table, versions, live)
     live.toSeq
+  }
+
+  /** Last metaData ACTION NODE across `versions` (table id for checkpoint
+    * writes). */
+  private def metaNodeIn(
+      f: FileSystem,
+      table: String,
+      versions: Seq[Long]): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    var found: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    versions.foreach { v =>
+      val in = f.open(versionFile(table, v))
+      val body = try org.apache.commons.io.IOUtils.toString(
+        in, java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      body.split('\n').filter(_.nonEmpty).map(mapper.readTree)
+        .filter(_.has("metaData")).foreach(n => found = Some(n.get("metaData")))
+    }
+    found
   }
 
   private def decodePath(p: String): String =
@@ -186,29 +378,32 @@ object DeltaExport {
       version: Option[Long] = None,
       partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
     val f = fs(spark, table)
-    val all = listDeltaVersions(f, table)
-    require(all.nonEmpty, s"no _delta_log at $table")
-    val upTo = version.getOrElse(all.last)
-    require(all.contains(upTo), s"delta version $upTo not in $all")
-    val versions = all.filter(_ <= upTo)
-    // metaData from the earliest retained commit that carries it
-    val metaNode = versions.iterator.map { v =>
-      val in = f.open(versionFile(table, v))
-      val body = try org.apache.commons.io.IOUtils.toString(
-        in, java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      body.split('\n').filter(_.nonEmpty).map(mapper.readTree)
-        .find(_.has("metaData")).map(_.get("metaData"))
-    }.collectFirst { case Some(m) => m }
-      .getOrElse(throw new IllegalStateException(s"no metaData action in $table log"))
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(metaNode.get("schemaString").asText())
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val partCols = {
-      val b = Seq.newBuilder[String]
-      metaNode.get("partitionColumns").forEach(c => b += c.asText())
-      b.result()
+    val jsonVs = listDeltaVersions(f, table)
+    val ckptVs = listCheckpointVersions(f, table)
+    val resolvable = (jsonVs ++ ckptVs).distinct.sorted
+    require(resolvable.nonEmpty, s"no _delta_log at $table")
+    val upTo = version.getOrElse(resolvable.last)
+    require(resolvable.contains(upTo), s"delta version $upTo not in $resolvable")
+    // checkpoint-first resolution (the protocol's read path): state at the
+    // newest checkpoint <= upTo, then replay only the JSON tail — old JSON
+    // commits may be vacuumed away on real tables
+    val ckpt = checkpointAtOrBelow(f, table, upTo)
+    val (liveMap, ckptMeta) = ckpt match {
+      case Some(c) => readCheckpoint(spark, table, c)
+      case None =>
+        (scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]],
+          Option.empty[(String, Seq[String])])
     }
-    val live = liveAdds(f, table, versions)
+    val tail = jsonVs.filter(v => v <= upTo && ckpt.forall(c => v > c))
+    require(ckpt.isDefined || tail.headOption.contains(0L),
+      s"cannot resolve $table v$upTo: no checkpoint at or below it and the " +
+        "JSON chain does not start at version 0 (commits vacuumed)")
+    val tailMeta = replayJson(f, table, tail, liveMap)
+    val (schemaJson, partCols) = tailMeta.orElse(ckptMeta)
+      .getOrElse(throw new IllegalStateException(s"no metaData action in $table log"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val live = liveMap.toSeq
       .filter { case (_, pv) => partitionFilter(pv) }
     val dataCols = schema.filterNot(fld => partCols.contains(fld.name))
     val dataSchema = org.apache.spark.sql.types.StructType(dataCols)

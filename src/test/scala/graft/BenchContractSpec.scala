@@ -22,14 +22,14 @@ class BenchContractSpec extends AnyFunSuite {
     assume(script.canExecute, "tools/run.sh not present/executable")
     val pb = new ProcessBuilder(script.getAbsolutePath, "graft.Bench")
     pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    // 20 s: small enough that no host finishes a COLD 190+-query pass
-    // (cold per-query floor is ~0.3 s — a full pass needs a minute), so
-    // the truncation assertions below can never flip on a fast machine,
+    // 30 s: small enough that no host finishes a COLD 230-query pass
+    // (cold per-query floor is ~0.3 s — a full pass needs over a minute),
+    // so the truncation assertions below can never flip on a fast machine,
     // yet large enough that the pace model always gets its 3 samples
-    // before the hard budget abort (session init + 3 cold entries is
-    // ~8-12 s) — the degraded-fallback assertions need the decision to
-    // have actually run
-    pb.environment().put("SPARK_GRAFT_BENCH_BUDGET_SEC", "20")
+    // before the hard budget abort — session init (spin probes + table
+    // warmup + the REAL 256M-row calib job) plus 3 cold entries is
+    // ~10-16 s, and a 20 s budget flaked on a slow-window full-suite run
+    pb.environment().put("SPARK_GRAFT_BENCH_BUDGET_SEC", "30")
     pb.environment().put("SPARK_GRAFT_BENCH_WARMUP_DIR", "none")
     pb.environment().put("SPARK_GRAFT_CPUS", "4")
     pb.redirectErrorStream(false)

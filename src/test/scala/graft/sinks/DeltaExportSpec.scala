@@ -77,6 +77,47 @@ class DeltaExportSpec extends SparkSpec {
     assert(pruned.select("k").as[Int].collect().toSet == Set(1, 5, 9, 13, 17))
   }
 
+  test("checkpoints: written on the interval, read checkpoint-first, survive vacuumed JSON commits") {
+    val t = tmp()
+    Snapshots.commitPartitioned(Seq(("a", 1), ("b", 2)).toDF("g", "k"), t, Seq("g"))
+    DeltaExport.export(spark, t, checkpointInterval = 2) // v0: json only
+    Snapshots.commitPartitioned(Seq(("a", 10)).toDF("g", "k"), t, Seq("g"),
+      SaveMode.Overwrite)
+    DeltaExport.export(spark, t, checkpointInterval = 2) // v1: json only
+    Snapshots.commitPartitioned(Seq(("b", 20)).toDF("g", "k"), t, Seq("g"),
+      SaveMode.Overwrite)
+    val v2 = DeltaExport.export(spark, t, checkpointInterval = 2) // v2: + checkpoint
+    assert(v2 == 2L)
+    val log = new java.io.File(s"$t/_delta_log")
+    assert(new java.io.File(log, "00000000000000000002.checkpoint.parquet").isFile,
+      "single-FILE checkpoint at the protocol name")
+    val lc = new java.io.File(log, "_last_checkpoint")
+    assert(lc.exists)
+    val lcNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(scala.io.Source.fromFile(lc).mkString)
+    assert(lcNode.get("version").asLong == 2L && lcNode.get("size").asLong > 2)
+
+    def rows() = DeltaExport.read(spark, t)
+      .select($"k", $"g").as[(Int, String)].collect().toSet
+    val expected = Set((10, "a"), (20, "b"))
+    assert(rows() == expected)
+    // the protocol's reason checkpoints exist: old JSON commits vacuumed,
+    // the reader resolves from the checkpoint + the (empty) tail
+    for (v <- Seq("00000000000000000000.json", "00000000000000000001.json"))
+      assert(new java.io.File(log, v).delete())
+    assert(rows() == expected, "read must resolve from the checkpoint alone")
+    // a version BELOW the checkpoint is now genuinely unresolvable — loudly
+    intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, t, Some(1L))
+    }
+    // a later JSON-only export replays as tail on top of the checkpoint
+    Snapshots.commitPartitioned(Seq(("a", 99)).toDF("g", "k"), t, Seq("g"),
+      SaveMode.Overwrite)
+    val v3 = DeltaExport.export(spark, t, checkpointInterval = 2)
+    assert(v3 == 3L)
+    assert(rows() == Set((99, "a"), (20, "b")))
+  }
+
   test("unpartitioned tables export and read back; empty filter yields typed empty") {
     val t = tmp()
     Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
