@@ -149,14 +149,19 @@ object DeltaExport {
         add.put("dataChange", true)
         line(mapper.writeValueAsString(addW))
     }
-    // write-temp + rename: same atomic publish discipline as Snapshots
+    // write-temp + rename: same atomic publish discipline as Snapshots,
+    // same per-writer tmp nonce (a shared version-derived tmp lets a
+    // racing loser overwrite the winner's bytes before its rename)
     f.mkdirs(logDir(table))
-    val tmp = new Path(logDir(table), f".$v%020d.json.tmp")
+    val tmp = new Path(logDir(table),
+      f".$v%020d.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!f.rename(tmp, versionFile(table, v)))
+    if (!Snapshots.publishNoOverwrite(f, tmp, versionFile(table, v))) {
+      try f.delete(tmp, false) catch { case _: java.io.IOException => () }
       throw new java.io.IOException(s"delta export race on $table v$v")
+    }
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
       writeCheckpoint(spark, f, table, v, schemaJson, partCols, files)
     v
@@ -225,7 +230,8 @@ object DeltaExport {
       f.delete(checkpointPath(table, v), false)
       if (!f.rename(part.getPath, checkpointPath(table, v)))
         throw new java.io.IOException(s"checkpoint publish race on $table v$v")
-      val lcTmp = new Path(logDir(table), ".last_checkpoint.tmp")
+      val lcTmp = new Path(logDir(table),
+        s".last_checkpoint.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = f.create(lcTmp, true)
       try out.write(s"""{"version":$v,"size":${rows.size}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -109,13 +109,45 @@ object Snapshots {
     }
     m.schema.foreach(root.put("schema", _))
     f.mkdirs(manifestDir(table))
-    val tmp = new Path(manifestDir(table), f".v$v%05d.json.tmp")
+    // tmp name carries a per-writer nonce: a version-derived tmp is SHARED
+    // by concurrent writers racing the same version, and the loser can
+    // overwrite the winner's tmp content before its publish — publishing
+    // the wrong manifest under the winner's version (found live by the
+    // concurrent-writers spec). With unique tmps each writer publishes only
+    // its own bytes and the no-overwrite publish arbitrates the version.
+    val tmp = new Path(manifestDir(table),
+      f".v$v%05d.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
-    if (!f.rename(tmp, manifestPath(table, v)))
+    if (!publishNoOverwrite(f, tmp, manifestPath(table, v))) {
+      try f.delete(tmp, false) catch { case _: java.io.IOException => () }
       throw new java.io.IOException(s"snapshot commit race on $table v$v")
+    }
     v
   }
+
+  /** ATOMIC no-overwrite publish of `tmp` as `dst` — the commit-race
+    * arbiter. `FileSystem.rename` is NOT that arbiter everywhere: HDFS
+    * refuses an existing destination, but RawLocalFileSystem delegates to
+    * POSIX rename(2), which silently REPLACES it — two writers racing the
+    * same version would both "succeed" and the second would overwrite the
+    * first's just-published manifest (a lost update, caught live by the
+    * concurrent-writers spec). On file:// the arbiter is hard-link
+    * creation (link(2) fails EEXIST atomically, no stat-then-rename
+    * window); elsewhere rename keeps its documented no-overwrite
+    * semantics. Returns false when the version was already won. */
+  private[sinks] def publishNoOverwrite(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    if ("file".equals(f.getUri.getScheme)) {
+      val t = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+      val d = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        f.delete(tmp, false) // drops the tmp name (and its .crc shadow)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else f.rename(tmp, dst)
 
   /** Last committed transaction id for a streaming writer `appId`, from the
     * latest manifest (None if the table or the app has never committed).
@@ -472,7 +504,12 @@ object Snapshots {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
     val m = readManifest(f, table, vs.last)
-    if (m.partitions.isEmpty) {
+    // a fully-erased snapshot (zero data dirs) has nothing to compact;
+    // falling through would commit an empty UNPARTITIONED version and
+    // silently flip a partitioned table's flavor, refusing future
+    // commitPartitioned calls
+    if (m.dirs.isEmpty && m.partitions.isEmpty) vs.last
+    else if (m.partitions.isEmpty) {
       val df = read(spark, table)
       val rows = df.count()
       val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)

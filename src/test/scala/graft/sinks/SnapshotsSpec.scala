@@ -153,6 +153,19 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.compactFragmented(spark, t, maxBasesPerSpec = 4) == v)
     assert(Snapshots.versions(spark, t).last == v)
 
+    // a fully-erased table: both compaction flavors no-op instead of
+    // committing an empty UNPARTITIONED version (which would flip the
+    // table's flavor and refuse future commitPartitioned calls)
+    val e = tmp()
+    Snapshots.commitPartitioned(Seq(("x", 1)).toDF("g", "k"), e, Seq("g"))
+    Snapshots.commitPartitionReplace(Seq.empty[(String, Int)].toDF("g", "k"),
+      e, Seq("g"), Seq("g=x"))
+    val ev = Snapshots.versions(spark, e).last
+    assert(Snapshots.compact(spark, e) == ev)
+    assert(Snapshots.compactFragmented(spark, e) == ev)
+    Snapshots.commitPartitioned(Seq(("y", 2)).toDF("g", "k"), e, Seq("g"))
+    assert(Snapshots.read(spark, e).count() == 1)
+
     // unpartitioned tier: all-or-nothing via dirs count
     val u = tmp()
     (1 to 3).foreach(i => Snapshots.commit(Seq((i, s"v$i")).toDF("k", "v"), u))
