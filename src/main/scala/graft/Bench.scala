@@ -41,6 +41,19 @@ import org.apache.spark.sql.SparkSession
   * engaged; a min/med/max micro-calib + IO-probe timeline sampled at the
   * ~20 s emit points records the window itself.
   *
+  * MEASURED-SCALE DOWNSHIFT (round-16 lesson — r15's fallback correctly
+  * shed the headline passes yet still captured only 138/233: a 3-4×
+  * throttle cannot fit 233 sf0.1 entries in a fixed budget, period): when
+  * the pace projection says the measured-scale sweep won't fit, the
+  * still-unmeasured tail runs at the next-smaller sibling scale factor
+  * (sf0.01, stepping to sf0.001 if even that projects over), so EVERY
+  * registry entry gets a measurement in any window. Downshifted timings
+  * are explicitly labeled and never mixed into measured-scale artifacts:
+  * they live in `downshift_n` / `downshift_total` / a per-dir `downshift`
+  * count object, while `value`, `n_sf`, `queries`, and the regression
+  * gate stay measured-scale-only. Later passes re-measure downshifted
+  * entries at full scale first if the window recovers.
+  *
   * KNOWN BOUND: the budget and the periodic emit are both checked BETWEEN
   * queries — a single query that hangs runs unbounded, and if the driver
   * then kills the process the stdout tail still holds the last complete
@@ -79,7 +92,7 @@ object Bench {
     * the edges missed the window entirely. A timeline of these samples,
     * summarized as min/med/max in the final line, makes a capture from a
     * degraded window explain its own numbers. */
-  private def microCalibSec(spark: SparkSession): Double = {
+  private[graft] def microCalibSec(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     // & 1048575 bounds the addends: a raw sum of 64-bit hashes overflows
     // under ANSI mode (Spark 4 default) and ABORTS the job — the probe
@@ -94,7 +107,7 @@ object Bench {
     * Hadoop FS API, no Spark job): separates IO starvation from CPU steal —
     * a throttle window that inflates [[microCalibSec]] but not this is
     * compute-side; both inflating means the storage path is starved too. */
-  private def ioProbeSec(spark: SparkSession, sfDir: String): Double = {
+  private[graft] def ioProbeSec(spark: SparkSession, sfDir: String): Double = {
     val t0 = System.nanoTime()
     try {
       val p0 = new org.apache.hadoop.fs.Path(s"$sfDir/nation.parquet")
@@ -219,6 +232,13 @@ object Bench {
     // structure was reshaped by a degraded host window, not by code
     var degraded = false
     var warmupN = 0
+    // Per-entry warm-up timings: a warm-up run IS a measurement at the
+    // warm-up scale, so when the budget later dies before an entry gets
+    // any better reading, this sunk cost converts to labeled reduced-scale
+    // BREADTH (the emit's fallback accounting) instead of evaporating. In
+    // a healthy run every entry is re-measured at full scale and these
+    // never surface in the final line.
+    val warmupTimes = scala.collection.mutable.Map.empty[String, Double]
     if (warmupDir != "none") {
       val warmupStart = elapsed()
       var warmupDeadline = math.min(budgetSec * 0.25, elapsed() + 90.0)
@@ -226,8 +246,10 @@ object Bench {
         (headlineRank.getOrElse(name, Int.MaxValue),
          -benchBaseline.mins.getOrElse(name, Double.MaxValue)) }.iterator
       while (it.hasNext && elapsed() < warmupDeadline) {
-        val (_, fn) = it.next()
+        val (name, fn) = it.next()
+        val w0 = System.nanoTime()
         try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+        warmupTimes(name) = (System.nanoTime() - w0) / 1e9
         warmupN += 1
         // pace cap (r14: the sweep burnt 90 s covering 19 entries at ~5 s
         // each in a throttled window — a quiet host does ~0.3-0.4 s/entry).
@@ -255,6 +277,20 @@ object Bench {
 
     // Running per-query minimum across all completed measurements so far.
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // MEASURED-SCALE DOWNSHIFT state (round-16, the r15 breadth gap:
+    // 138/233 measured because a 3-4x throttle cannot fit 233 sf0.1
+    // entries in a fixed budget no matter how the passes are shed). When
+    // the pace projection says the measured-scale sweep won't fit, the
+    // still-unmeasured tail runs at the next-smaller sibling scale instead
+    // (sf0.01, then sf0.001 if even that projects over) — every entry gets
+    // SOME measurement, explicitly labeled: downshifted minima live in
+    // bestDown (never mixed into `best`, the regression gate, the headline
+    // map, or `value`), and the emitted line carries per-dir counts.
+    val downLadder = BenchGate.downshiftLadder(sfDir,
+      sys.env.get("SPARK_GRAFT_BENCH_DOWNSHIFT_DIR"))
+    val bestDown = scala.collection.mutable.Map.empty[String, Double]
+    val downDir = scala.collection.mutable.Map.empty[String, String] // entry → its dir
+    var downLevel = -1 // -1 = measured scale; >= 0 indexes downLadder
     // measurements per query (passes + isolated retests): the gate only
     // flags WARM-measured queries (n >= 2) — a budget-truncated capture
     // leaves its tail with one COLD measurement each, and comparing a cold
@@ -313,7 +349,29 @@ object Bench {
       // throttled window explains its own numbers (r14: endpoint probes
       // read near-quiet while queries ran 20-50x slow)
       val probes = s"""${statsJson("mcal", mcalSamples.toSeq)},${statsJson("io", ioSamples.toSeq)}"""
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":${best.size},"pass":$pass,"complete":$complete,"full_passes":$fullPasses,"headline_passes":$headlinePasses,"headline_target":$headlineTarget,"degraded":$degraded,"warmup_n":$warmupN,"warmup_t":${r3(warmupT)},"regressions":$regsJson,"regressions_n":${regs.size},"cold_flags":$coldJson,"cold_flags_n":${coldFlags.size},$retests,$probes,$calib,"queries":$qs,"sf":"$sfDir"}""")
+      // quiet-host probe references ride along so the mcal/io stats above
+      // are self-normalizing (round-16 item: a reader shouldn't need
+      // SURVEY §8 to know quiet mcal is ~0.05-0.1 s)
+      val probeRefs = s""""mcal_ref":${r3(benchBaseline.mcalRef)},"io_ref":${r3(benchBaseline.ioRef)}"""
+      // downshift labeling: n_queries = breadth (measured ANYWHERE);
+      // n_sf = measured at the requested scale; "downshift" = per-dir
+      // counts of reduced-scale entries; downshift_total their sum (kept
+      // out of "value", which stays a measured-scale-only aggregate).
+      // Entries whose ONLY reading is their warm-up run count as
+      // warm-up-dir downshift breadth — the run happened and was timed;
+      // in a healthy window every entry later gets a real reading and
+      // this fallback set is empty by the final line.
+      val fallback = warmupTimes.view.filterKeys(n =>
+        !best.contains(n) && !bestDown.contains(n)).toMap
+      val nAll = (best.keySet ++ bestDown.keySet ++ fallback.keySet).size
+      val perDir = (downDir.toMap ++ fallback.keys.map(_ -> warmupDir))
+        .groupBy(_._2).view.mapValues(_.size).toSeq.sortBy(_._1)
+      val downJson = perDir.map { case (dir, n) => s""""$dir":$n""" }
+        .mkString("{", ",", "}")
+      val downN = bestDown.size + fallback.size
+      val downTotal = bestDown.values.sum + fallback.values.sum
+      val down = s""""n_sf":${best.size},"downshift_n":$downN,"downshift_total":${r3(downTotal)},"downshift":$downJson"""
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":$nAll,$down,"pass":$pass,"complete":$complete,"full_passes":$fullPasses,"headline_passes":$headlinePasses,"headline_target":$headlineTarget,"degraded":$degraded,"warmup_n":$warmupN,"warmup_t":${r3(warmupT)},"regressions":$regsJson,"regressions_n":${regs.size},"cold_flags":$coldJson,"cold_flags_n":${coldFlags.size},$retests,$probes,$probeRefs,$calib,"queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
     }
 
@@ -417,15 +475,65 @@ object Bench {
           queryList.filter { case (name, _) => nMeasured(name) == 0 }
         else if (pass == 1) queryList
         else queryList.sortBy { case (name, _) => -best.getOrElse(name, Double.MaxValue) }
-      val it = passOrder.iterator
-      while (it.hasNext && !aborted) {
-        val (name, fn) = it.next()
-        val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - q0) / 1e9
-        best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
-        nMeasured(name) += 1
-        pace.observe(name, dt) // keeps the recovery projection warm-informed
+      // Observed per-entry seconds at the CURRENT downshift level: the
+      // measured-scale pace model says nothing about sf0.01 costs, so the
+      // in-downshift "does the rest still fit" re-projection uses its own
+      // evidence (median of these), and a second shouldDownshift-grade
+      // miss steps the ladder down again.
+      val downObs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var passDown = false // this pass ran (partly) at reduced scale
+      var remaining = passOrder
+      while (remaining.nonEmpty && !aborted) {
+        val (name, fn) = remaining.head
+        remaining = remaining.tail
+        // DOWNSHIFT DECISION, re-checked between entries while still at
+        // measured scale (pass 1 only — by pass 2 every entry already has
+        // a measurement somewhere, and warm repair belongs at full scale):
+        // when the pace projection says the unmeasured tail cannot fit at
+        // measured scale, run it at the largest smaller sibling SF instead.
+        if (pass == 1 && downLevel < 0 && downLadder.nonEmpty) {
+          val unmeasured = ((name, fn) +: remaining)
+            .collect { case (n, _) if nMeasured(n) == 0 => n }
+          if (BenchGate.shouldDownshift(pace, unmeasured, elapsed(), budgetSec, reserveSec)) {
+            downLevel = 0
+            degraded = true
+            passDown = true
+            // sweep NEVER-RUN entries before warm-up-covered ones: the
+            // warm-up entries already hold a labeled fallback reading, so
+            // if the budget dies mid-sweep the two sets add instead of
+            // overlapping (stable within each half)
+            val (noReading, covered) =
+              remaining.partition { case (n, _) => !warmupTimes.contains(n) }
+            remaining = noReading ++ covered
+          }
+        }
+        if (pass == 1 && downLevel >= 0) {
+          // in-downshift re-projection: if even this scale's observed pace
+          // can't finish the tail, step down once more (evidence first —
+          // no decision before 5 samples at the current level)
+          if (downObs.size >= 5 && downLevel < downLadder.size - 1) {
+            val med = downObs.sorted.apply(downObs.size / 2)
+            if (med * (remaining.size + 1) >
+                math.max(0.0, budgetSec - reserveSec - elapsed())) {
+              downLevel += 1
+              downObs.clear()
+            }
+          }
+          val dir = downLadder(downLevel)
+          val q0 = System.nanoTime()
+          try { fn(spark, dir).count() } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - q0) / 1e9
+          bestDown.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+          if (!downDir.contains(name)) downDir(name) = dir
+          downObs += dt
+        } else {
+          val q0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - q0) / 1e9
+          best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+          nMeasured(name) += 1
+          pace.observe(name, dt) // keeps the recovery projection warm-informed
+        }
         // measured passes stop `reserveSec` short of the budget: the
         // reserve pays for the flag-retest pass below (isolated re-measures
         // of any currently-flagged floor-adjacent entries) + the final emit
@@ -434,8 +542,11 @@ object Bench {
           sampleProbes(); emit(pass, complete = false); lastEmit = elapsed()
         }
       }
-      lastComplete = !aborted
-      if (!aborted) fullPasses += 1
+      // a downshifted pass is full BREADTH but not a full measured-scale
+      // pass: complete/full_passes keep their cross-round meaning (minima
+      // rest on N complete measured-scale sweeps)
+      lastComplete = !aborted && !passDown
+      if (!aborted && !passDown) fullPasses += 1
       emit(pass, complete = lastComplete)
       lastEmit = elapsed()
     }

@@ -65,11 +65,17 @@ object BenchGate {
   /** Per-query baseline minima plus the calibration readings of the
     * captures that produced them. `calibSparkRef <= 0` disables
     * spark-seconds normalization; `calibMtRef <= 0` disables multi-thread
-    * spin normalization (each treated as hostFactor 1). */
+    * spin normalization (each treated as hostFactor 1). `mcalRef`/`ioRef`
+    * are the QUIET medians of the ~20 s probe timeline (micro-calib
+    * seconds; footer-read seconds) — not gate inputs, but carried in every
+    * bench line so a reader can normalize the emitted mcal/io stats
+    * without hunting for the quiet references in SURVEY §8. */
   final case class Baseline(
       mins: Map[String, Double],
       calibSparkRef: Double,
-      calibMtRef: Double = 0.0)
+      calibMtRef: Double = 0.0,
+      mcalRef: Double = 0.0,
+      ioRef: Double = 0.0)
 
   val resourcePath = "graft/bench-baseline.properties"
 
@@ -90,9 +96,11 @@ object BenchGate {
               case _ => None
             }
           }.toMap
-          Baseline(kv - "calib_spark_ref" - "calib_mt_ref",
+          Baseline(kv - "calib_spark_ref" - "calib_mt_ref" - "mcal_ref" - "io_ref",
             kv.getOrElse("calib_spark_ref", 0.0),
-            kv.getOrElse("calib_mt_ref", 0.0))
+            kv.getOrElse("calib_mt_ref", 0.0),
+            kv.getOrElse("mcal_ref", 0.0),
+            kv.getOrElse("io_ref", 0.0))
         } catch { case _: Throwable => Baseline(Map.empty, 0.0) }
         finally s.close()
     }
@@ -213,7 +221,13 @@ object BenchGate {
       headlineShare: Double = 0.4): Int = {
     if (pace.samples < 3) return 2
     val avail = budget - reserve - elapsed
-    val sweep = pace.project(unmeasuredRest)
+    // entries this pass will measure leave the sweep — projecting them in
+    // BOTH terms double-counts the work and degrades earlier than the
+    // budget requires (unmeasuredRest ⊇ remainingThisPass during pass 1).
+    // The target=0 fallback needs no projection: aborting hands the FULL
+    // unmeasured set to the sweep, which is the only remaining plan.
+    val restNames = remainingThisPass.toSet
+    val sweep = pace.project(unmeasuredRest.filterNot(restNames))
     val rest1 = pace.project(remainingThisPass)
     val pass2 = pace.project(headlineAll)
     if (rest1 + pass2 <= math.max(0.0, budget * headlineShare - phaseSpent) &&
@@ -221,6 +235,50 @@ object BenchGate {
     else if (rest1 + sweep <= avail) 1
     else 0
   }
+
+  /** MEASURED-SCALE DOWNSHIFT decision (round-16: the r15 breadth gap —
+    * a pace-aware fallback that only sheds headline passes still cannot
+    * fit 233 sf0.1 entries in a fixed budget under a 3-4× throttle; r15
+    * captured 138/233). True when the projected cost of sweeping the
+    * still-unmeasured entries at MEASURED scale exceeds the remaining
+    * budget: the caller then runs the tail at the next-smaller scale
+    * factor ([[downshiftLadder]]) — breadth at a labeled reduced scale
+    * beats an unlabeled hole. Conservative by construction: no decision
+    * before 3 pace samples. */
+  def shouldDownshift(
+      pace: Pace,
+      unmeasured: Seq[String],
+      elapsed: Double,
+      budget: Double,
+      reserve: Double): Boolean =
+    pace.samples >= 3 && unmeasured.nonEmpty &&
+      pace.project(unmeasured) > math.max(0.0, budget - reserve - elapsed)
+
+  private def sfValue(name: String): Option[Double] =
+    if (name.startsWith("sf")) name.stripPrefix("sf").toDoubleOption else None
+
+  /** Downshift ladder for a measured `sfDir`: SMALLER-scale sibling dirs,
+    * largest first (measuring sf0.1 → Seq(sf0.01, sf0.001)), so a
+    * downshifted tail runs at the closest scale the budget can afford and
+    * a still-worse window can step down again. Empty when the dir has no
+    * smaller sf-named sibling (measuring sf0.001 — nothing to shift to).
+    * `overrideDir`: "none" disables, any other value is a single-level
+    * ladder (test/dev hook). */
+  def downshiftLadder(sfDir: String, overrideDir: Option[String]): Seq[String] =
+    overrideDir match {
+      case Some("none") => Seq.empty
+      case Some(d) => Seq(d)
+      case None =>
+        val measured = new java.io.File(sfDir)
+        val mv = sfValue(measured.getName)
+        Option(measured.getParentFile).toSeq
+          .flatMap(p => Option(p.listFiles()).toSeq.flatten)
+          .filter(f => f.isDirectory && f.getAbsolutePath != measured.getAbsolutePath)
+          .flatMap(f => sfValue(f.getName)
+            .filter(v => mv.forall(_ > v)).map(v => (v, f.getAbsolutePath)))
+          .sortBy(-_._1)
+          .map(_._2)
+    }
 
   /** SELF-TRIAGING pass over the current flags: re-measure each flagged
     * query in ISOLATION (the caller runs this after the battery passes,

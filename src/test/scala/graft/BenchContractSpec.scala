@@ -63,12 +63,19 @@ class BenchContractSpec extends AnyFunSuite {
     val requiredKeys = Seq("value", "t", "n_queries", "pass", "complete",
       "full_passes", "headline_passes", "headline_target", "degraded",
       "warmup_n", "warmup_t",
+      "n_sf", "downshift_n", "downshift_total", "downshift",
       "regressions", "regressions_n", "cold_flags", "cold_flags_n",
       "mcal_n", "mcal_min", "mcal_med", "mcal_max",
-      "io_n", "io_min", "io_med", "io_max",
+      "io_n", "io_min", "io_med", "io_max", "mcal_ref", "io_ref",
       "calib_st_pre", "calib_mt_pre", "calib_st_post", "calib_mt_post",
       "calib_spark", "queries", "sf")
     requiredKeys.foreach(k => assert(last.contains(k), s"missing field $k"))
+    // measuring the SMALLEST scale: the downshift ladder is empty by
+    // construction (no smaller sibling), so every measurement is at the
+    // requested scale — n_queries and n_sf must agree and the downshift
+    // fields must read zero
+    assert(last("downshift_n") == BigInt(0), "downshift engaged at sf0.001")
+    assert(last("n_sf") == last("n_queries"))
     assert(last("n_queries").asInstanceOf[BigInt] >= 1, "no measurements recorded")
     assert(last("calib_spark").asInstanceOf[Double] > 0.0, "calib_spark not measured")
     // post-run probes fire even on a truncated run (the final re-emit)

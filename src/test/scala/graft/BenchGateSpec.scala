@@ -224,6 +224,62 @@ class BenchGateSpec extends AnyFunSuite {
     assert(t == 2)
   }
 
+  test("headline projection does not double-count entries the pass will measure") {
+    // mid-pass-1 shape: the 28 remaining headline entries are BOTH the
+    // pass remainder and part of the unmeasured set. At 4x pace with 10
+    // non-headline entries left: rest1 = 84 s, sweep-after-pass = 20 s —
+    // one pass + sweep fits 150 s of headroom, but the old double-counted
+    // projection (84 + 104) would have degraded to 0 and sacrificed
+    // warmth the budget could afford.
+    val t = BenchGate.headlineTarget(paceAt(4.0), remainingThisPass = hl.drop(4),
+      headlineAll = hl, unmeasuredRest = hl.drop(4) ++ rest.take(10),
+      elapsed = 185.0, budget = 360.0, reserve = 25.0, phaseSpent = 12.0)
+    assert(t == 1)
+  }
+
+  // ---- measured-scale downshift (round-16: the r15 breadth gap) ----
+
+  test("downshift fires exactly when the measured-scale sweep cannot fit") {
+    // 198 unmeasured at 0.5 s baseline, 4x pace = 396 s projected
+    assert(BenchGate.shouldDownshift(paceAt(4.0), rest,
+      elapsed = 100.0, budget = 360.0, reserve = 25.0))
+    // quiet pace: 99 s fits easily — no downshift
+    assert(!BenchGate.shouldDownshift(paceAt(1.0), rest,
+      elapsed = 100.0, budget = 360.0, reserve = 25.0))
+    // no evidence (under 3 samples): never downshift
+    assert(!BenchGate.shouldDownshift(paceAt(50.0, n = 2), rest,
+      elapsed = 300.0, budget = 360.0, reserve = 25.0))
+    // nothing unmeasured: nothing to shift
+    assert(!BenchGate.shouldDownshift(paceAt(50.0), Seq.empty,
+      elapsed = 300.0, budget = 360.0, reserve = 25.0))
+  }
+
+  test("downshift ladder: smaller sf siblings only, largest first") {
+    val parent = java.nio.file.Files.createTempDirectory("graft-ds")
+    val s001 = java.nio.file.Files.createDirectory(parent.resolve("sf0.001"))
+    val s01 = java.nio.file.Files.createDirectory(parent.resolve("sf0.01"))
+    val s1 = java.nio.file.Files.createDirectory(parent.resolve("sf0.1"))
+    java.nio.file.Files.createDirectory(parent.resolve("notasf"))
+    assert(BenchGate.downshiftLadder(s1.toString, None) ==
+      Seq(s01.toString, s001.toString))
+    // measuring the middle scale: only the smaller sibling qualifies —
+    // a LARGER sibling must never be a "downshift"
+    assert(BenchGate.downshiftLadder(s01.toString, None) == Seq(s001.toString))
+    // measuring the smallest: nothing to shift to
+    assert(BenchGate.downshiftLadder(s001.toString, None).isEmpty)
+    // override hooks: explicit single level, and the disable sentinel
+    assert(BenchGate.downshiftLadder(s1.toString, Some("/elsewhere")) == Seq("/elsewhere"))
+    assert(BenchGate.downshiftLadder(s1.toString, Some("none")).isEmpty)
+  }
+
+  test("baseline resource carries the quiet probe references") {
+    val b = BenchGate.loadBaseline()
+    assert(b.mcalRef > 0.0, "mcal_ref missing from bench-baseline.properties")
+    assert(b.ioRef > 0.0, "io_ref missing from bench-baseline.properties")
+    // refs must never leak into the per-query minima map
+    assert(!b.mins.contains("mcal_ref") && !b.mins.contains("io_ref"))
+  }
+
   test("shipped baseline resource loads and covers the headline queries") {
     val b = BenchGate.loadBaseline()
     // the resource ships with the repo; a parse failure would yield empty
