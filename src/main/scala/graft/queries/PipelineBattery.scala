@@ -429,5 +429,83 @@ object PipelineBattery {
         .select($"lang", $"n_docs", $"avg_chars")
         .orderBy($"lang")
     },
+
+    // FOREIGN-log conformance, oracled end-to-end (round-16 item 5): the
+    // Delta log here is authored BY HAND, not by DeltaExport.export — a
+    // stand-in for an external writer, exercising protocol-legal shapes
+    // the engine's own exporter never produces: action order inside the
+    // first commit reversed (adds BEFORE protocol/metaData), a file
+    // removed in one version and RE-ADDED in a later one, and adds split
+    // across three commits. The reader must reconcile per-version replay
+    // to exactly the full live set; the oracle recomputes the expected
+    // aggregate from the raw documents table, so any mis-resolved file
+    // (dropped, doubled, or stale) breaks the hash.
+    sql("q_delta_foreign",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"n_chars", $"lang")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val t = s"${sys.props("java.io.tmpdir")}/graft-deltaforeign-$key/t"
+      // the fixture IS the input: rebuild deterministically every run
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(t))
+      docs.repartition($"lang").write.partitionBy("lang").parquet(t)
+      // enumerate the hive-laid-out data files (bounded: one per lang)
+      val leafs = new java.io.File(t).listFiles().filter(_.getName.startsWith("lang="))
+        .sortBy(_.getName).toSeq.flatMap { dir =>
+          dir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .map(pf => (s"${dir.getName}/${pf.getName}",
+              dir.getName.stripPrefix("lang="), pf.length(), pf.lastModified()))
+        }
+      require(leafs.size >= 2, s"foreign fixture needs >= 2 files, got ${leafs.size}")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def add(fi: (String, String, Long, Long)): String = {
+        val n = mapper.createObjectNode()
+        val a = n.putObject("add")
+        a.put("path", fi._1) // plain lang values: percent-encoding is identity
+        a.putObject("partitionValues").put("lang", fi._2)
+        a.put("size", fi._3)
+        a.put("modificationTime", fi._4)
+        a.put("dataChange", true)
+        mapper.writeValueAsString(n)
+      }
+      def remove(path: String): String =
+        s"""{"remove":{"path":"$path","deletionTimestamp":1,"dataChange":true}}"""
+      val metaN = mapper.createObjectNode()
+      val m = metaN.putObject("metaData")
+      m.put("id", "graft-foreign-fixture")
+      m.putObject("format").put("provider", "parquet").putObject("options")
+      m.put("schemaString", docs.schema.json)
+      m.putArray("partitionColumns").add("lang")
+      m.putObject("configuration")
+      m.put("createdTime", 1L)
+      val logDir = new java.io.File(s"$t/_delta_log")
+      logDir.mkdirs()
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        java.nio.file.Files.write(logDir.toPath.resolve(f"$v%020d.json"),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8")); ()
+      }
+      val (firstHalf, secondHalf) = leafs.splitAt(leafs.size / 2)
+      // v0: adds FIRST, protocol and metaData after — legal, never exported
+      commit(0L, firstHalf.map(add) ++ Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        mapper.writeValueAsString(metaN)))
+      // v1: drop the first file, add the second half
+      commit(1L, remove(firstHalf.head._1) +: secondHalf.map(add))
+      // v2: re-add the dropped file — final live set = every file
+      commit(2L, Seq(add(firstHalf.head)))
+      graft.sinks.DeltaExport.read(s, t)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg($"n_chars"), 2).as("avg_chars"))
+        .orderBy($"lang")
+    },
   )
 }

@@ -35,7 +35,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scope (documented, deliberate): protocol v1 — single-part checkpoints,
   * no deletion vectors, no column mapping. An exported log always
-  * satisfies that floor (protocol minReaderVersion=1).
+  * satisfies that floor (protocol minReaderVersion=1). A FOREIGN log
+  * beyond the floor fails LOUDLY, never silently misreads: a protocol
+  * action with minReaderVersion > 1, or a table whose state resolves only
+  * through a multi-part checkpoint, throws UnsupportedOperationException
+  * naming the unsupported feature. Add/remove paths are percent-encoded
+  * on write and URI-decoded ('+' literal) on read, per the spec.
   */
 object DeltaExport {
 
@@ -74,18 +79,21 @@ object DeltaExport {
     // manifest resolution the engine reads with (inputFiles resolves from
     // the manifest, not a listing)
     val root = f.makeQualified(new Path(table)).toString.stripSuffix("/")
-    val files = current.inputFiles.toSeq.sorted.map { uri =>
+    val uris = current.inputFiles.toSeq.sorted
+    val statByPath = statLiveFiles(f, uris)
+    val files = uris.map { uri =>
       val qualified = f.makeQualified(new Path(new java.net.URI(uri))).toString
       require(qualified.startsWith(root + "/"),
         s"data file $qualified outside table root $root")
       val rel = qualified.stripPrefix(root + "/")
-      val st = f.getFileStatus(new Path(new java.net.URI(uri)))
+      val st = statByPath.getOrElse(qualified,
+        f.getFileStatus(new Path(new java.net.URI(uri))))
       // partition values parse from the path's k=v segments (the commit
-      // dirs are hive-layout for partitioned tables)
+      // dirs are hive-layout for partitioned tables; hive %XX unescape,
+      // '+' literal)
       val pv = rel.split('/').filter(_.contains('=')).map { kv =>
         val i = kv.indexOf('=')
-        kv.substring(0, i) -> java.net.URLDecoder.decode(
-          kv.substring(i + 1), java.nio.charset.StandardCharsets.UTF_8)
+        kv.substring(0, i) -> Snapshots.percentDecode(kv.substring(i + 1))
       }.toMap
       (rel, st.getLen, st.getModificationTime, pv)
     }
@@ -132,7 +140,7 @@ object DeltaExport {
     priorLive.diff(currentSet).toSeq.sorted.foreach { gone =>
       val rmW = mapper.createObjectNode()
       val rm = rmW.putObject("remove")
-      rm.put("path", gone)
+      rm.put("path", encodePath(gone))
       rm.put("deletionTimestamp", nowMs)
       rm.put("dataChange", true)
       line(mapper.writeValueAsString(rmW))
@@ -141,7 +149,7 @@ object DeltaExport {
       case (rel, len, mtime, pv) =>
         val addW = mapper.createObjectNode()
         val add = addW.putObject("add")
-        add.put("path", rel) // spec: URL-encoded relative path; ours are plain
+        add.put("path", encodePath(rel)) // spec: percent-encoded relative path
         val pvo = add.putObject("partitionValues")
         pv.toSeq.sortBy(_._1).foreach { case (k, vv) => pvo.put(k, vv) }
         add.put("size", len)
@@ -166,6 +174,20 @@ object DeltaExport {
       writeCheckpoint(spark, f, table, v, schemaJson, partCols, files)
     v
   }
+
+  /** size/mtime for the live files via ONE listStatus per leaf directory,
+    * not a getFileStatus per file: at millions of files the per-file form
+    * is millions of sequential metadata RPCs on an object store — the
+    * exact disease [[Snapshots.versionAsOf]] documents avoiding. O(leaf
+    * dirs) calls, keyed by qualified path (spec-pinned via a counting
+    * FileSystem in DeltaExportSpec). */
+  private[sinks] def statLiveFiles(
+      f: FileSystem,
+      uris: Seq[String]): Map[String, org.apache.hadoop.fs.FileStatus] =
+    uris.map(u => new Path(new java.net.URI(u)).getParent).distinct
+      .flatMap(dir => f.listStatus(dir).filter(_.isFile)
+        .map(st => f.makeQualified(st.getPath).toString -> st))
+      .toMap
 
   private def checkpointPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.checkpoint.parquet")
@@ -208,9 +230,15 @@ object DeltaExport {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType))))))
     // table identity comes from the log's own metaData action (written at
-    // v0) — a checkpoint must not mint a new table id
+    // v0) — a checkpoint must not mint a new table id. On a log whose
+    // metaData-bearing JSON commit was vacuumed (checkpoint + tail only),
+    // the newest prior checkpoint carries the id; minting a fresh UUID
+    // there would change table identity mid-log (round-15 advice).
     val tableId = metaNodeIn(f, table, listDeltaVersions(f, table))
-      .map(_.get("id").asText()).getOrElse(java.util.UUID.randomUUID().toString)
+      .map(_.get("id").asText())
+      .orElse(checkpointAtOrBelow(f, table, v - 1)
+        .flatMap(c => readCheckpoint(spark, table, c)._2.map(_._1)))
+      .getOrElse(java.util.UUID.randomUUID().toString)
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row(Row(1, 2), null, null))
     rows.add(Row(null,
@@ -218,7 +246,7 @@ object DeltaExport {
         partCols, Map.empty[String, String], System.currentTimeMillis()),
       null))
     files.foreach { case (rel, len, mtime, pv) =>
-      rows.add(Row(null, null, Row(rel, pv, len, mtime, true)))
+      rows.add(Row(null, null, Row(encodePath(rel), pv, len, mtime, true)))
     }
     val tmpDir = new Path(logDir(table), f".ckpt-$v%020d-tmp")
     try {
@@ -250,17 +278,24 @@ object DeltaExport {
         n.stripSuffix(".checkpoint.parquet").toLong }
       .sorted
 
-  /** Live (path → partitionValues) plus metaData from a checkpoint file. */
+  /** Live (path → partitionValues) plus metaData (id, schema, partCols)
+    * from a checkpoint file. Rejects reader requirements beyond v1 loudly
+    * — silently misreading a deletion-vector/column-mapping table would
+    * return wrong rows, not an error. */
   private def readCheckpoint(
       spark: SparkSession,
       table: String,
       v: Long): (scala.collection.mutable.LinkedHashMap[String, Map[String, String]],
-      Option[(String, Seq[String])]) = {
+      Option[(String, String, Seq[String])]) = {
     val df = spark.read.parquet(checkpointPath(table, v).toString)
     val cols = df.columns.toSet
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
-    var meta: Option[(String, Seq[String])] = None
+    var meta: Option[(String, String, Seq[String])] = None
     df.collect().foreach { row =>
+      if (cols("protocol") && !row.isNullAt(row.fieldIndex("protocol"))) {
+        val p = row.getStruct(row.fieldIndex("protocol"))
+        requireReaderV1(p.getAs[Number]("minReaderVersion").intValue(), table)
+      }
       if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
         val a = row.getStruct(row.fieldIndex("add"))
         val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
@@ -273,11 +308,21 @@ object DeltaExport {
         val m = row.getStruct(row.fieldIndex("metaData"))
         val pc = Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
           .map(_.toSeq).getOrElse(Seq.empty[String])
-        meta = Some((m.getAs[String]("schemaString"), pc))
+        meta = Some((m.getAs[String]("id"), m.getAs[String]("schemaString"), pc))
       }
     }
     (live, meta)
   }
+
+  /** The v1-scope gate: a table whose protocol demands a newer reader
+    * (deletion vectors, column mapping, v2 checkpoints ride
+    * minReaderVersion >= 2/3) must FAIL, not silently misread. */
+  private def requireReaderV1(minReaderVersion: Int, table: String): Unit =
+    if (minReaderVersion > 1)
+      throw new UnsupportedOperationException(
+        s"$table requires Delta minReaderVersion=$minReaderVersion; this reader " +
+          "implements protocol v1 only (no deletion vectors, column mapping, " +
+          "or v2 checkpoints) — see DeltaExport scope note")
 
   /** Newest checkpoint at or below `upTo`: `_last_checkpoint` when it
     * qualifies (the protocol's fast path), else the directory listing
@@ -291,12 +336,31 @@ object DeltaExport {
           val in = f.open(p)
           val body = try org.apache.commons.io.IOUtils.toString(
             in, java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          val v = mapper.readTree(body).get("version").asLong
-          if (v <= upTo && f.exists(checkpointPath(table, v))) Some(v) else None
+          val node = mapper.readTree(body)
+          val v = node.get("version").asLong
+          // a pointer declaring a MULTI-PART checkpoint names files this
+          // reader cannot assemble — skip the fast path (the listing below
+          // finds single-part candidates; read() fails loudly if none
+          // resolve the requested version)
+          val multiPart = Option(node.get("parts")).exists(_.asLong > 1)
+          if (!multiPart && v <= upTo && f.exists(checkpointPath(table, v))) Some(v)
+          else None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     fromPointer.orElse(listCheckpointVersions(f, table).filter(_ <= upTo).lastOption)
   }
+
+  /** Versions present only as MULTI-PART checkpoint files
+    * (`NNN.checkpoint.0000000001.0000000002.parquet`) — out of v1 scope;
+    * their presence turns an unresolvable read into a LOUD
+    * unsupported-feature error instead of a generic missing-commits one. */
+  private def listMultipartVersions(f: FileSystem, table: String): Seq[Long] =
+    if (!f.exists(logDir(table))) Seq.empty
+    else f.listStatus(logDir(table)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet") =>
+        n.take(20).toLong }
+      .distinct.sorted
 
   private def listDeltaVersions(f: FileSystem, table: String): Seq[Long] =
     if (!f.exists(logDir(table))) Seq.empty
@@ -336,21 +400,12 @@ object DeltaExport {
           val pc = Seq.newBuilder[String]
           m.get("partitionColumns").forEach(c => pc += c.asText())
           meta = Some((m.get("schemaString").asText(), pc.result()))
+        } else if (node.has("protocol")) {
+          requireReaderV1(node.get("protocol").get("minReaderVersion").asInt, table)
         }
       }
     }
     meta
-  }
-
-  /** Pure-JSON live set (export reconciles its own log, which retains
-    * every JSON commit it wrote). */
-  private def liveAdds(
-      f: FileSystem,
-      table: String,
-      versions: Seq[Long]): Seq[(String, Map[String, String])] = {
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
-    replayJson(f, table, versions, live)
-    live.toSeq
   }
 
   /** Last metaData ACTION NODE across `versions` (table id for checkpoint
@@ -370,8 +425,21 @@ object DeltaExport {
     found
   }
 
-  private def decodePath(p: String): String =
-    java.net.URLDecoder.decode(p, java.nio.charset.StandardCharsets.UTF_8)
+  /** Percent-ENCODE a relative path for an add/remove action (the
+    * protocol: paths are RFC 2396 percent-encoded). Per segment via the
+    * URI constructor ('/' is legal in a URI path; '%' is ALWAYS quoted by
+    * it), so a hive-escaped partition dir like `tag=a%3Ab` serializes as
+    * `tag=a%253Ab` and [[decodePath]] is its exact inverse — the
+    * asymmetry the round-15 advice flagged: writing raw while reading
+    * decoded made any escaped char (or a literal '+', which URLDecoder
+    * mangles to a space) break the reader's path resolution AND the
+    * republish reconciliation's prior-vs-current set compare. */
+  private[sinks] def encodePath(rel: String): String =
+    new java.net.URI(null, null, "/" + rel, null).getRawPath.stripPrefix("/")
+
+  /** URI-style percent-DECODE ('+' literal, malformed escapes verbatim) —
+    * the shared hive/protocol decoder. */
+  private[sinks] def decodePath(p: String): String = Snapshots.percentDecode(p)
 
   /** Scan a Delta table (log-resolved, no directory listing). The latest
     * version by default; any version whose JSON commits are retained
@@ -386,7 +454,8 @@ object DeltaExport {
     val f = fs(spark, table)
     val jsonVs = listDeltaVersions(f, table)
     val ckptVs = listCheckpointVersions(f, table)
-    val resolvable = (jsonVs ++ ckptVs).distinct.sorted
+    val multiVs = listMultipartVersions(f, table)
+    val resolvable = (jsonVs ++ ckptVs ++ multiVs).distinct.sorted
     require(resolvable.nonEmpty, s"no _delta_log at $table")
     val upTo = version.getOrElse(resolvable.last)
     require(resolvable.contains(upTo), s"delta version $upTo not in $resolvable")
@@ -398,14 +467,24 @@ object DeltaExport {
       case Some(c) => readCheckpoint(spark, table, c)
       case None =>
         (scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]],
-          Option.empty[(String, Seq[String])])
+          Option.empty[(String, String, Seq[String])])
     }
     val tail = jsonVs.filter(v => v <= upTo && ckpt.forall(c => v > c))
-    require(ckpt.isDefined || tail.headOption.contains(0L),
-      s"cannot resolve $table v$upTo: no checkpoint at or below it and the " +
-        "JSON chain does not start at version 0 (commits vacuumed)")
+    if (!(ckpt.isDefined || tail.headOption.contains(0L))) {
+      // distinguish "commits vacuumed" from "the state lives in a
+      // checkpoint format we don't read" — the latter must name the
+      // unsupported feature, not claim the log is broken
+      if (multiVs.exists(_ <= upTo))
+        throw new UnsupportedOperationException(
+          s"$table v$upTo resolves only through a MULTI-PART checkpoint " +
+            s"(v${multiVs.filter(_ <= upTo).max}); this reader implements " +
+            "protocol v1 single-part checkpoints only — see DeltaExport scope note")
+      require(requirement = false,
+        s"cannot resolve $table v$upTo: no checkpoint at or below it and the " +
+          "JSON chain does not start at version 0 (commits vacuumed)")
+    }
     val tailMeta = replayJson(f, table, tail, liveMap)
-    val (schemaJson, partCols) = tailMeta.orElse(ckptMeta)
+    val (schemaJson, partCols) = tailMeta.orElse(ckptMeta.map(m => (m._2, m._3)))
       .getOrElse(throw new IllegalStateException(s"no metaData action in $table log"))
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]

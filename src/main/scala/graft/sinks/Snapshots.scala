@@ -146,6 +146,26 @@ object Snapshots {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        // file:// mounts WITHOUT hard-link support (overlay/network
+        // filesystems): link(2) throws UnsupportedOperation or a generic
+        // FileSystemException (EAlreadyExists was caught above). Degrade
+        // to check-then-ATOMIC_MOVE: a narrower arbiter (a racing writer
+        // can slip between the check and the move) but a commit succeeds
+        // instead of every publish hard-failing — and on such mounts
+        // rename-based table formats share exactly this window.
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          if (java.nio.file.Files.exists(d)) false
+          else
+            try {
+              java.nio.file.Files.move(t, d,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              // NIO move bypasses Hadoop, so drop tmp's .crc shadow by hand
+              try f.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
+              catch { case _: java.io.IOException => () }
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
       }
     } else f.rename(tmp, dst)
 
@@ -377,13 +397,37 @@ object Snapshots {
     readManifest(f, table, version.getOrElse(vs.last)).partitions.keys.toSeq.sorted
   }
 
+  /** Hive/URI-style percent-DECODE: `%XX` byte runs decode as UTF-8, '+'
+    * stays LITERAL, malformed escapes pass through verbatim. URLDecoder is
+    * the WRONG tool for path segments on both counts: it maps '+' to a
+    * space (hive never escapes '+', so `dt=a+b` names a real directory
+    * whose value contains a plus) and throws on a stray '%'. Shared with
+    * [[DeltaExport]], whose protocol paths use the same encoding. */
+  private[sinks] def percentDecode(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = if (bytes.size > 0) {
+      out.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try { bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
+        catch { case _: NumberFormatException => flush(); out.append(c); i += 1 }
+      } else { flush(); out.append(c); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
   /** `"dt=2025-01-01/hour=03"` → `Map("dt" -> "2025-01-01", "hour" -> "03")`
-    * (hive %-escaping decoded). */
+    * (hive %-escaping decoded; '+' literal). */
   def parseSpec(spec: String): Map[String, String] =
     spec.split('/').map { kv =>
       val i = kv.indexOf('=')
-      kv.substring(0, i) ->
-        java.net.URLDecoder.decode(kv.substring(i + 1), java.nio.charset.StandardCharsets.UTF_8)
+      kv.substring(0, i) -> percentDecode(kv.substring(i + 1))
     }.toMap
 
   /** Read a snapshot: the latest version by default, or any retained one.

@@ -127,4 +127,208 @@ class DeltaExportSpec extends SparkSpec {
     val none = DeltaExport.read(spark, t, partitionFilter = _ => false)
     assert(none.columns.toSeq == Seq("id", "s") && none.isEmpty)
   }
+
+  // ---- round-16: path encoding symmetry + foreign-log conformance ----
+
+  test("escaped partition values round-trip: percent-encoded paths, '+' literal, republish reconciles") {
+    val t = tmp()
+    // 'a:1' hive-escapes to a%3A1 on disk; 'b+2' keeps its literal '+';
+    // 'c d' keeps its literal space — three distinct encoding hazards
+    Snapshots.commitPartitioned(
+      Seq(("a:1", 1), ("b+2", 2), ("c d", 3)).toDF("g", "k"), t, Seq("g"))
+    DeltaExport.export(spark, t)
+    val v0 = scala.io.Source.fromFile(
+      new java.io.File(s"$t/_delta_log/00000000000000000000.json")).mkString
+    // the on-disk '%' of the hive escape is itself percent-encoded in the
+    // action path (spec: paths are RFC 2396 encoded); '+' stays literal
+    assert(v0.contains("g%3Da%253A1") || v0.contains("g=a%253A1"),
+      s"hive-escaped dir must be protocol-encoded in add.path:\n$v0")
+    assert(!v0.contains("a%3A1/") || v0.contains("%253A"),
+      "raw hive escape leaked into add.path un-encoded")
+    val back = DeltaExport.read(spark, t)
+      .select($"g", $"k").as[(String, Int)].collect().toSet
+    assert(back == Set(("a:1", 1), ("b+2", 2), ("c d", 3)))
+    // republish after overwriting ONE escaped partition: priorLive and the
+    // current set must compare in the same (decoded) key space, so the
+    // stale file is removed and the reader never double-counts
+    Snapshots.commitPartitioned(Seq(("a:1", 10)).toDF("g", "k"), t, Seq("g"),
+      SaveMode.Overwrite)
+    DeltaExport.export(spark, t)
+    val v1 = scala.io.Source.fromFile(
+      new java.io.File(s"$t/_delta_log/00000000000000000001.json")).mkString
+    assert(v1.contains("\"remove\""), "stale escaped-path file must be removed")
+    val cur = DeltaExport.read(spark, t)
+      .select($"g", $"k").as[(String, Int)].collect().toSet
+    assert(cur == Set(("a:1", 10), ("b+2", 2), ("c d", 3)))
+  }
+
+  /** Hand-author one commit file (foreign writer stand-in). */
+  private def writeCommit(table: String, v: Long, lines: Seq[String]): Unit = {
+    val dir = new java.io.File(s"$table/_delta_log")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      dir.toPath.resolve(f"$v%020d.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    ()
+  }
+
+  private def schemaJson(fields: (String, String)*): String =
+    fields.map { case (n, t) =>
+      s"""{"name":"$n","type":"$t","nullable":true,"metadata":{}}"""
+    }.mkString("""{"type":"struct","fields":[""", ",", "]}")
+
+  test("foreign log: out-of-order actions, remove-before-re-add across versions, encoded paths") {
+    val t = tmp()
+    new java.io.File(t).mkdirs()
+    // two data files a foreign writer could have laid out, one under a
+    // hive-escaped partition dir (value 'x:1' → dir g=x%3A1)
+    Seq((1, "p")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$t/g=x%3A1/f1")
+    Seq((2, "q")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$t/g=y/f2")
+    def partFile(dir: String): String = {
+      val d = new java.io.File(s"$t/$dir")
+      dir + "/" + d.listFiles().find(_.getName.endsWith(".parquet")).get.getName
+    }
+    val (f1, f2) = (partFile("g=x%3A1/f1"), partFile("g=y/f2"))
+    val enc1 = f1.replace("%", "%25") // protocol encoding of the hive '%'
+    val meta = s"""{"metaData":{"id":"fixture-0001","format":{"provider":"parquet","options":{}},"schemaString":${
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(schemaJson("k" -> "integer", "v" -> "string", "g" -> "string"))
+    },"partitionColumns":["g"],"configuration":{},"createdTime":1}}"""
+    // v0: add BEFORE protocol/metaData — unusual but protocol-legal order
+    writeCommit(t, 0L, Seq(
+      s"""{"add":{"path":"$enc1","partitionValues":{"g":"x:1"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta))
+    assert(DeltaExport.read(spark, t).select($"k").as[Int].collect().toSet == Set(1))
+    // v1: remove f1, add f2 — f1 must drop out
+    writeCommit(t, 1L, Seq(
+      s"""{"remove":{"path":"$enc1","deletionTimestamp":2,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"g":"y"},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    assert(DeltaExport.read(spark, t).select($"k").as[Int].collect().toSet == Set(2))
+    // v2: RE-ADD f1 (remove in an earlier version, add in a later one) —
+    // reconciliation is per-version replay, not a global remove-wins
+    writeCommit(t, 2L, Seq(
+      s"""{"add":{"path":"$enc1","partitionValues":{"g":"x:1"},"size":1,"modificationTime":3,"dataChange":true}}"""))
+    val fin = DeltaExport.read(spark, t)
+    assert(fin.select($"k").as[Int].collect().toSet == Set(1, 2))
+    // partition values come from the LOG (decoded), not re-parsed paths
+    assert(fin.select($"g").as[String].collect().toSet == Set("x:1", "y"))
+    // time travel still resolves the intermediate state
+    assert(DeltaExport.read(spark, t, Some(1L))
+      .select($"k").as[Int].collect().toSet == Set(2))
+  }
+
+  test("foreign log demanding a newer reader fails LOUDLY, never misreads") {
+    val t = tmp()
+    new java.io.File(t).mkdirs()
+    writeCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"fixture-0002","format":{"provider":"parquet","options":{}},"schemaString":"x","partitionColumns":[],"configuration":{},"createdTime":1}}"""))
+    val e = intercept[UnsupportedOperationException] { DeltaExport.read(spark, t) }
+    assert(e.getMessage.contains("minReaderVersion=3"))
+  }
+
+  test("state resolvable only through a multi-part checkpoint fails LOUDLY as unsupported") {
+    val t = tmp()
+    val log = new java.io.File(s"$t/_delta_log")
+    log.mkdirs()
+    // vacuumed table: versions 0-5 gone, state lives in a 2-part checkpoint
+    // at v5 (a format this reader does not assemble) + a JSON tail at v6
+    for (part <- Seq("0000000001.0000000002", "0000000002.0000000002"))
+      java.nio.file.Files.write(
+        log.toPath.resolve(f"${5L}%020d.checkpoint.$part.parquet"), Array[Byte]())
+    java.nio.file.Files.write(log.toPath.resolve("_last_checkpoint"),
+      """{"version":5,"size":9,"parts":2}""".getBytes("UTF-8"))
+    writeCommit(t, 6L, Seq(
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[UnsupportedOperationException] { DeltaExport.read(spark, t) }
+    assert(e.getMessage.toLowerCase.contains("multi-part"))
+  }
+
+  test("checkpoint id survives vacuuming the metaData-bearing commit (no identity change)") {
+    val t = tmp()
+    Snapshots.commitPartitioned(Seq(("a", 1)).toDF("g", "k"), t, Seq("g"))
+    DeltaExport.export(spark, t, checkpointInterval = 2) // v0: protocol+metaData
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val origId = scala.io.Source.fromFile(
+      new java.io.File(s"$t/_delta_log/00000000000000000000.json"))
+      .getLines().map(mapper.readTree).find(_.has("metaData"))
+      .get.get("metaData").get("id").asText
+    Snapshots.commitPartitioned(Seq(("a", 2)).toDF("g", "k"), t, Seq("g"),
+      SaveMode.Overwrite)
+    DeltaExport.export(spark, t, checkpointInterval = 2) // v1
+    Snapshots.commitPartitioned(Seq(("a", 3)).toDF("g", "k"), t, Seq("g"),
+      SaveMode.Overwrite)
+    DeltaExport.export(spark, t, checkpointInterval = 2) // v2 + checkpoint
+    // vacuum EVERY json commit (incl. the metaData-bearing v0)
+    for (v <- 0 to 2)
+      assert(new java.io.File(s"$t/_delta_log/" + f"$v%020d.json").delete())
+    Snapshots.commitPartitioned(Seq(("a", 4)).toDF("g", "k"), t, Seq("g"),
+      SaveMode.Overwrite)
+    DeltaExport.export(spark, t, checkpointInterval = 2) // v3: json only
+    Snapshots.commitPartitioned(Seq(("a", 5)).toDF("g", "k"), t, Seq("g"),
+      SaveMode.Overwrite)
+    DeltaExport.export(spark, t, checkpointInterval = 2) // v4 + checkpoint
+    // the v4 checkpoint's metaData.id must carry the ORIGINAL identity,
+    // resolved from the v2 checkpoint — not a freshly minted UUID
+    val ck = spark.read.parquet(s"$t/_delta_log/00000000000000000004.checkpoint.parquet")
+    val ids = ck.select($"metaData.id").na.drop().as[String].collect().toSet
+    assert(ids == Set(origId), s"table identity changed: $ids vs $origId")
+    assert(DeltaExport.read(spark, t).select($"k").as[Int].collect().toSet == Set(5))
+  }
+
+  test("export stats files with O(leaf dirs) metadata calls, not one RPC per file") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.cfs.impl", classOf[CountingFs].getName)
+    val t = "cfs://" + tmp()
+    // 40 files in ONE commit dir: the per-file getFileStatus shape would
+    // issue 40 metadata RPCs; the listStatus-per-dir shape issues exactly
+    // one list and ZERO per-file stats
+    Snapshots.commit(
+      spark.range(0, 4000).selectExpr("id", "id * 2 AS v").repartition(40), t)
+    val f = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(t), conf)
+    val uris = Snapshots.read(spark, t).inputFiles.toSeq
+    assert(uris.size == 40)
+    CountingFs.gets.set(0)
+    CountingFs.lists.set(0)
+    val stats = DeltaExport.statLiveFiles(f, uris)
+    assert(CountingFs.gets.get() == 0,
+      s"stat step issued ${CountingFs.gets.get()} per-file getFileStatus calls")
+    assert(CountingFs.lists.get() == 1, "one leaf dir → exactly one listStatus")
+    // and the batched stats actually cover every live file (no silent
+    // fallback to the per-file path inside export)
+    uris.foreach(u => assert(stats.contains(
+      f.makeQualified(new org.apache.hadoop.fs.Path(new java.net.URI(u))).toString)))
+    // end-to-end on the counting scheme: export + read still round-trip
+    DeltaExport.export(spark, t)
+    assert(DeltaExport.read(spark, t).count() == 4000)
+  }
+}
+
+/** Test-only counting FileSystem (scheme cfs://): local semantics, counts
+  * TOP-LEVEL metadata calls so the spec can pin export's O(dirs) stat
+  * discipline. RawLocalFileSystem.listStatus delegates to getFileStatus
+  * per child internally — an implementation detail of the LOCAL fs (an
+  * object store answers a list in one RPC), so nested calls are excluded
+  * from the count via the in-list flag. */
+class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "cfs"
+  override def getUri: java.net.URI = java.net.URI.create("cfs:///")
+  override def getFileStatus(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+    if (!CountingFs.inList.get()) CountingFs.gets.incrementAndGet()
+    super.getFileStatus(p)
+  }
+  override def listStatus(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingFs.lists.incrementAndGet()
+    CountingFs.inList.set(true)
+    try super.listStatus(p) finally CountingFs.inList.set(false)
+  }
+}
+
+object CountingFs {
+  val gets = new java.util.concurrent.atomic.AtomicInteger(0)
+  val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+  val inList = new ThreadLocal[Boolean] { override def initialValue(): Boolean = false }
 }
