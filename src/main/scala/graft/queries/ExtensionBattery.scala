@@ -402,6 +402,143 @@ object ExtensionBattery {
        |FROM fin ORDER BY id""".stripMargin
   }
 
+  // Mirrors IvfPq.train + encode + search END-TO-END on the integer-
+  // quantized vectors — the residual/ADC leg q_ivfpq_coarse_exact left
+  // engine-only (round-16 item 6): the coarse whole-vector Lloyd's chain
+  // verbatim, SAMPLE residuals against the final coarse centroids,
+  // per-subspace residual Lloyd's (m=2, k=4, iters=2 under PQ training's
+  // own rules: value-dedup first-occurrence seeds, strict-less argmin →
+  // lowest code, empty cluster keeps its old centroid), full-table
+  // residual encode, then the nprobe=2 probe + per-list ADC serve.
+  // Determinism beyond the coarse leg: coarse centroids are means of
+  // INTEGER vectors (exact sums, one exactly-rounded division), each
+  // residual component is ONE IEEE subtraction of those — identical
+  // doubles cross-engine; residual-codebook means fold in sample id order
+  // (list_reduce over list(... ORDER BY id) — the driver loop's operand
+  // order, which matters now that inputs are non-integer doubles);
+  // distances are ascending-index left folds of exact products; the ADC
+  // score has m=2 addends (IEEE addition is commutative — no fold
+  // pinning); adist rounds to 6 BEFORE ranking with ties to the smaller
+  // neighbor_id, exactly TopKAggregate's comparator.
+  private val ivfpqSearchExactOracleSql: String = {
+    val dims = 8
+    val sub = 4 // m = 2 subspaces over 8 dims
+    def fold8(term: String) =
+      s"list_reduce(list_transform(generate_series(1, $dims), i -> $term), (acc, x) -> acc + x)"
+    def fold4(term: String) =
+      s"list_reduce(list_transform(generate_series(1, $sub), i -> $term), (acc, x) -> acc + x)"
+    val cDistPC = fold8("(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])")
+    val cDistQC = fold8("(q.v[i] - c.c[i]) * (q.v[i] - c.c[i])")
+    def cAssign(name: String, rel: String, cent: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT id, v, cid FROM (
+         |    SELECT p.id, p.v, c.cid,
+         |      row_number() OVER (PARTITION BY p.id ORDER BY $cDistPC ASC, c.cid) AS rn
+         |    FROM $rel p CROSS JOIN $cent c)
+         |  WHERE rn = 1)""".stripMargin
+    // integer inputs → exact sums → plain avg is the engine's mean
+    def cMean(name: String, arel: String, prev: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT s.cid, coalesce(m.c, s.c) AS c
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT cid, list(mm ORDER BY pos) AS c FROM (
+         |      SELECT a.cid, t.i AS pos, avg(a.v[t.i]) AS mm
+         |      FROM $arel a CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) t
+         |      GROUP BY a.cid, t.i)
+         |    GROUP BY cid) m ON s.cid = m.cid)""".stripMargin
+    val rDistPC = fold4("(p.sv[i] - c.c[i]) * (p.sv[i] - c.c[i])")
+    val rDistQC = fold4("(q.sv[i] - c.c[i]) * (q.sv[i] - c.c[i])")
+    def rAssign(name: String, rel: String, cent: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT id, j, sv, cid FROM (
+         |    SELECT p.id, p.j, p.sv, c.cid,
+         |      row_number() OVER (PARTITION BY p.id, p.j ORDER BY $rDistPC ASC, c.cid) AS rn
+         |    FROM $rel p JOIN $cent c ON p.j = c.j)
+         |  WHERE rn = 1)""".stripMargin
+    // residual (double) inputs → the mean MUST fold in sample id order
+    def rMean(name: String, arel: String, prev: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT s.j, s.cid, coalesce(m.c, s.c) AS c
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT j, cid, list(mm ORDER BY pos) AS c FROM (
+         |      SELECT a.j, a.cid, t.i AS pos,
+         |        list_reduce(list(a.sv[t.i] ORDER BY a.id), (acc, x) -> acc + x) / count(*) AS mm
+         |      FROM $arel a CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) t
+         |      GROUP BY a.j, a.cid, t.i)
+         |    GROUP BY j, cid) m ON s.j = m.j AND s.cid = m.cid)""".stripMargin
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding[1:$dims],
+       |      x -> floor(CAST(x AS DOUBLE) * 8.0::DOUBLE + 0.5::DOUBLE)) AS v
+       |  FROM embeddings),
+       |sids AS (SELECT id FROM pts ORDER BY id LIMIT 4096),
+       |csamp AS (SELECT p.id, p.v FROM pts p JOIN sids USING (id)),
+       |cseed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY fid) - 1 AS INTEGER) AS cid, v AS c
+       |  FROM (SELECT v, min(id) AS fid FROM csamp GROUP BY v)
+       |  QUALIFY row_number() OVER (ORDER BY fid) <= 4),
+       |${cAssign("ca1", "csamp", "cseed")},
+       |${cMean("cc1", "ca1", "cseed")},
+       |${cAssign("ca2", "csamp", "cc1")},
+       |${cMean("cc2", "ca2", "cc1")},
+       |${cAssign("casgn", "pts", "cc2")},
+       |pres AS MATERIALIZED (
+       |  SELECT a.id, a.cid AS ccid,
+       |    list_transform(generate_series(1, $dims), i -> a.v[i] - c.c[i]) AS rv
+       |  FROM casgn a JOIN cc2 c ON a.cid = c.cid),
+       |rs AS (SELECT p.id, p.rv FROM pres p JOIN sids USING (id)),
+       |rspts AS (
+       |  SELECT id, 0 AS j, rv[1:$sub] AS sv FROM rs
+       |  UNION ALL SELECT id, 1 AS j, rv[${sub + 1}:$dims] AS sv FROM rs),
+       |rseed AS (
+       |  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY fid) - 1 AS INTEGER) AS cid,
+       |    sv AS c
+       |  FROM (SELECT j, sv, min(id) AS fid FROM rspts GROUP BY j, sv)
+       |  QUALIFY row_number() OVER (PARTITION BY j ORDER BY fid) <= 4),
+       |${rAssign("ra1", "rspts", "rseed")},
+       |${rMean("rc1", "ra1", "rseed")},
+       |${rAssign("ra2", "rspts", "rc1")},
+       |${rMean("rc2", "ra2", "rc1")},
+       |pspts AS (
+       |  SELECT id, ccid, 0 AS j, rv[1:$sub] AS sv FROM pres
+       |  UNION ALL SELECT id, ccid, 1 AS j, rv[${sub + 1}:$dims] AS sv FROM pres),
+       |enc AS MATERIALIZED (
+       |  SELECT id, ccid, j, cid AS code FROM (
+       |    SELECT p.id, p.ccid, p.j, c.cid,
+       |      row_number() OVER (PARTITION BY p.id, p.j ORDER BY $rDistPC ASC, c.cid) AS rn
+       |    FROM pspts p JOIN rc2 c ON p.j = c.j)
+       |  WHERE rn = 1),
+       |q AS (SELECT id, v FROM pts WHERE id < 10),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, qv, pcid FROM (
+       |    SELECT q.id AS query_id, q.v AS qv, c.cid AS pcid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY $cDistQC ASC, c.cid) AS rn
+       |    FROM q CROSS JOIN cc2 c)
+       |  WHERE rn <= 2),
+       |qspts AS (
+       |  SELECT query_id, pcid, j, CASE WHEN j = 0 THEN qrv[1:$sub] ELSE qrv[${sub + 1}:$dims] END AS sv
+       |  FROM (
+       |    SELECT p.query_id, p.pcid,
+       |      list_transform(generate_series(1, $dims), i -> p.qv[i] - c.c[i]) AS qrv
+       |    FROM probes p JOIN cc2 c ON p.pcid = c.cid)
+       |  CROSS JOIN (SELECT unnest([0, 1]) AS j)),
+       |tbl AS MATERIALIZED (
+       |  SELECT q.query_id, q.pcid, c.j, c.cid, $rDistQC AS dist
+       |  FROM qspts q JOIN rc2 c ON q.j = c.j),
+       |cand AS (
+       |  SELECT t.query_id, e.id AS neighbor_id, round(sum(t.dist), 6) AS adist
+       |  FROM enc e JOIN tbl t ON t.pcid = e.ccid AND t.j = e.j AND t.cid = e.code
+       |  WHERE t.query_id <> e.id
+       |  GROUP BY t.query_id, e.id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id) AS INTEGER) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, adist, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // Mirrors Opq.permutationModel + Opq.encode end-to-end: two-pass per-dim
   // mean/variance over the ordered sample (id-order list folds — the
   // engine's sample-order loops), the greedy eigenvalue allocator run on
@@ -2529,6 +2666,24 @@ object ExtensionBattery {
       graft.ext.IvfPq.encode(pts, model)
         .select($"id", $"cluster_id".cast("int").as("cluster_id"))
         .orderBy($"id")
+    },
+
+    // IVF+PQ RESIDUAL + ADC LEG, FULLY ORACLED (round-16 item 6 — the last
+    // engine-only half of the composed index): same fixed-point geometry
+    // as the coarse oracle, now through residual codebook training, the
+    // full-table residual encode, and the nprobe-pruned per-list ADC
+    // serve. With this every tier of the production q_ivfpq_topk shape
+    // (route → residual-encode → ADC-rank) is hash-checked cross-engine
+    // at fixed point; only the float-embedding twin stays rows-only. See
+    // ivfpqSearchExactOracleSql for the determinism argument.
+    sql("q_ivfpq_search_exact", ivfpqSearchExactOracleSql) { (s, d) =>
+      import s.implicits._
+      val pts = intQuantizedVecs(s, d)
+      val model = graft.ext.IvfPq.train(pts, nlist = 4, m = 2, k = 4,
+        sampleN = 4096, iters = 2)
+      graft.ext.IvfPq.search(pts.filter($"id" < 10),
+          graft.ext.IvfPq.encode(pts, model), model, topK = 5, nprobe = 2)
+        .orderBy($"query_id", $"rank")
     },
 
     // OPQ's ALLOCATION + ROTATION-APPLY + CODING, FULLY ORACLED (round-15):
