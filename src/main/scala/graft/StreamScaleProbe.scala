@@ -10,12 +10,19 @@ import org.apache.spark.sql.functions._
   * batch cost tracks corpus size re-reads its state per batch and becomes
   * the bottleneck long before 100 TB; a bounded gate's curve is flat.
   *
-  * Usage: StreamScaleProbe <sfDir> <nBatches> <rowsPerBatch> [gate] [knob]
-  *   gate = chunkstore (default) | semdedup | split | dupspan
+  * Usage: StreamScaleProbe <sfDir> <nBatches> <rowsPerBatch> [gate] [knob] [oob]
+  *   gate = chunkstore (default) | semdedup | split | dupspan | erase
   *   knob = compactEvery for chunkstore, split, and dupspan (default 0 =
-  *          off); gridBits for semdedup (default 8), then [compactEvery]
+  *          off); gridBits for semdedup (default 8), then [compactEvery];
+  *          eraseEvery for erase (erase a doc batch every K ingest batches)
+  *   oob  = literal "oob" as the last arg (chunkstore): run the compaction
+  *          OUT-OF-BAND via StreamingOps.startMaintenanceLoop instead of
+  *          in-band compactEvery — §9.6's in-band-vs-out-of-band column
   * Output: one `SBATCH` line per micro-batch on stderr —
-  *   `SBATCH gate=… b=<i> wall=<s> state_rows=<n>` — plus a `STOTAL` line.
+  *   `SBATCH gate=… b=<i> wall=<s> state_rows=<n>` — plus a `STOTAL` line
+  *   (with maintenance-loop compaction/race counters under oob); the erase
+  *   gate adds one `EBATCH b=<i> wall=<s> state_rows=<n> erased=<k>` line
+  *   per erase call, timing chunkStoreErase against the grown store.
   * Fixed batch size by design: the x-axis is accumulated state, nothing
   * else moves.
   */
@@ -42,14 +49,43 @@ object StreamScaleProbe {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+    var loop: Option[streaming.StreamingOps.MaintenanceLoop] = None
+    // erase-gate state: every `eraseEvery` ingest batches, erase a fixed
+    // slice of previously-ingested docs and time chunkStoreErase — the
+    // §9.6 erase curve (cost vs grown corpus)
+    var eraseFn: Option[Int => Unit] = None
+    var eraseEvery = 0
 
     val (q, stateRows: (() => Long)) = gate match {
-      case "chunkstore" =>
+      case "chunkstore" | "erase" =>
         val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
         val compactEvery = if (args.length > 4) args(4).toInt else 0
+        val oob = args.last == "oob"
         val query = streaming.StreamingOps.startChunkStoreIngest(
           mem.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt",
-          compactEvery = compactEvery, trigger = trigger)
+          compactEvery = if (oob) 0 else compactEvery, trigger = trigger)
+        if (oob)
+          loop = Some(streaming.StreamingOps.startMaintenanceLoop(
+            spark, Seq(chunkT, manT), intervalMs = 1000,
+            onCompact = streaming.StreamingOps
+              .chunkStoreMaintenanceRestamp(spark, chunkT)))
+        if (gate == "erase") {
+          eraseEvery = if (args.length > 4) args(4).toInt else 5
+          val stride = math.max(1, rowsPerBatch / 10) // erase 10% of one batch
+          eraseFn = Some { b =>
+            // erase a slice from the OLDEST still-live batch region so
+            // every erase does real work against the grown store
+            val base = docs(0)._1
+            val lo = base + ((b / math.max(1, eraseEvery)) - 1).toLong * stride
+            val ids = (lo until lo + stride).toSeq
+            val e0 = System.nanoTime()
+            streaming.StreamingOps.chunkStoreErase(spark, manT, chunkT, ids)
+            val wall = (System.nanoTime() - e0) / 1e9
+            val st = sinks.Snapshots.read(spark, chunkT).count()
+            System.err.println(
+              f"EBATCH b=$b%d wall=$wall%.2f state_rows=$st%d erased=${ids.size}%d")
+          }
+        }
         (query, () => sinks.Snapshots.read(spark, chunkT).count())
       case "semdedup" =>
         val outT = s"$dir/corpus"
@@ -95,9 +131,15 @@ object StreamScaleProbe {
         val wall = (System.nanoTime() - b0) / 1e9
         val st = stateRows()
         System.err.println(f"SBATCH gate=$gate b=$b%d wall=$wall%.2f state_rows=$st%d")
+        eraseFn.foreach(fn => if (eraseEvery > 0 && b > 0 && b % eraseEvery == 0) fn(b))
       }
-    } finally q.stop()
-    System.err.println(f"STOTAL gate=$gate batches=$nBatches%d rows_per_batch=$rowsPerBatch%d total=${(System.nanoTime() - t0) / 1e9}%.1f")
+    } finally {
+      q.stop()
+      loop.foreach(_.stop())
+    }
+    val loopStats = loop.map(l =>
+      f" oob_compactions=${l.compactions.get()}%d oob_races=${l.races.get()}%d oob_errors=${l.errors.get()}%d").getOrElse("")
+    System.err.println(f"STOTAL gate=$gate batches=$nBatches%d rows_per_batch=$rowsPerBatch%d total=${(System.nanoTime() - t0) / 1e9}%.1f$loopStats")
     spark.stop()
   }
 

@@ -169,6 +169,23 @@ object Snapshots {
       }
     } else f.rename(tmp, dst)
 
+  /** Re-derive-and-retry wrapper for the commit race: losing a version to
+    * a concurrent writer (an out-of-band [[compactFragmented]] loop racing
+    * an ingest gate — §9.5/§9.6) throws 'commit race' BEFORE anything is
+    * torn, so the correct reaction for an idempotent committer is to
+    * recompute against the NEW latest manifest and take the next version.
+    * The argument is BY NAME precisely so a retry re-runs the whole commit
+    * expression — the manifest re-resolves, filtered reads re-resolve, and
+    * the txn watermark still swallows true replays. Attempts exhausted →
+    * the last race rethrows (something is hammering the table; fail loud). */
+  def commitRetryingRaces(attempts: Int = 3)(commit: => Long): Long =
+    try commit
+    catch {
+      case e: java.io.IOException
+          if attempts > 1 && Option(e.getMessage).exists(_.contains("commit race")) =>
+        commitRetryingRaces(attempts - 1)(commit)
+    }
+
   /** Last committed transaction id for a streaming writer `appId`, from the
     * latest manifest (None if the table or the app has never committed).
     * The exactly-once gate: skip any batch with id <= this watermark. */
@@ -177,6 +194,24 @@ object Snapshots {
     vs.lastOption.flatMap(v => readManifest(fs(spark, table), table, v).txn.get(appId))
   }
 
+  /** Throws the classified 'commit race' when a rewrite's resolved base
+    * version has been superseded — the compare-and-swap that closes the
+    * WRITE-SKEW a version collision alone cannot: a compaction (or any
+    * read-rewrite-replace job) resolves its input file set at version B,
+    * and if another writer lands B+1 while the rewrite runs, committing
+    * the stale rewrite as B+2 would silently DROP the interleaved commit's
+    * rows (caught live by ChunkStoreIngestSpec's out-of-band race test —
+    * chunk rows vanished with every version "successfully" published).
+    * With the base pinned, either the check sees the supersession, or both
+    * writers target B+1 and [[publishNoOverwrite]] arbitrates — airtight. */
+  private def requireBase(table: String, prev: Seq[Long], base: Option[Long]): Unit =
+    base.foreach { b =>
+      val cur = prev.lastOption.getOrElse(0L)
+      if (cur != b)
+        throw new java.io.IOException(
+          s"snapshot commit race on $table: rewrite base v$b superseded by v$cur")
+    }
+
   /** Commit `df` as the next version. `Append` keeps prior data dirs in the
     * new manifest; `Overwrite` starts the version from only this commit's
     * files. Returns the committed version number.
@@ -184,17 +219,23 @@ object Snapshots {
     * `txn = Some(appId -> batchId)` makes the commit IDEMPOTENT per writer:
     * if the latest manifest already records `appId` at >= `batchId` the
     * commit is a no-op returning the current version — an at-least-once
-    * streaming source replaying a micro-batch cannot double-append. */
+    * streaming source replaying a micro-batch cannot double-append.
+    *
+    * `baseVersion` (rewrite jobs): the version the caller's input data was
+    * RESOLVED at — see [[requireBase]]. An append derives nothing from
+    * prior state and never needs it. */
   def commit(
       df: DataFrame,
       table: String,
       mode: SaveMode = SaveMode.Append,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      baseVersion: Option[Long] = None): Long = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"unsupported snapshot commit mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, table)
     val prev = versions(spark, table)
+    requireBase(table, prev, baseVersion)
     val v = prev.lastOption.getOrElse(0L) + 1
     // Guard BEFORE writing data, and in BOTH modes: an Overwrite on a
     // partitioned table would otherwise silently convert it to an
@@ -232,13 +273,15 @@ object Snapshots {
       table: String,
       partitionBy: Seq[String],
       mode: SaveMode = SaveMode.Append,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      baseVersion: Option[Long] = None): Long = {
     require(partitionBy.nonEmpty, "partitionBy must be non-empty")
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"unsupported snapshot commit mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, table)
     val prev = versions(spark, table)
+    requireBase(table, prev, baseVersion)
     val v = prev.lastOption.getOrElse(0L) + 1
     val prevTxnMap = prev.lastOption
       .map(readManifest(f, table, _).txn).getOrElse(Map.empty[String, Long])
@@ -287,12 +330,14 @@ object Snapshots {
       table: String,
       partitionBy: Seq[String],
       replaced: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      baseVersion: Option[Long] = None): Long = {
     require(partitionBy.nonEmpty, "partitionBy must be non-empty")
     require(replaced.nonEmpty, "replaced specs must be non-empty")
     val spark = df.sparkSession
     val f = fs(spark, table)
     val prev = versions(spark, table)
+    requireBase(table, prev, baseVersion)
     val v = prev.lastOption.getOrElse(0L) + 1
     val prevManifest = prev.lastOption.map(readManifest(f, table, _))
     prevManifest.foreach(m => require(m.dirs.isEmpty,
@@ -348,9 +393,11 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots at $table")
     val m = readManifest(f, table, vs.last)
     if (m.partitions.isEmpty) {
-      val kept = read(spark, table).join(updates, keys, "left_anti")
+      val kept = read(spark, table, Some(vs.last)).join(updates, keys, "left_anti")
+      // baseVersion: the rewrite resolved vs.last — a concurrent append
+      // landing mid-merge must fail the commit as a race, not be dropped
       commit(kept.unionByName(updates, allowMissingColumns = true),
-        table, SaveMode.Overwrite)
+        table, SaveMode.Overwrite, baseVersion = Some(vs.last))
     } else {
       val partCols = parseSpec(m.partitions.keys.head).keys.toSeq
         .sortBy(k => m.partitions.keys.head.split('/').indexWhere(_.startsWith(k + "=")))
@@ -360,11 +407,11 @@ object Snapshots {
         .distinct().collect()
         .map(r => partCols.zipWithIndex.map { case (c, i) => c -> r.get(i).toString }.toMap)
         .toSet
-      val current = read(spark, table, None,
+      val current = read(spark, table, Some(vs.last),
         spec => touchedSpecs.exists(t => t.forall { case (k, v) => spec.get(k).contains(v) }))
       val kept = current.join(updates, keys, "left_anti")
       commitPartitioned(kept.unionByName(updates, allowMissingColumns = true),
-        table, partCols, SaveMode.Overwrite)
+        table, partCols, SaveMode.Overwrite, baseVersion = Some(vs.last))
     }
   }
 
@@ -554,20 +601,23 @@ object Snapshots {
     // commitPartitioned calls
     if (m.dirs.isEmpty && m.partitions.isEmpty) vs.last
     else if (m.partitions.isEmpty) {
-      val df = read(spark, table)
+      // rewrite input pinned to vs.last, commit CAS'd on it: a concurrent
+      // append between the read and the Overwrite must race, never vanish
+      val df = read(spark, table, Some(vs.last))
       val rows = df.count()
       val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
-      commit(df.coalesce(nFiles), table, SaveMode.Overwrite)
+      commit(df.coalesce(nFiles), table, SaveMode.Overwrite,
+        baseVersion = Some(vs.last))
     } else {
       // partitioned: cluster by the partition columns so each partition's
       // accumulated small files rewrite as one task → one file, then commit
       // as a dynamic overwrite of every spec (all specs are "touched")
-      val df = read(spark, table)
+      val df = read(spark, table, Some(vs.last))
       val cols = parseSpec(m.partitions.keys.head).keys.toSeq
         .sortBy(k => m.partitions.keys.head.split('/').indexWhere(_.startsWith(k + "=")))
       commitPartitioned(
         df.repartition(cols.map(org.apache.spark.sql.functions.col): _*),
-        table, cols, SaveMode.Overwrite)
+        table, cols, SaveMode.Overwrite, baseVersion = Some(vs.last))
     }
   }
 
@@ -610,10 +660,15 @@ object Snapshots {
         val fragParsed = frag.map(parseSpec).toSet
         val cols = parseSpec(m.partitions.keys.head).keys.toSeq
           .sortBy(k => m.partitions.keys.head.split('/').indexWhere(_.startsWith(k + "=")))
-        // one shuffle task per rewritten spec → one file per spec dir
-        val df = read(spark, table, None, spec => fragParsed.contains(spec))
+        // one shuffle task per rewritten spec → one file per spec dir;
+        // input pinned to vs.last and the commit CAS'd on it — an ingest
+        // commit landing mid-rewrite makes this a LOUD race (the caller's
+        // maintenance loop just retries), where an unpinned rewrite would
+        // silently drop the interleaved rows (the §9.6 write-skew)
+        val df = read(spark, table, Some(vs.last), spec => fragParsed.contains(spec))
           .repartition(cols.map(org.apache.spark.sql.functions.col): _*)
-        commitPartitionReplace(df, table, cols, replaced = frag)
+        commitPartitionReplace(df, table, cols, replaced = frag,
+          baseVersion = Some(vs.last))
       }
     }
   }

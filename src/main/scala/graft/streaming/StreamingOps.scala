@@ -114,10 +114,11 @@ object StreamingOps {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.sinks.Snapshots.commitPartitioned(
-            graft.ext.IvfPq.encode(batch.toDF(), model),
-            s"$indexDir/lists", Seq("cluster_id"),
-            org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))
+          graft.sinks.Snapshots.commitRetryingRaces()(
+            graft.sinks.Snapshots.commitPartitioned(
+              graft.ext.IvfPq.encode(batch.toDF(), model),
+              s"$indexDir/lists", Seq("cluster_id"),
+              org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId)))
           ()
         }
       }
@@ -220,10 +221,11 @@ object StreamingOps {
           // the missing txn watermark costs nothing
           if (!kept.isEmpty)
             maintainCompact(spark, corpusTable, compactEvery,
-              graft.sinks.Snapshots.commitPartitioned(
-                kept.select(col("id"), col("v"), col("cluster_id")),
-                corpusTable, Seq("cluster_id"),
-                org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId)))
+              graft.sinks.Snapshots.commitRetryingRaces()(
+                graft.sinks.Snapshots.commitPartitioned(
+                  kept.select(col("id"), col("v"), col("cluster_id")),
+                  corpusTable, Seq("cluster_id"),
+                  org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))))
           ()
         }
       }
@@ -254,12 +256,14 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           if (partitionCols.isEmpty)
-            graft.sinks.Snapshots.commit(batch.toDF(), table,
-              org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId))
+            graft.sinks.Snapshots.commitRetryingRaces()(
+              graft.sinks.Snapshots.commit(batch.toDF(), table,
+                org.apache.spark.sql.SaveMode.Append, txn = Some(appId -> batchId)))
           else
-            graft.sinks.Snapshots.commitPartitioned(batch.toDF(), table,
-              partitionCols, org.apache.spark.sql.SaveMode.Append,
-              txn = Some(appId -> batchId))
+            graft.sinks.Snapshots.commitRetryingRaces()(
+              graft.sinks.Snapshots.commitPartitioned(batch.toDF(), table,
+                partitionCols, org.apache.spark.sql.SaveMode.Append,
+                txn = Some(appId -> batchId)))
           ()
         }
       }
@@ -312,6 +316,100 @@ object StreamingOps {
       table: String, every: Int, committedVersion: Long): Unit =
     if (every > 0 && committedVersion % every == 0)
       graft.sinks.Snapshots.compactFragmented(spark, table)
+
+  /** Handle for [[startMaintenanceLoop]]: stop() joins the thread;
+    * `compactions` / `races` / `errors` are live counters (the §9.6 probe
+    * reports them alongside the batch walls). */
+  final class MaintenanceLoop private[streaming] (
+      thread: Thread,
+      run: java.util.concurrent.atomic.AtomicBoolean,
+      val compactions: java.util.concurrent.atomic.AtomicLong,
+      val races: java.util.concurrent.atomic.AtomicLong,
+      val errors: java.util.concurrent.atomic.AtomicLong) {
+    def stop(): Unit = {
+      run.set(false)
+      thread.interrupt()
+      thread.join(60000)
+    }
+  }
+
+  /** OUT-OF-BAND fragmentation maintenance (§9.5's closing caveat, wired):
+    * a daemon thread runs [[graft.sinks.Snapshots.compactFragmented]] over
+    * `tables` on a cadence, so ingest batch walls stop paying the hot-spec
+    * rewrite in-band (the periodic bumps in every §9.5 curve — the in-band
+    * `compactEvery` hook remains for single-writer deployments).
+    *
+    * Concurrency rides the spec-pinned commit arbiter: a maintenance/
+    * ingest version collision makes exactly ONE writer throw 'commit race'
+    * before anything is torn. This loop treats every race as "ingest won"
+    * and retries at the next tick (maintenance is idempotent best-effort —
+    * correctness never depends on it); the gates wrap their own commits in
+    * [[graft.sinks.Snapshots.commitRetryingRaces]], re-deriving against
+    * the compacted manifest when maintenance wins. Either way the chain
+    * stays contiguous and the txn watermarks still swallow true replays
+    * (pinned in ChunkStoreIngestSpec).
+    *
+    * `onCompact(table, newVersion, prevVersion)` fires after a compaction
+    * COMMITTED — the chunk-store deployment re-stamps its DigestBloom
+    * sidecar there (compaction preserves the digest set, so the previous
+    * version's sidecar is re-stamped verbatim; see
+    * [[chunkStoreMaintenanceRestamp]]). Failures inside the loop count in
+    * `errors` and never kill the thread: transient read races against a
+    * concurrent vacuum are expected background noise, and a maintenance
+    * loop that dies silently is worse than one that skips a tick. */
+  def startMaintenanceLoop(
+      spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[String],
+      intervalMs: Long = 5000,
+      maxBasesPerSpec: Int = 4,
+      onCompact: (String, Long, Long) => Unit = (_, _, _) => ()): MaintenanceLoop = {
+    val run = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val compactions = new java.util.concurrent.atomic.AtomicLong
+    val races = new java.util.concurrent.atomic.AtomicLong
+    val errors = new java.util.concurrent.atomic.AtomicLong
+    val th = new Thread(() => {
+      while (run.get()) {
+        tables.foreach { t =>
+          if (run.get())
+            try {
+              val vs = graft.sinks.Snapshots.versions(spark, t)
+              if (vs.nonEmpty) {
+                val v = graft.sinks.Snapshots.compactFragmented(spark, t, maxBasesPerSpec)
+                if (v != vs.last) {
+                  compactions.incrementAndGet()
+                  onCompact(t, v, vs.last)
+                }
+              }
+            } catch {
+              case e: java.io.IOException
+                  if Option(e.getMessage).exists(_.contains("commit race")) =>
+                races.incrementAndGet() // ingest won the version — next tick
+              case _: InterruptedException => () // stop() mid-compaction:
+                // fall out via the run flag (InterruptedException is fatal
+                // to NonFatal and would otherwise kill the thread noisily)
+              case scala.util.control.NonFatal(_) =>
+                errors.incrementAndGet()
+            }
+        }
+        try Thread.sleep(intervalMs) catch { case _: InterruptedException => () }
+      }
+    }, "graft-maintenance-loop")
+    th.setDaemon(true)
+    th.start()
+    new MaintenanceLoop(th, run, compactions, races, errors)
+  }
+
+  /** The chunk-store onCompact hook for [[startMaintenanceLoop]]: an
+    * out-of-band compaction of the CHUNK table must carry the DigestBloom
+    * sidecar forward to the compacted version (identical digest set — a
+    * verbatim re-stamp, no rebuild), else the next ingest batch distrusts
+    * the sidecar and pays a full-table bloom rebuild. */
+  def chunkStoreMaintenanceRestamp(
+      spark: org.apache.spark.sql.SparkSession,
+      chunkTable: String)(table: String, v: Long, prev: Long): Unit =
+    if (table == chunkTable)
+      graft.sinks.DigestBloom.read(spark, chunkTable, prev)
+        .foreach(b => graft.sinks.DigestBloom.write(spark, chunkTable, v, b))
 
   def startDupSpanIngest(
       stream: DataFrame, // (doc_id: Long, text: String)
@@ -387,17 +485,19 @@ object StreamingOps {
             .select(col("doc_id"), col("text"))
             .localCheckpoint()
           if (!accepted.isEmpty) {
-            graft.sinks.Snapshots.commit(accepted, docsTable,
-              org.apache.spark.sql.SaveMode.Append,
-              txn = Some(s"$appId-docs" -> batchId))
+            graft.sinks.Snapshots.commitRetryingRaces()(
+              graft.sinks.Snapshots.commit(accepted, docsTable,
+                org.apache.spark.sql.SaveMode.Append,
+                txn = Some(s"$appId-docs" -> batchId)))
             val acceptedGrams = grams
               .join(accepted.select(col("doc_id")), "doc_id")
               .select(col("bucket"), col("gram")).distinct()
             if (!acceptedGrams.isEmpty)
               maintainCompact(spark, gramTable, compactEvery,
-                graft.sinks.Snapshots.commitPartitioned(acceptedGrams, gramTable,
-                  Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
-                  txn = Some(s"$appId-grams" -> batchId)))
+                graft.sinks.Snapshots.commitRetryingRaces()(
+                  graft.sinks.Snapshots.commitPartitioned(acceptedGrams, gramTable,
+                    Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
+                    txn = Some(s"$appId-grams" -> batchId))))
           }
           ()
         }
@@ -558,15 +658,17 @@ object StreamingOps {
             .withColumn("dbucket", pmod(col("doc_id"), lit(buckets)))
             .localCheckpoint()
           maintainCompact(spark, docsTable, compactEvery,
-            graft.sinks.Snapshots.commitPartitioned(assigned, docsTable,
-              Seq("dbucket"), org.apache.spark.sql.SaveMode.Append,
-              txn = Some(s"$appId-docs" -> batchId)))
+            graft.sinks.Snapshots.commitRetryingRaces()(
+              graft.sinks.Snapshots.commitPartitioned(assigned, docsTable,
+                Seq("dbucket"), org.apache.spark.sql.SaveMode.Append,
+                txn = Some(s"$appId-docs" -> batchId))))
           val newToks = batchToks.select(col("bucket"), col("token"), col("doc_id"))
           if (!newToks.isEmpty)
             maintainCompact(spark, tokenTable, compactEvery,
-              graft.sinks.Snapshots.commitPartitioned(newToks, tokenTable,
-                Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
-                txn = Some(s"$appId-tokens" -> batchId)))
+              graft.sinks.Snapshots.commitRetryingRaces()(
+                graft.sinks.Snapshots.commitPartitioned(newToks, tokenTable,
+                  Seq("bucket"), org.apache.spark.sql.SaveMode.Append,
+                  txn = Some(s"$appId-tokens" -> batchId))))
           ()
         }
       }
@@ -711,9 +813,10 @@ object StreamingOps {
             hop += 1
           }
           if (!newTombs.isEmpty)
-            Snapshots.commit(newTombs.withColumn("batch", lit(batchId)),
-              tombstoneTable, org.apache.spark.sql.SaveMode.Append,
-              txn = Some(appId -> batchId))
+            Snapshots.commitRetryingRaces()(
+              Snapshots.commit(newTombs.withColumn("batch", lit(batchId)),
+                tombstoneTable, org.apache.spark.sql.SaveMode.Append,
+                txn = Some(appId -> batchId)))
           ()
         }
       }
@@ -797,9 +900,10 @@ object StreamingOps {
               coalesce(col("n_shared"), lit(0L)).as("n_shared"),
               (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"),
               lit(bv).as("bench_version"))
-          Snapshots.commitPartitioned(out, outTable, Seq("contaminated"),
-            org.apache.spark.sql.SaveMode.Append,
-            txn = Some(appId -> batchId))
+          Snapshots.commitRetryingRaces()(
+            Snapshots.commitPartitioned(out, outTable, Seq("contaminated"),
+              org.apache.spark.sql.SaveMode.Append,
+              txn = Some(appId -> batchId)))
           ()
         }
       }
@@ -915,9 +1019,10 @@ object StreamingOps {
           val novelDigests = novel.select(col("chunk_hash"))
             .collect().map(_.getString(0)) // ⊆ batch digests — bounded
           if (novelDigests.nonEmpty) {
-            val v2 = Snapshots.commitPartitioned(novel, chunkTable, Seq("cbucket"),
-              org.apache.spark.sql.SaveMode.Append,
-              txn = Some(s"$appId-chunks" -> batchId))
+            val v2 = Snapshots.commitRetryingRaces()(
+              Snapshots.commitPartitioned(novel, chunkTable, Seq("cbucket"),
+                org.apache.spark.sql.SaveMode.Append,
+                txn = Some(s"$appId-chunks" -> batchId)))
             // advance the sidecar to v2: trusted base + this batch's novel
             // digests, else a one-off distributed rebuild from the table
             // (adding novelDigests twice after a rebuild is harmless)
@@ -944,9 +1049,10 @@ object StreamingOps {
           // erase sweep read it whole, and it fragments one file per
           // dbucket per batch just like the chunk table
           maintainCompact(spark, manifestTable, compactEvery,
-            Snapshots.commitPartitioned(manifest, manifestTable, Seq("dbucket"),
-              org.apache.spark.sql.SaveMode.Append,
-              txn = Some(s"$appId-manifest" -> batchId)))
+            Snapshots.commitRetryingRaces()(
+              Snapshots.commitPartitioned(manifest, manifestTable, Seq("dbucket"),
+                org.apache.spark.sql.SaveMode.Append,
+                txn = Some(s"$appId-manifest" -> batchId))))
           ()
         }
       }
@@ -1018,56 +1124,138 @@ object StreamingOps {
       docIds: Seq[Long],
       buckets: Int = 64): Unit = {
     import graft.sinks.Snapshots
+    // CONCURRENCY CONTRACT: erase/sweep may race the out-of-band
+    // compactFragmented loop (content-preserving — the CAS'd retry below
+    // re-derives and completes), but NOT a live ingest on the SAME tables:
+    // a GC that deletes "unreferenced" chunks while an ingest is between
+    // its chunk and manifest commits could collect a chunk the in-flight
+    // manifest is about to reference. Quiesce the gate (or schedule erasure
+    // through the tombstone gate, which runs in-band) before erasing.
+    var cands: Option[DataFrame] = None
+    var manifestLegRan = false
     if (Snapshots.versions(spark, manifestTable).nonEmpty && docIds.nonEmpty) {
       val dbks = docIds.map(i => (((i % buckets) + buckets) % buckets).toString).toSet
-      // manifest overlap probe FIRST (the standing gate discipline): after a
-      // prior erase emptied these docs' dbuckets the filter matches nothing,
-      // and a filtered read would refuse — that absence means the manifest
-      // leg is already done (the chunk sweep below still runs: recovery)
-      val replacedMan = Snapshots.partitions(spark, manifestTable)
-        .filter(sp => Snapshots.parseSpec(sp).get("dbucket").exists(dbks))
-      if (replacedMan.nonEmpty) {
-        val bucketRows = Snapshots.read(spark, manifestTable,
-            partitionFilter = m => m.get("dbucket").exists(dbks))
-          .localCheckpoint() // one read serves the probe and the rewrite
-        if (!bucketRows.filter(col("doc_id").isin(docIds: _*)).isEmpty)
-          Snapshots.commitPartitionReplace(
-            bucketRows.filter(!col("doc_id").isin(docIds: _*)),
-            manifestTable, Seq("dbucket"), replacedMan)
+      // the whole derive+replace sits INSIDE the race retry: losing the
+      // version to a concurrent compaction re-reads at the new base — a
+      // retry around only the commit would replay stale inputs forever
+      Snapshots.commitRetryingRaces() {
+        cands = None
+        manifestLegRan = false
+        val manV = Snapshots.versions(spark, manifestTable).last
+        // manifest overlap probe FIRST (the standing gate discipline):
+        // after a prior erase emptied these docs' dbuckets the filter
+        // matches nothing, and a filtered read would refuse — that absence
+        // means the manifest leg is already done (the chunk sweep below
+        // still runs: recovery)
+        val replacedMan = Snapshots.partitions(spark, manifestTable, Some(manV))
+          .filter(sp => Snapshots.parseSpec(sp).get("dbucket").exists(dbks))
+        if (replacedMan.isEmpty) manV
+        else {
+          val bucketRows = Snapshots.read(spark, manifestTable, Some(manV),
+              partitionFilter = m => m.get("dbucket").exists(dbks))
+            .localCheckpoint() // one read serves the probe and the rewrite
+          val erasedRows = bucketRows.filter(col("doc_id").isin(docIds: _*))
+          if (erasedRows.isEmpty) manV
+          else {
+            // the erased docs' own digests, pinned BEFORE the replace: only
+            // these can have been orphaned BY THIS ERASE, so the sweep can
+            // prune its chunk-side read to their cbuckets (§9.6 curve —
+            // without this the sweep re-reads the whole chunk table per
+            // erase). Pre-existing orphans from an earlier crash still
+            // fall to the full recovery sweep below.
+            cands = Some(erasedRows.select(col("chunk_hash")).distinct().localCheckpoint())
+            manifestLegRan = true
+            Snapshots.commitPartitionReplace(
+              bucketRows.filter(!col("doc_id").isin(docIds: _*)),
+              manifestTable, Seq("dbucket"), replacedMan,
+              baseVersion = Some(manV))
+          }
+        }
       }
     }
-    sweepOrphanChunks(spark, manifestTable, chunkTable)
+    if (manifestLegRan)
+      sweepOrphanChunks(spark, manifestTable, chunkTable, cands, buckets)
+    else
+      // nothing matched the manifest (already-replaced dbuckets, an empty
+      // table, or no docIds): run the FULL recovery sweep — this is exactly
+      // the crash-between-commits path the header describes
+      sweepOrphanChunks(spark, manifestTable, chunkTable)
   }
 
   /** GC leg of [[chunkStoreErase]], callable on its own as crash recovery:
     * delete every stored chunk that NO surviving manifest references.
-    * Reads one column of each table, rewrites only the cbucket partitions
-    * that actually hold dead digests (none dead → no commit at all). */
+    * Rewrites only the cbucket partitions that actually hold dead digests
+    * (none dead → no commit at all).
+    *
+    * Cost shape (§9.6): with `candidates` (the normal erase path — the
+    * erased docs' own digests) the chunk-side read prunes to the
+    * candidates' cbuckets, derived arithmetically (cbucket is a hash of
+    * the digest — zero IO to resolve), so that side is O(erased docs'
+    * chunks), NOT O(corpus). The manifest side stays ONE column-pruned
+    * full scan and cannot be partition-pruned correctly: a reference to a
+    * digest can live in ANY document's dbucket, so a pruned reference
+    * probe would miss live references and delete shared chunks. That scan
+    * is the measured O(corpus-column) term of the erase curve — the
+    * standing-refcount alternative trades it for bookkeeping on every
+    * ingest, the wrong trade for a rare GC. Without `candidates` (crash
+    * recovery, or a periodic orphan GC) both sides scan fully — that pass
+    * also catches orphans this erase did NOT create (an ingest that
+    * crashed between its chunk and manifest commits). */
   def sweepOrphanChunks(
       spark: org.apache.spark.sql.SparkSession,
       manifestTable: String,
-      chunkTable: String): Unit = {
+      chunkTable: String,
+      candidates: Option[DataFrame] = None,
+      buckets: Int = 64): Unit = {
     import graft.sinks.Snapshots
     if (Snapshots.versions(spark, chunkTable).isEmpty) return
-    val stored = Snapshots.read(spark, chunkTable)
-      .select(col("cbucket"), col("chunk_hash"))
-    // an empty (or never-written) manifest orphans every stored chunk
-    val dead = (if (Snapshots.versions(spark, manifestTable).isEmpty) stored
-      else stored.join(
-        Snapshots.read(spark, manifestTable).select(col("chunk_hash")),
-        Seq("chunk_hash"), "left_anti"))
-      .localCheckpoint() // bounded by the erased docs' own chunk count
-    val cbks = dead.select(col("cbucket").cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
-    if (cbks.isEmpty) return // nothing orphaned — idempotent no-op
-    val replaced = Snapshots.partitions(spark, chunkTable)
-      .filter(sp => Snapshots.parseSpec(sp).get("cbucket").exists(cbks))
-    if (replaced.nonEmpty)
-      Snapshots.commitPartitionReplace(
-        Snapshots.read(spark, chunkTable,
-            partitionFilter = m => m.get("cbucket").exists(cbks))
-          .join(dead.select(col("chunk_hash")), Seq("chunk_hash"), "left_anti"),
-        chunkTable, Seq("cbucket"), replaced)
+    // the whole derive+rewrite sits inside the race retry, CAS'd on the
+    // chunk-table version it resolved: losing to a concurrent compaction
+    // re-derives the dead set against the compacted base instead of
+    // replaying a stale rewrite (same contract note as chunkStoreErase —
+    // racing a compaction is safe, racing a live ingest is not)
+    Snapshots.commitRetryingRaces() {
+      val chunkV = Snapshots.versions(spark, chunkTable).last
+      val candPruned: Option[DataFrame] = candidates match {
+        case Some(cand0) =>
+          val cand = cand0.select(col("chunk_hash")).distinct()
+          val pbks: Set[String] = cand
+            .select(pmod(xxhash64(col("chunk_hash")), lit(buckets)).cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          if (pbks.isEmpty ||
+              !Snapshots.partitions(spark, chunkTable, Some(chunkV)).exists(sp =>
+                Snapshots.parseSpec(sp).get("cbucket").exists(pbks))) None
+          else Some(Snapshots.read(spark, chunkTable, Some(chunkV),
+              partitionFilter = m => m.get("cbucket").exists(pbks))
+            .select(col("cbucket"), col("chunk_hash"))
+            .join(cand, Seq("chunk_hash")))
+        case None => Some(Snapshots.read(spark, chunkTable, Some(chunkV))
+          .select(col("cbucket"), col("chunk_hash")))
+      }
+      candPruned match {
+        case None => chunkV // candidates hit no stored bucket — no-op
+        case Some(stored) =>
+          // an empty (or never-written) manifest orphans every stored chunk
+          val dead = (if (Snapshots.versions(spark, manifestTable).isEmpty) stored
+            else stored.join(
+              Snapshots.read(spark, manifestTable).select(col("chunk_hash")),
+              Seq("chunk_hash"), "left_anti"))
+            .localCheckpoint() // bounded by the erased docs' own chunk count
+          val cbks = dead.select(col("cbucket").cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          val replaced =
+            if (cbks.isEmpty) Seq.empty
+            else Snapshots.partitions(spark, chunkTable, Some(chunkV))
+              .filter(sp => Snapshots.parseSpec(sp).get("cbucket").exists(cbks))
+          if (replaced.isEmpty) chunkV // nothing orphaned — idempotent no-op
+          else Snapshots.commitPartitionReplace(
+            Snapshots.read(spark, chunkTable, Some(chunkV),
+                partitionFilter = m => m.get("cbucket").exists(cbks))
+              .join(dead.select(col("chunk_hash")), Seq("chunk_hash"), "left_anti"),
+            chunkTable, Seq("cbucket"), replaced, baseVersion = Some(chunkV))
+      }
+    }
+    ()
   }
 
   // ---- streaming quality-admission gate ------------------------------------
@@ -1130,9 +1318,10 @@ object StreamingOps {
               round(col("score"), 6).as("quality"),
               (round(col("score"), 6) > threshold).as("admitted"),
               lit(mv).as("model_version"))
-          Snapshots.commitPartitioned(out, outTable, Seq("admitted"),
-            org.apache.spark.sql.SaveMode.Append,
-            txn = Some(appId -> batchId))
+          Snapshots.commitRetryingRaces()(
+            Snapshots.commitPartitioned(out, outTable, Seq("admitted"),
+              org.apache.spark.sql.SaveMode.Append,
+              txn = Some(appId -> batchId)))
           ()
         }
       }
@@ -1178,14 +1367,24 @@ object StreamingOps {
       .select(col("doc_id")).distinct().localCheckpoint()
     def rewrite(table: String, partCol: String, bks: => Set[String]): Unit =
       if (Snapshots.versions(spark, table).nonEmpty) {
-        val replaced = Snapshots.partitions(spark, table)
-          .filter(sp => Snapshots.parseSpec(sp).get(partCol).exists(bks))
-        if (replaced.nonEmpty) {
-          val kept = Snapshots.read(spark, table,
-              partitionFilter = m => m.get(partCol).exists(bks))
-            .join(ids, Seq("doc_id"), "left_anti")
-          Snapshots.commitPartitionReplace(kept, table, Seq(partCol), replaced)
+        // derive+replace inside the race retry, CAS'd on the version the
+        // read resolved — a concurrent compaction loses cleanly and the
+        // retry re-derives (the commit alone retried would replay stale
+        // inputs; an unpinned replace would drop interleaved commits)
+        Snapshots.commitRetryingRaces() {
+          val v = Snapshots.versions(spark, table).last
+          val replaced = Snapshots.partitions(spark, table, Some(v))
+            .filter(sp => Snapshots.parseSpec(sp).get(partCol).exists(bks))
+          if (replaced.isEmpty) v
+          else {
+            val kept = Snapshots.read(spark, table, Some(v),
+                partitionFilter = m => m.get(partCol).exists(bks))
+              .join(ids, Seq("doc_id"), "left_anti")
+            Snapshots.commitPartitionReplace(kept, table, Seq(partCol), replaced,
+              baseVersion = Some(v))
+          }
         }
+        ()
       }
     // docs: affected id-buckets derive from the ids themselves — no scan
     rewrite(docsTable, "dbucket",

@@ -208,6 +208,47 @@ class SnapshotsSpec extends SparkSpec {
     assert(ks.count(_ == 0) == 2 && ks.size == 2 + won.size)
   }
 
+  test("baseVersion CAS: a rewrite whose base was superseded races loudly instead of dropping the interleaved commit") {
+    // the WRITE-SKEW a version collision alone cannot catch (found live by
+    // ChunkStoreIngestSpec's out-of-band test): a compaction resolves its
+    // input at version B, an ingest lands B+1 while it rewrites, and an
+    // unpinned replace would publish B+2 built from B-era data — silently
+    // dropping the B+1 rows with every publish "succeeding"
+    val t = tmp()
+    Snapshots.commitPartitioned(Seq(("a", 1), ("a", 2)).toDF("g", "k"), t, Seq("g"))
+    val base = Snapshots.versions(spark, t).last
+    val rewrite = Snapshots.read(spark, t, Some(base)).filter($"k" =!= 2)
+    // an ingest interleaves: appends k=3 to the same partition
+    Snapshots.commitPartitioned(Seq(("a", 3)).toDF("g", "k"), t, Seq("g"))
+    // the stale rewrite must RACE, not win
+    val e = intercept[java.io.IOException] {
+      Snapshots.commitPartitionReplace(rewrite, t, Seq("g"), Seq("g=a"),
+        baseVersion = Some(base))
+    }
+    assert(e.getMessage.contains("commit race"))
+    assert(Snapshots.read(spark, t).select("k").as[Int].collect().toSet ==
+      Set(1, 2, 3), "interleaved commit must survive")
+    // same CAS on the Overwrite flavors
+    val e2 = intercept[java.io.IOException] {
+      Snapshots.commitPartitioned(rewrite, t, Seq("g"), SaveMode.Overwrite,
+        baseVersion = Some(base))
+    }
+    assert(e2.getMessage.contains("commit race"))
+    // retry at the CURRENT base succeeds: re-derive, then replace
+    val cur = Snapshots.versions(spark, t).last
+    val fresh = Snapshots.read(spark, t, Some(cur)).filter($"k" =!= 2)
+    Snapshots.commitPartitionReplace(fresh, t, Seq("g"), Seq("g=a"),
+      baseVersion = Some(cur))
+    assert(Snapshots.read(spark, t).select("k").as[Int].collect().toSet == Set(1, 3))
+    // compactFragmented pins its own base: a quiescent compaction still works
+    (1 to 5).foreach(i => Snapshots.commitPartitioned(
+      Seq(("a", 100 + i)).toDF("g", "k"), t, Seq("g")))
+    val v = Snapshots.compactFragmented(spark, t, maxBasesPerSpec = 2)
+    assert(v == Snapshots.versions(spark, t).last)
+    assert(Snapshots.read(spark, t).select("k").as[Int].collect().toSet ==
+      Set(1, 3, 101, 102, 103, 104, 105))
+  }
+
   test("partitioned and plain commits don't mix; specs decode hive escaping") {
     val t = tmp()
     Snapshots.commitPartitioned(Seq(("x y", 1)).toDF("g", "k"), t, Seq("g"))
