@@ -508,32 +508,61 @@ object Snapshots {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-    } else if (m.partitions.isEmpty) readDirs(spark, m.dirs)
+    } else if (m.partitions.isEmpty) readDirs(spark, m.dirs, m.schema)
     else {
       val kept = m.partitions.filter { case (spec, _) => partitionFilter(parseSpec(spec)) }
       require(kept.nonEmpty, s"partitionFilter matched no partitions of $table v$v")
-      readSpecs(spark, kept.toSeq.flatMap { case (spec, bases) => bases.map((_, spec)) })
+      readSpecs(spark,
+        kept.toSeq.flatMap { case (spec, bases) => bases.map((_, spec)) },
+        m.schema, parseSpec(m.partitions.keys.head).keySet)
     }
   }
 
-  /** Scan a set of unpartitioned commit dirs. `mergeSchema` reconciles
-    * footers across commits, so SCHEMA EVOLUTION is free: a commit may add
-    * columns and older commits' rows read back with them as null. */
-  private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  private def structOf(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Scan a set of unpartitioned commit dirs. The manifest's recorded
+    * schema drives the read when present — at scale, `mergeSchema` is a
+    * scan-startup killer (the driver reads EVERY file's footer before the
+    * first task launches; millions of files = millions of sequential
+    * footer reads), while the manifest schema costs nothing and is
+    * authoritative by construction (it IS the last commit's schema).
+    * SCHEMA EVOLUTION stays free: files from older commits missing a
+    * later-added column read back null under the explicit schema; the
+    * table's schema is the LAST committed one (a column dropped by the
+    * latest commit is gone from reads — table semantics, not file
+    * semantics). Pre-schema manifests fall back to footer reconciliation. */
+  private def readDirs(
+      spark: SparkSession, dirs: Seq[String], schemaJson: Option[String]): DataFrame =
+    schemaJson match {
+      case Some(j) => spark.read.schema(structOf(j)).parquet(dirs: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
 
   /** Scan (commit base, spec) pairs of a partitioned table. Grouped by
     * commit dir: basePath anchors hive discovery so the k=v path segments
     * materialize as partition columns; `allowMissingColumns` unions across
-    * commits whose schemas evolved. */
-  private def readSpecs(spark: SparkSession, baseSpecs: Seq[(String, String)]): DataFrame =
+    * commits whose schemas evolved. The explicit schema covers the DATA
+    * columns only (same footer-read rationale as [[readDirs]]); partition
+    * columns stay on hive discovery's inference path, appended after the
+    * data columns exactly as the mergeSchema read laid them out. */
+  private def readSpecs(
+      spark: SparkSession,
+      baseSpecs: Seq[(String, String)],
+      schemaJson: Option[String],
+      partCols: Set[String]): DataFrame = {
+    val dataSchema = schemaJson.map(j =>
+      org.apache.spark.sql.types.StructType(structOf(j).filterNot(f => partCols(f.name))))
     baseSpecs.map { case (base, spec) => (base, s"$base/$spec") }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (base, paths) =>
-        spark.read.option("basePath", base).option("mergeSchema", "true")
+        val rd = spark.read.option("basePath", base)
+        dataSchema.fold(rd.option("mergeSchema", "true"))(rd.schema)
           .parquet(paths.map(_._2).distinct: _*)
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Change data feed between two versions: every row added or removed going
     * `fromVersion` → `toVersion`, tagged `_change_type` ('insert'/'delete').
@@ -562,16 +591,23 @@ object Snapshots {
     val (ins, del) =
       if (m1.partitions.isEmpty && m2.partitions.isEmpty) {
         val (d1, d2) = (m1.dirs.toSet, m2.dirs.toSet)
-        def rd(dirs: Seq[String]) = if (dirs.isEmpty) None else Some(readDirs(spark, dirs))
-        (rd(m2.dirs.filterNot(d1)), rd(m1.dirs.filterNot(d2)))
+        // each side reads under ITS OWN manifest's schema (inserts are
+        // to-version rows, deletes from-version rows)
+        def rd(dirs: Seq[String], m: Manifest) =
+          if (dirs.isEmpty) None else Some(readDirs(spark, dirs, m.schema))
+        (rd(m2.dirs.filterNot(d1), m2), rd(m1.dirs.filterNot(d2), m1))
       } else {
         def diff(a: Map[String, Seq[String]], b: Map[String, Seq[String]]) =
           a.toSeq.flatMap { case (spec, bases) =>
             val other = b.getOrElse(spec, Seq.empty).toSet
             bases.filterNot(other).map((_, spec))
           }
-        def rd(bs: Seq[(String, String)]) = if (bs.isEmpty) None else Some(readSpecs(spark, bs))
-        (rd(diff(m2.partitions, m1.partitions)), rd(diff(m1.partitions, m2.partitions)))
+        def rd(bs: Seq[(String, String)], m: Manifest) =
+          if (bs.isEmpty) None
+          else Some(readSpecs(spark, bs, m.schema,
+            parseSpec(m.partitions.keys.head).keySet))
+        (rd(diff(m2.partitions, m1.partitions), m2),
+          rd(diff(m1.partitions, m2.partitions), m1))
       }
     val tagged = Seq(
       ins.map(_.withColumn("_change_type", lit("insert"))),

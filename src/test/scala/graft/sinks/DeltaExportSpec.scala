@@ -325,10 +325,18 @@ class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     CountingFs.inList.set(true)
     try super.listStatus(p) finally CountingFs.inList.set(false)
   }
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    // parquet only: a plan-time read legitimately opens the (one) manifest
+    // JSON; what must stay zero is DATA-file footer reconciliation
+    if (p.getName.endsWith(".parquet")) CountingFs.opens.incrementAndGet()
+    super.open(p, bufferSize)
+  }
 }
 
 object CountingFs {
   val gets = new java.util.concurrent.atomic.AtomicInteger(0)
   val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val inList = new ThreadLocal[Boolean] { override def initialValue(): Boolean = false }
 }

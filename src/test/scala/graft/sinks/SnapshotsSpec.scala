@@ -249,6 +249,37 @@ class SnapshotsSpec extends SparkSpec {
       Set(1, 3, 101, 102, 103, 104, 105))
   }
 
+  test("manifest schema drives reads: ZERO footer opens at plan time, evolution intact") {
+    // mergeSchema reconciliation reads EVERY file's footer on the driver
+    // before the first task — a scan-startup killer at millions of files.
+    // The manifest records the committed schema, so planning a read must
+    // open no data file at all (the scan itself obviously does).
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.cfs.impl", classOf[CountingFs].getName)
+    val t = "cfs://" + tmp()
+    Snapshots.commit(spark.range(0, 2000).selectExpr("id", "id * 2 AS v")
+      .repartition(20), t)
+    // evolved second commit: adds a column
+    Snapshots.commit(spark.range(2000, 2100)
+      .selectExpr("id", "id * 2 AS v", "id % 7 AS extra").repartition(4), t)
+    CountingFs.opens.set(0)
+    val df = Snapshots.read(spark, t)
+    assert(df.columns.toSet == Set("id", "v", "extra"))
+    assert(CountingFs.opens.get() == 0,
+      s"plan-time read opened ${CountingFs.opens.get()} data files (footer reconciliation)")
+    // evolution semantics unchanged: old rows read the added column as null
+    assert(df.filter($"extra".isNull).count() == 2000)
+    assert(df.count() == 2100)
+    // partitioned flavor: plan-time opens stay zero through the pruned path
+    val tp = "cfs://" + tmp()
+    Snapshots.commitPartitioned(spark.range(0, 300)
+      .selectExpr("id", "CAST(id % 3 AS STRING) AS g"), tp, Seq("g"))
+    CountingFs.opens.set(0)
+    val pf = Snapshots.read(spark, tp, None, sp => sp.get("g").contains("1"))
+    assert(CountingFs.opens.get() == 0, "partitioned plan read footers")
+    assert(pf.select("id").as[Long].collect().forall(_ % 3 == 1))
+  }
+
   test("partitioned and plain commits don't mix; specs decode hive escaping") {
     val t = tmp()
     Snapshots.commitPartitioned(Seq(("x y", 1)).toDF("g", "k"), t, Seq("g"))

@@ -24,7 +24,7 @@ a single capture degrades to itself (warn-worthy, not an error).
 calib_spark_ref combines the same way; calib_mt_ref takes the LOWER median
 (Mops/s — slower side), the conservative direction for false flags.
 """
-import json, sys
+import json, re, sys
 
 pairs = []
 for arg in sys.argv[1:]:
@@ -49,6 +49,19 @@ def lower_median(vs):
     vs = sorted(vs)
     return vs[(len(vs) - 1) // 2]
 
+# carry the quiet probe-timeline references forward: mcal_ref/io_ref are
+# blessed separately (graft.ProbeRef captures, not bench dumps), so a
+# per-query re-bless must preserve them rather than silently dropping the
+# keys from the resource
+prev_refs = {}
+try:
+    for line in open("src/main/resources/graft/bench-baseline.properties"):
+        m = re.match(r"(mcal_ref|io_ref)=([0-9.]+)", line.strip())
+        if m:
+            prev_refs[m.group(1)] = m.group(2)
+except FileNotFoundError:
+    pass
+
 queries = sorted({q for d, _, _ in pairs for q in d})
 combined = {q: upper_median([d[q] for d, _, _ in pairs if q in d]) for q in queries}
 calib = upper_median([c for _, c, _ in pairs])
@@ -67,6 +80,9 @@ lines = [
 ]
 if mt_ref is not None:
     lines.append(f"calib_mt_ref={mt_ref}")
+for k in ("mcal_ref", "io_ref"):
+    if k in prev_refs:
+        lines.append(f"{k}={prev_refs[k]}")
 lines += [f"{q}={combined[q]}" for q in queries]
 out = "src/main/resources/graft/bench-baseline.properties"
 open(out, "w").write("\n".join(lines) + "\n")
