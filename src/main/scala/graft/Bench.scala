@@ -291,6 +291,28 @@ object Bench {
     val bestDown = scala.collection.mutable.Map.empty[String, Double]
     val downDir = scala.collection.mutable.Map.empty[String, String] // entry → its dir
     var downLevel = -1 // -1 = measured scale; >= 0 indexes downLadder
+    // lazy host-throttle corroboration for the downshift decision (see
+    // BenchGate.shouldDownshift): worst of the micro-calib ratio (median
+    // of 3 — a single ~15 ms reading wobbles 2×) and the all-cores spin
+    // ratio, each vs its blessed quiet ref, cached ~20 s — probed only
+    // when the pace projection already failed, so a quiet run pays this
+    // at most a few times
+    var hostProbeCache = (1.0, -1e9) // (ratio, atElapsed)
+    def hostRatio(): Double = {
+      if (elapsed() - hostProbeCache._2 > 20.0) {
+        val mcalRatio =
+          if (benchBaseline.mcalRef > 0) {
+            val s = Seq.fill(3)(microCalibSec(spark)).sorted
+            s(1) / benchBaseline.mcalRef
+          } else 1.0
+        val mtRatio =
+          if (benchBaseline.calibMtRef > 0)
+            benchBaseline.calibMtRef / math.max(1e-9, SpinProbe.allCores())
+          else 1.0
+        hostProbeCache = (math.max(mcalRatio, mtRatio), elapsed())
+      }
+      hostProbeCache._1
+    }
     // measurements per query (passes + isolated retests): the gate only
     // flags WARM-measured queries (n >= 2) — a budget-truncated capture
     // leaves its tail with one COLD measurement each, and comparing a cold
@@ -494,7 +516,8 @@ object Bench {
         if (pass == 1 && downLevel < 0 && downLadder.nonEmpty) {
           val unmeasured = ((name, fn) +: remaining)
             .collect { case (n, _) if nMeasured(n) == 0 => n }
-          if (BenchGate.shouldDownshift(pace, unmeasured, elapsed(), budgetSec, reserveSec)) {
+          if (BenchGate.shouldDownshift(pace, unmeasured, elapsed(), budgetSec,
+              reserveSec, hostRatio())) {
             downLevel = 0
             degraded = true
             passDown = true

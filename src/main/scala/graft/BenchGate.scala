@@ -243,16 +243,40 @@ object BenchGate {
     * still-unmeasured entries at MEASURED scale exceeds the remaining
     * budget: the caller then runs the tail at the next-smaller scale
     * factor ([[downshiftLadder]]) — breadth at a labeled reduced scale
-    * beats an unlabeled hole. Conservative by construction: no decision
-    * before 3 pace samples. */
+    * beats an unlabeled hole.
+    *
+    * The pace projection alone is NOT sufficient evidence: the early
+    * samples carry measured-scale FIRST-TOUCH costs (sf0.1-sized IO, AQE
+    * re-plans the sf0.001 warm-up can't absorb), so the factor reads 3-8×
+    * in a perfectly quiet window and a projection-only rule downshifts a
+    * healthy capture (observed live: a quiet 360 s run kept only 115
+    * measured-scale entries). A host throttle and a cold start are
+    * DISTINGUISHABLE: fixed-work probes measure the host alone, so the
+    * decision requires corroboration — `hostRatio` (worst of the
+    * micro-calib and all-cores spin ratios vs their blessed quiet refs,
+    * probed LAZILY only after the pace projection fails) must also say
+    * the quiet-expected battery cost times the throttle doesn't fit.
+    * The `lateFrac` escape covers the registry-outgrew-the-budget case on
+    * a genuinely quiet host: past that point the pace median is
+    * warm-informed and believable on its own. */
   def shouldDownshift(
       pace: Pace,
       unmeasured: Seq[String],
       elapsed: Double,
       budget: Double,
-      reserve: Double): Boolean =
-    pace.samples >= 3 && unmeasured.nonEmpty &&
-      pace.project(unmeasured) > math.max(0.0, budget - reserve - elapsed)
+      reserve: Double,
+      hostRatio: => Double = 1.0,
+      lateFrac: Double = 0.6): Boolean = {
+    if (pace.samples < 3 || unmeasured.isEmpty) false
+    else {
+      val avail = math.max(0.0, budget - reserve - elapsed)
+      if (pace.project(unmeasured) <= avail) false
+      else {
+        val quietCost = unmeasured.map(pace.est).sum
+        elapsed > budget * lateFrac || quietCost * math.max(1.0, hostRatio) > avail
+      }
+    }
+  }
 
   private def sfValue(name: String): Option[Double] =
     if (name.startsWith("sf")) name.stripPrefix("sf").toDoubleOption else None

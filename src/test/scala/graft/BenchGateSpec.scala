@@ -239,19 +239,33 @@ class BenchGateSpec extends AnyFunSuite {
 
   // ---- measured-scale downshift (round-16: the r15 breadth gap) ----
 
-  test("downshift fires exactly when the measured-scale sweep cannot fit") {
-    // 198 unmeasured at 0.5 s baseline, 4x pace = 396 s projected
+  test("downshift needs BOTH a failing pace projection AND host corroboration (or lateness)") {
+    // 198 unmeasured at 0.5 s baseline (quiet cost 99 s), 4x pace = 396 s
+    // projected against 235 s available: the pace gate fails...
+    // ...but a QUIET host (ratio 1) says the 99 s battery fits — the 4x
+    // factor is first-touch cold bias, not throttle: NO downshift (the
+    // live failure: a quiet 360 s run downshifted 232 entries and kept
+    // only 115 at measured scale)
+    assert(!BenchGate.shouldDownshift(paceAt(4.0), rest,
+      elapsed = 100.0, budget = 360.0, reserve = 25.0, hostRatio = 1.0))
+    // a genuinely throttled host (3.5x): 99 * 3.5 = 347 > 235 — downshift
     assert(BenchGate.shouldDownshift(paceAt(4.0), rest,
-      elapsed = 100.0, budget = 360.0, reserve = 25.0))
-    // quiet pace: 99 s fits easily — no downshift
+      elapsed = 100.0, budget = 360.0, reserve = 25.0, hostRatio = 3.5))
+    // LATE in the budget the warm-informed pace is believable on its own:
+    // past 60% the projection alone decides, host ratio ignored
+    assert(BenchGate.shouldDownshift(paceAt(4.0), rest,
+      elapsed = 300.0, budget = 360.0, reserve = 25.0, hostRatio = 1.0))
+    // quiet pace: projection fits — the host probe is never even consulted
+    // (by-name: evaluating it here would throw)
     assert(!BenchGate.shouldDownshift(paceAt(1.0), rest,
-      elapsed = 100.0, budget = 360.0, reserve = 25.0))
+      elapsed = 100.0, budget = 360.0, reserve = 25.0,
+      hostRatio = sys.error("probe must not run when the pace fits")))
     // no evidence (under 3 samples): never downshift
     assert(!BenchGate.shouldDownshift(paceAt(50.0, n = 2), rest,
-      elapsed = 300.0, budget = 360.0, reserve = 25.0))
+      elapsed = 300.0, budget = 360.0, reserve = 25.0, hostRatio = 50.0))
     // nothing unmeasured: nothing to shift
     assert(!BenchGate.shouldDownshift(paceAt(50.0), Seq.empty,
-      elapsed = 300.0, budget = 360.0, reserve = 25.0))
+      elapsed = 300.0, budget = 360.0, reserve = 25.0, hostRatio = 50.0))
   }
 
   test("downshift ladder: smaller sf siblings only, largest first") {
