@@ -248,8 +248,13 @@ object Bench {
       while (it.hasNext && elapsed() < warmupDeadline) {
         val (name, fn) = it.next()
         val w0 = System.nanoTime()
-        try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
-        warmupTimes(name) = (System.nanoTime() - w0) / 1e9
+        // record only SUCCESSFUL runs: a query that threw never measured
+        // anything, and its time-to-exception must not later count as
+        // labeled breadth in the fallback accounting
+        try {
+          fn(spark, warmupDir).count()
+          warmupTimes(name) = (System.nanoTime() - w0) / 1e9
+        } catch { case _: Throwable => () }
         warmupN += 1
         // pace cap (r14: the sweep burnt 90 s covering 19 entries at ~5 s
         // each in a throttled window — a quiet host does ~0.3-0.4 s/entry).

@@ -285,7 +285,10 @@ object BenchGate {
     * largest first (measuring sf0.1 → Seq(sf0.01, sf0.001)), so a
     * downshifted tail runs at the closest scale the budget can afford and
     * a still-worse window can step down again. Empty when the dir has no
-    * smaller sf-named sibling (measuring sf0.001 — nothing to shift to).
+    * smaller sf-named sibling (measuring sf0.001 — nothing to shift to)
+    * or when the measured dir itself is not sf-named (no scale to compare
+    * against: a sibling could be LARGER, and "downshifting" onto it would
+    * worsen the overrun while labeling the timings reduced-scale).
     * `overrideDir`: "none" disables, any other value is a single-level
     * ladder (test/dev hook). */
   def downshiftLadder(sfDir: String, overrideDir: Option[String]): Seq[String] =
@@ -299,7 +302,7 @@ object BenchGate {
           .flatMap(p => Option(p.listFiles()).toSeq.flatten)
           .filter(f => f.isDirectory && f.getAbsolutePath != measured.getAbsolutePath)
           .flatMap(f => sfValue(f.getName)
-            .filter(v => mv.forall(_ > v)).map(v => (v, f.getAbsolutePath)))
+            .filter(v => mv.exists(_ > v)).map(v => (v, f.getAbsolutePath)))
           .sortBy(-_._1)
           .map(_._2)
     }

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   *   gate = chunkstore (default) | semdedup | split | dupspan | erase
   *   knob = compactEvery for chunkstore, split, and dupspan (default 0 =
   *          off); gridBits for semdedup (default 8), then [compactEvery];
-  *          eraseEvery for erase (erase a doc batch every K ingest batches)
-  *   oob  = literal "oob" as the last arg (chunkstore): run the compaction
-  *          OUT-OF-BAND via StreamingOps.startMaintenanceLoop instead of
-  *          in-band compactEvery — §9.6's in-band-vs-out-of-band column
+  *          for erase: [eraseEvery] (default 5 — erase a doc slice every K
+  *          ingest batches) then [compactEvery] (default 5: the erase
+  *          curve measures a MAINTAINED store)
+  *   oob  = literal "oob" anywhere after the gate name (chunkstore/erase):
+  *          run the compaction OUT-OF-BAND via
+  *          StreamingOps.startMaintenanceLoop instead of in-band
+  *          compactEvery — §9.6's in-band-vs-out-of-band column
   * Output: one `SBATCH` line per micro-batch on stderr —
   *   `SBATCH gate=… b=<i> wall=<s> state_rows=<n>` — plus a `STOTAL` line
   *   (with maintenance-loop compaction/race counters under oob); the erase
@@ -59,8 +62,14 @@ object StreamScaleProbe {
     val (q, stateRows: (() => Long)) = gate match {
       case "chunkstore" | "erase" =>
         val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
-        val compactEvery = if (args.length > 4) args(4).toInt else 0
-        val oob = args.last == "oob"
+        // knobs after the gate name; "oob" may sit anywhere among them
+        // (numeric knobs keep positional meaning: chunkstore takes
+        // [compactEvery]; erase takes [eraseEvery] [compactEvery])
+        val oob = args.drop(4).contains("oob")
+        val nums = args.drop(4).filterNot(_ == "oob").map(_.toInt)
+        val compactEvery =
+          if (gate == "erase") nums.lift(1).getOrElse(5) // maintained store
+          else nums.headOption.getOrElse(0)
         val query = streaming.StreamingOps.startChunkStoreIngest(
           mem.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt",
           compactEvery = if (oob) 0 else compactEvery, trigger = trigger)
@@ -70,7 +79,7 @@ object StreamScaleProbe {
             onCompact = streaming.StreamingOps
               .chunkStoreMaintenanceRestamp(spark, chunkT)))
         if (gate == "erase") {
-          eraseEvery = if (args.length > 4) args(4).toInt else 5
+          eraseEvery = nums.headOption.getOrElse(5)
           val stride = math.max(1, rowsPerBatch / 10) // erase 10% of one batch
           eraseFn = Some { b =>
             // erase a slice from the OLDEST still-live batch region so

@@ -470,18 +470,27 @@ object DeltaExport {
           Option.empty[(String, String, Seq[String])])
     }
     val tail = jsonVs.filter(v => v <= upTo && ckpt.forall(c => v > c))
-    if (!(ckpt.isDefined || tail.headOption.contains(0L))) {
+    // the replayed state is exact ONLY if the JSON tail covers every
+    // version from the resolved base to upTo CONTIGUOUSLY (Delta versions
+    // are consecutive integers). Checking just "starts at 0 or has a
+    // checkpoint" would SILENTLY misread a log whose newer state lives in
+    // a multi-part checkpoint above an old single-part one (base resolves
+    // to the old checkpoint, the gap's actions vanish) — the exact
+    // fail-loudly contract this reader promises.
+    val lo = ckpt.map(_ + 1).getOrElse(0L)
+    if (tail != (lo to upTo)) {
       // distinguish "commits vacuumed" from "the state lives in a
       // checkpoint format we don't read" — the latter must name the
       // unsupported feature, not claim the log is broken
-      if (multiVs.exists(_ <= upTo))
+      if (multiVs.exists(v => v <= upTo && ckpt.forall(v > _)))
         throw new UnsupportedOperationException(
           s"$table v$upTo resolves only through a MULTI-PART checkpoint " +
             s"(v${multiVs.filter(_ <= upTo).max}); this reader implements " +
             "protocol v1 single-part checkpoints only — see DeltaExport scope note")
       require(requirement = false,
-        s"cannot resolve $table v$upTo: no checkpoint at or below it and the " +
-          "JSON chain does not start at version 0 (commits vacuumed)")
+        s"cannot resolve $table v$upTo: JSON commits " +
+          s"${(lo to upTo).filterNot(tail.contains).mkString(",")} are missing " +
+          s"above the resolvable base (commits vacuumed)")
     }
     val tailMeta = replayJson(f, table, tail, liveMap)
     val (schemaJson, partCols) = tailMeta.orElse(ckptMeta.map(m => (m._2, m._3)))

@@ -457,12 +457,17 @@ object Snapshots {
       out.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
       bytes.reset()
     }
+    // strict hex guard: Integer.parseInt accepts SIGNED "hex" ("+4", "-1"),
+    // which would decode a malformed escape to a garbage byte instead of
+    // passing it through verbatim
+    def hex(ch: Char): Boolean =
+      (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        try { bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
-        catch { case _: NumberFormatException => flush(); out.append(c); i += 1 }
+      if (c == '%' && i + 3 <= s.length && hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
       } else { flush(); out.append(c); i += 1 }
     }
     flush()
@@ -681,18 +686,33 @@ object Snapshots {
   def compactFragmented(
       spark: SparkSession,
       table: String,
-      maxBasesPerSpec: Int = 4): Long = {
+      maxBasesPerSpec: Int = 4): Long =
+    compactFragmentedCommitted(spark, table, maxBasesPerSpec)
+      .getOrElse(versions(spark, table).last)
+
+  /** As [[compactFragmented]], but reports whether a compaction COMMITTED:
+    * `Some(newVersion)` iff THIS call published a rewrite (whose base is
+    * then exactly `newVersion - 1` — the CAS pins it), `None` when nothing
+    * was fragmented. Out-of-band maintenance needs the distinction: a
+    * sidecar re-stamp must fire only for versions this job created — a
+    * loop comparing against a version list read BEFORE the call would
+    * misattribute a concurrent ingest's commit as "its" compaction and
+    * stamp a STALE sidecar over it (bloom false negatives — forbidden). */
+  def compactFragmentedCommitted(
+      spark: SparkSession,
+      table: String,
+      maxBasesPerSpec: Int = 4): Option[Long] = {
     val f = fs(spark, table)
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
     val m = readManifest(f, table, vs.last)
     if (m.partitions.isEmpty) {
-      if (m.dirs.size > maxBasesPerSpec) compact(spark, table) else vs.last
+      if (m.dirs.size > maxBasesPerSpec) Some(compact(spark, table)) else None
     } else {
       val frag = m.partitions.collect {
         case (spec, bases) if bases.size > maxBasesPerSpec => spec }.toSeq.sorted
-      if (frag.isEmpty) vs.last
-      else {
+      if (frag.isEmpty) None
+      else Some {
         val fragParsed = frag.map(parseSpec).toSet
         val cols = parseSpec(m.partitions.keys.head).keys.toSeq
           .sortBy(k => m.partitions.keys.head.split('/').indexWhere(_.startsWith(k + "=")))

@@ -349,20 +349,23 @@ object StreamingOps {
     * stays contiguous and the txn watermarks still swallow true replays
     * (pinned in ChunkStoreIngestSpec).
     *
-    * `onCompact(table, newVersion, prevVersion)` fires after a compaction
-    * COMMITTED — the chunk-store deployment re-stamps its DigestBloom
-    * sidecar there (compaction preserves the digest set, so the previous
-    * version's sidecar is re-stamped verbatim; see
-    * [[chunkStoreMaintenanceRestamp]]). Failures inside the loop count in
-    * `errors` and never kill the thread: transient read races against a
-    * concurrent vacuum are expected background noise, and a maintenance
-    * loop that dies silently is worse than one that skips a tick. */
+    * `onCompact(table, newVersion)` fires ONLY for versions this loop's
+    * compaction actually committed ([[graft.sinks.Snapshots.compactFragmentedCommitted]]
+    * — a stale version-list compare would misattribute a concurrent
+    * ingest's commit and stamp a stale sidecar over it); the chunk-store
+    * deployment re-stamps its DigestBloom sidecar there (compaction
+    * preserves the digest set, so the base version's sidecar carries
+    * verbatim; see [[chunkStoreMaintenanceRestamp]]). Failures inside the
+    * loop count in `errors` and never kill the thread: transient read
+    * races against a concurrent vacuum are expected background noise, and
+    * a maintenance loop that dies silently is worse than one that skips a
+    * tick. */
   def startMaintenanceLoop(
       spark: org.apache.spark.sql.SparkSession,
       tables: Seq[String],
       intervalMs: Long = 5000,
       maxBasesPerSpec: Int = 4,
-      onCompact: (String, Long, Long) => Unit = (_, _, _) => ()): MaintenanceLoop = {
+      onCompact: (String, Long) => Unit = (_, _) => ()): MaintenanceLoop = {
     val run = new java.util.concurrent.atomic.AtomicBoolean(true)
     val compactions = new java.util.concurrent.atomic.AtomicLong
     val races = new java.util.concurrent.atomic.AtomicLong
@@ -372,14 +375,13 @@ object StreamingOps {
         tables.foreach { t =>
           if (run.get())
             try {
-              val vs = graft.sinks.Snapshots.versions(spark, t)
-              if (vs.nonEmpty) {
-                val v = graft.sinks.Snapshots.compactFragmented(spark, t, maxBasesPerSpec)
-                if (v != vs.last) {
-                  compactions.incrementAndGet()
-                  onCompact(t, v, vs.last)
-                }
-              }
+              if (graft.sinks.Snapshots.versions(spark, t).nonEmpty)
+                graft.sinks.Snapshots
+                  .compactFragmentedCommitted(spark, t, maxBasesPerSpec)
+                  .foreach { v =>
+                    compactions.incrementAndGet()
+                    onCompact(t, v)
+                  }
             } catch {
               case e: java.io.IOException
                   if Option(e.getMessage).exists(_.contains("commit race")) =>
@@ -403,12 +405,17 @@ object StreamingOps {
     * out-of-band compaction of the CHUNK table must carry the DigestBloom
     * sidecar forward to the compacted version (identical digest set — a
     * verbatim re-stamp, no rebuild), else the next ingest batch distrusts
-    * the sidecar and pays a full-table bloom rebuild. */
+    * the sidecar and pays a full-table bloom rebuild. The source version
+    * is exactly `v - 1`: the compaction's CAS pins its base, and
+    * `onCompact` fires only for versions the loop itself committed. The
+    * exists-guard is belt-and-suspenders — a sidecar already present at
+    * `v` is authoritative and must never be replaced by a copy. */
   def chunkStoreMaintenanceRestamp(
       spark: org.apache.spark.sql.SparkSession,
-      chunkTable: String)(table: String, v: Long, prev: Long): Unit =
-    if (table == chunkTable)
-      graft.sinks.DigestBloom.read(spark, chunkTable, prev)
+      chunkTable: String)(table: String, v: Long): Unit =
+    if (table == chunkTable &&
+        graft.sinks.DigestBloom.read(spark, chunkTable, v).isEmpty)
+      graft.sinks.DigestBloom.read(spark, chunkTable, v - 1)
         .foreach(b => graft.sinks.DigestBloom.write(spark, chunkTable, v, b))
 
   def startDupSpanIngest(

@@ -281,6 +281,10 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.downshiftLadder(s01.toString, None) == Seq(s001.toString))
     // measuring the smallest: nothing to shift to
     assert(BenchGate.downshiftLadder(s001.toString, None).isEmpty)
+    // a NON-sf-named measured dir has no scale to compare against — the
+    // ladder must be empty, not "every sf sibling" (which could be LARGER)
+    val prod = java.nio.file.Files.createDirectory(parent.resolve("prod"))
+    assert(BenchGate.downshiftLadder(prod.toString, None).isEmpty)
     // override hooks: explicit single level, and the disable sentinel
     assert(BenchGate.downshiftLadder(s1.toString, Some("/elsewhere")) == Seq("/elsewhere"))
     assert(BenchGate.downshiftLadder(s1.toString, Some("none")).isEmpty)

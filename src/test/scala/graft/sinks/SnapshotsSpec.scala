@@ -291,6 +291,13 @@ class SnapshotsSpec extends SparkSpec {
     }
     assert(Snapshots.parseSpec(Snapshots.partitions(spark, t).head) == Map("g" -> "x y"))
     assert(Snapshots.read(spark, t).select("g").as[String].head() == "x y")
+    // percent-decode discipline: %XX decodes, '+' stays literal (hive
+    // never escapes it), malformed/SIGNED escapes pass through verbatim
+    // (Integer.parseInt would otherwise accept "%-1"/"%+4" as hex)
+    assert(Snapshots.parseSpec("g=a%3Ab") == Map("g" -> "a:b"))
+    assert(Snapshots.parseSpec("g=a+b") == Map("g" -> "a+b"))
+    assert(Snapshots.parseSpec("g=a%-1b%+4c%zq%2") == Map("g" -> "a%-1b%+4c%zq%2"))
+    assert(Snapshots.parseSpec("g=%E2%82%AC") == Map("g" -> "€")) // UTF-8 multibyte
   }
 
   test("changes: appends surface as inserts, overwrite as delete+insert, file-level only") {
