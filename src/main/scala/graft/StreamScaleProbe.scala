@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   *          for erase: [eraseEvery] (default 5 — erase a doc slice every K
   *          ingest batches) then [compactEvery] (default 5: the erase
   *          curve measures a MAINTAINED store)
-  *   oob  = literal "oob" anywhere after the gate name (chunkstore/erase):
-  *          run the compaction OUT-OF-BAND via
+  *   oob  = literal "oob" anywhere after the gate name (any gate): run
+  *          the compaction OUT-OF-BAND via
   *          StreamingOps.startMaintenanceLoop instead of in-band
   *          compactEvery — §9.6's in-band-vs-out-of-band column
   * Output: one `SBATCH` line per micro-batch on stderr —
@@ -59,14 +59,14 @@ object StreamScaleProbe {
     var eraseFn: Option[Int => Unit] = None
     var eraseEvery = 0
 
+    // knobs after the gate name; "oob" may sit anywhere among them
+    // (numeric knobs keep positional meaning per the usage doc)
+    val oob = args.drop(4).contains("oob")
+    val nums = args.drop(4).filterNot(_ == "oob").map(_.toInt)
+
     val (q, stateRows: (() => Long)) = gate match {
       case "chunkstore" | "erase" =>
         val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
-        // knobs after the gate name; "oob" may sit anywhere among them
-        // (numeric knobs keep positional meaning: chunkstore takes
-        // [compactEvery]; erase takes [eraseEvery] [compactEvery])
-        val oob = args.drop(4).contains("oob")
-        val nums = args.drop(4).filterNot(_ == "oob").map(_.toInt)
         val compactEvery =
           if (gate == "erase") nums.lift(1).getOrElse(5) // maintained store
           else nums.headOption.getOrElse(0)
@@ -98,12 +98,15 @@ object StreamScaleProbe {
         (query, () => sinks.Snapshots.read(spark, chunkT).count())
       case "semdedup" =>
         val outT = s"$dir/corpus"
-        val gridBits = if (args.length > 4) args(4).toInt else 8
-        val compactEvery = if (args.length > 5) args(5).toInt else 0
+        val gridBits = nums.headOption.getOrElse(8)
+        val compactEvery = nums.lift(1).getOrElse(0)
         val query = streaming.StreamingOps.startSemDedupIngest(
           embeddingsFor(mem.toDF().toDF("doc_id", "text")),
           outT, s"$dir/ckpt", minCos = 0.995, gridBits = gridBits, dim = 16,
-          compactEvery = compactEvery, trigger = trigger)
+          compactEvery = if (oob) 0 else compactEvery, trigger = trigger)
+        if (oob)
+          loop = Some(streaming.StreamingOps.startMaintenanceLoop(
+            spark, Seq(outT), intervalMs = 1000))
         (query, () => if (sinks.Snapshots.versions(spark, outT).isEmpty) 0L
                       else sinks.Snapshots.read(spark, outT).count())
       case "dupspan" =>
@@ -111,10 +114,13 @@ object StreamScaleProbe {
         // grams probed against the bucket-pruned 8-gram index — the index
         // is the growing state axis
         val (docsT, gramT) = (s"$dir/docs", s"$dir/grams")
-        val compactEvery = if (args.length > 4) args(4).toInt else 0
+        val compactEvery = nums.headOption.getOrElse(0)
         val query = streaming.StreamingOps.startDupSpanIngest(
           mem.toDF().toDF("doc_id", "text"), docsT, gramT, s"$dir/ckpt",
-          compactEvery = compactEvery, trigger = trigger)
+          compactEvery = if (oob) 0 else compactEvery, trigger = trigger)
+        if (oob)
+          loop = Some(streaming.StreamingOps.startMaintenanceLoop(
+            spark, Seq(docsT, gramT), intervalMs = 1000))
         (query, () => if (sinks.Snapshots.versions(spark, gramT).isEmpty) 0L
                       else sinks.Snapshots.read(spark, gramT).count())
       case "split" =>
@@ -122,10 +128,13 @@ object StreamScaleProbe {
         // (token index probe + candidate doc fetch) — the §9.4 axis here
         // is the token index, whose row count grows fastest
         val (docsT, tokenT) = (s"$dir/docs", s"$dir/tokens")
-        val compactEvery = if (args.length > 4) args(4).toInt else 0
+        val compactEvery = nums.headOption.getOrElse(0)
         val query = streaming.StreamingOps.startSplitIngest(
           mem.toDF().toDF("doc_id", "text"), docsT, tokenT, s"$dir/ckpt",
-          compactEvery = compactEvery, trigger = trigger)
+          compactEvery = if (oob) 0 else compactEvery, trigger = trigger)
+        if (oob)
+          loop = Some(streaming.StreamingOps.startMaintenanceLoop(
+            spark, Seq(docsT, tokenT), intervalMs = 1000))
         (query, () => if (sinks.Snapshots.versions(spark, tokenT).isEmpty) 0L
                       else sinks.Snapshots.read(spark, tokenT).count())
       case other => sys.error(s"unknown gate $other")
