@@ -479,18 +479,22 @@ object DeltaExport {
     // fail-loudly contract this reader promises.
     val lo = ckpt.map(_ + 1).getOrElse(0L)
     if (tail != (lo to upTo)) {
+      val missing = (lo to upTo).filterNot(tail.contains)
       // distinguish "commits vacuumed" from "the state lives in a
-      // checkpoint format we don't read" — the latter must name the
-      // unsupported feature, not claim the log is broken
-      if (multiVs.exists(v => v <= upTo && ckpt.forall(v > _)))
+      // checkpoint format we don't read" — blame a multi-part checkpoint
+      // ONLY when resolving through it would actually close the gap
+      // (every missing version at or below it); a gap ABOVE the newest
+      // multi-part checkpoint is unresolvable for ANY reader, and the
+      // true vacuumed-commits diagnosis must not be masked
+      if (multiVs.exists(v => v <= upTo && ckpt.forall(v > _) &&
+          missing.forall(_ <= v)))
         throw new UnsupportedOperationException(
           s"$table v$upTo resolves only through a MULTI-PART checkpoint " +
             s"(v${multiVs.filter(_ <= upTo).max}); this reader implements " +
             "protocol v1 single-part checkpoints only — see DeltaExport scope note")
       require(requirement = false,
-        s"cannot resolve $table v$upTo: JSON commits " +
-          s"${(lo to upTo).filterNot(tail.contains).mkString(",")} are missing " +
-          s"above the resolvable base (commits vacuumed)")
+        s"cannot resolve $table v$upTo: JSON commits ${missing.mkString(",")} " +
+          "are missing above the resolvable base (commits vacuumed)")
     }
     val tailMeta = replayJson(f, table, tail, liveMap)
     val (schemaJson, partCols) = tailMeta.orElse(ckptMeta.map(m => (m._2, m._3)))

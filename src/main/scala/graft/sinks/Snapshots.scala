@@ -686,9 +686,10 @@ object Snapshots {
   def compactFragmented(
       spark: SparkSession,
       table: String,
-      maxBasesPerSpec: Int = 4): Long =
-    compactFragmentedCommitted(spark, table, maxBasesPerSpec)
-      .getOrElse(versions(spark, table).last)
+      maxBasesPerSpec: Int = 4): Long = {
+    val (committed, current) = compactFragmentedImpl(spark, table, maxBasesPerSpec)
+    committed.getOrElse(current)
+  }
 
   /** As [[compactFragmented]], but reports whether a compaction COMMITTED:
     * `Some(newVersion)` iff THIS call published a rewrite (whose base is
@@ -701,12 +702,22 @@ object Snapshots {
   def compactFragmentedCommitted(
       spark: SparkSession,
       table: String,
-      maxBasesPerSpec: Int = 4): Option[Long] = {
+      maxBasesPerSpec: Int = 4): Option[Long] =
+    compactFragmentedImpl(spark, table, maxBasesPerSpec)._1
+
+  /** (committed version if this call published, current version at entry):
+    * ONE manifest listing serves both callers — re-listing in a getOrElse
+    * would be an extra metadata RPC per no-op tick AND a TOCTOU that can
+    * report a concurrent writer's version as this call's outcome. */
+  private def compactFragmentedImpl(
+      spark: SparkSession,
+      table: String,
+      maxBasesPerSpec: Int): (Option[Long], Long) = {
     val f = fs(spark, table)
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
     val m = readManifest(f, table, vs.last)
-    if (m.partitions.isEmpty) {
+    val committed: Option[Long] = if (m.partitions.isEmpty) {
       if (m.dirs.size > maxBasesPerSpec) Some(compact(spark, table)) else None
     } else {
       val frag = m.partitions.collect {
@@ -727,6 +738,7 @@ object Snapshots {
           baseVersion = Some(vs.last))
       }
     }
+    (committed, vs.last)
   }
 
   /** Drop data referenced by no retained manifest (failed commits,

@@ -310,6 +310,14 @@ class DeltaExportSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("multi-part"))
     // the state AT the single-part checkpoint itself stays resolvable
     assert(DeltaExport.read(spark, t, Some(1L)).select($"k").as[Int].collect().toSet == Set(1))
+    // a gap ABOVE the multi-part checkpoint is unresolvable for ANY
+    // reader — the failure must give the true vacuumed-commits diagnosis,
+    // not blame the (irrelevant) multi-part format
+    writeCommit(t, 5L, Seq(
+      s"""{"add":{"path":"${part("d1")}","partitionValues":{},"size":1,"modificationTime":6,"dataChange":true}}"""))
+    val e3 = intercept[IllegalArgumentException] { DeltaExport.read(spark, t) }
+    assert(e3.getMessage.contains("missing") && e3.getMessage.contains("4"),
+      s"gap above the multi-part checkpoint must report missing commits: ${e3.getMessage}")
   }
 
   test("checkpoint id survives vacuuming the metaData-bearing commit (no identity change)") {
