@@ -249,6 +249,34 @@ class SnapshotsSpec extends SparkSpec {
       Set(1, 3, 101, 102, 103, 104, 105))
   }
 
+  test("commitRetryingRaces: re-derives by name on a race, rethrows when exhausted, passes other failures through") {
+    // by-name re-evaluation is the load-bearing part: the retry must
+    // re-run the WHOLE commit expression (manifest re-reads included)
+    var calls = 0
+    val v = Snapshots.commitRetryingRaces(attempts = 3) {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException(s"snapshot commit race on t v$calls")
+      42L
+    }
+    assert(v == 42L && calls == 3)
+    // attempts exhausted: the last race rethrows (something is hammering
+    // the table — fail loud, never spin)
+    var calls2 = 0
+    val e = intercept[java.io.IOException] {
+      Snapshots.commitRetryingRaces(attempts = 2) {
+        calls2 += 1
+        throw new java.io.IOException("commit race forever")
+      }
+    }
+    assert(e.getMessage.contains("commit race") && calls2 == 2)
+    // a NON-race IOException is not retried — it is a real failure
+    var calls3 = 0
+    intercept[java.io.IOException] {
+      Snapshots.commitRetryingRaces() { calls3 += 1; throw new java.io.IOException("disk full") }
+    }
+    assert(calls3 == 1)
+  }
+
   test("manifest schema drives reads: ZERO footer opens at plan time, evolution intact") {
     // mergeSchema reconciliation reads EVERY file's footer on the driver
     // before the first task — a scan-startup killer at millions of files.
