@@ -54,6 +54,18 @@ import org.apache.spark.sql.SparkSession
   * gate stay measured-scale-only. Later passes re-measure downshifted
   * entries at full scale first if the window recovers.
   *
+  * RESUMABLE CAPTURE (round-17 lesson — r16's spiky window measured 111
+  * entries warm at sf0.1 while three quiet local captures covered all
+  * 235): per-entry measured-scale minima (+ measurement counts) persist
+  * to a state file (SPARK_GRAFT_BENCH_STATE, default under
+  * java.io.tmpdir) keyed by git tree hash + measured dir; the next
+  * invocation under the SAME tree folds them in, so consecutive captures
+  * ACCUMULATE warm coverage and spend each window's budget on entries no
+  * prior window reached. Any code change invalidates the key (no stale
+  * minima); `resumed_n` in the JSON line records how many entries were
+  * folded. Downshift still covers breadth within a single window; resume
+  * fixes depth across windows.
+  *
   * KNOWN BOUND: the budget and the periodic emit are both checked BETWEEN
   * queries — a single query that hangs runs unbounded, and if the driver
   * then kills the process the stdout tail still holds the last complete
@@ -330,6 +342,23 @@ object Bench {
     var fullPasses = 0
     var headlinePasses = 0
     var retestN = 0
+    // RESUMABLE CAPTURE (round-17): fold the previous invocation's
+    // measured-scale minima into this run's `best` when the source tree
+    // (git hash + dirty digest) and measured dir both match — consecutive
+    // driver windows then ACCUMULATE sf0.1 warm coverage instead of
+    // re-rolling window luck (BENCH_r16 got 111/235 warm in a spiky window
+    // that quiet local runs cover fully). Resumed entries carry their
+    // measurement counts so the warm-only regression gate treats them
+    // honestly; pass 1's unmeasured-first ordering then spends this
+    // window's budget on entries no prior window reached. Minima-fold is
+    // safe by construction: a min over measurements from several quiet
+    // windows of the same tree is still a measurement of that tree.
+    val stateKey = BenchGate.treeKey()
+    val statePath = BenchGate.statePathFor(sys.env.get("SPARK_GRAFT_BENCH_STATE"))
+    val resumed = BenchGate.loadState(statePath, stateKey, sfDir)
+      .filter { case (name, _) => SparkEntry.queries.contains(name) }
+    resumed.foreach { case (name, (m, n)) => best(name) = m; nMeasured(name) = n }
+    val resumedN = resumed.size
     // live pace model + the phase's current pass target (2 = quiet contract)
     val pace = new BenchGate.Pace(benchBaseline.mins)
     var headlineTarget = 2
@@ -390,16 +419,27 @@ object Bench {
       // this fallback set is empty by the final line.
       val fallback = warmupTimes.view.filterKeys(n =>
         !best.contains(n) && !bestDown.contains(n)).toMap
-      val nAll = (best.keySet ++ bestDown.keySet ++ fallback.keySet).size
-      val perDir = (downDir.toMap ++ fallback.keys.map(_ -> warmupDir))
+      // an entry later re-measured at full scale LEAVES the downshift
+      // ledger (mirroring how `fallback` already excludes it): a recovered
+      // window must not over-report downshift, and n_sf + downshift_n
+      // must never exceed n_queries
+      val downOnly = bestDown.view.filterKeys(n => !best.contains(n)).toMap
+      val dirOnly = downDir.view.filterKeys(n => !best.contains(n)).toMap
+      val nAll = (best.keySet ++ downOnly.keySet ++ fallback.keySet).size
+      val perDir = (dirOnly ++ fallback.keys.map(_ -> warmupDir))
         .groupBy(_._2).view.mapValues(_.size).toSeq.sortBy(_._1)
       val downJson = perDir.map { case (dir, n) => s""""$dir":$n""" }
         .mkString("{", ",", "}")
-      val downN = bestDown.size + fallback.size
-      val downTotal = bestDown.values.sum + fallback.values.sum
+      val downN = downOnly.size + fallback.size
+      val downTotal = downOnly.values.sum + fallback.values.sum
       val down = s""""n_sf":${best.size},"downshift_n":$downN,"downshift_total":${r3(downTotal)},"downshift":$downJson"""
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":$nAll,$down,"pass":$pass,"complete":$complete,"full_passes":$fullPasses,"headline_passes":$headlinePasses,"headline_target":$headlineTarget,"degraded":$degraded,"warmup_n":$warmupN,"warmup_t":${r3(warmupT)},"regressions":$regsJson,"regressions_n":${regs.size},"cold_flags":$coldJson,"cold_flags_n":${coldFlags.size},$retests,$probes,$probeRefs,$calib,"queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":${r3(elapsed())},"n_queries":$nAll,$down,"pass":$pass,"complete":$complete,"full_passes":$fullPasses,"headline_passes":$headlinePasses,"headline_target":$headlineTarget,"degraded":$degraded,"warmup_n":$warmupN,"warmup_t":${r3(warmupT)},"resumed_n":$resumedN,"regressions":$regsJson,"regressions_n":${regs.size},"cold_flags":$coldJson,"cold_flags_n":${coldFlags.size},$retests,$probes,$probeRefs,$calib,"queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
+      // persist the accumulated measured-scale minima at every emit point:
+      // a driver-killed run still leaves its coverage on disk for the next
+      // invocation to resume (write-temp + rename — never torn)
+      BenchGate.saveState(statePath, stateKey, sfDir, calibSpark,
+        best.toMap.map { case (k, v) => k -> (v, nMeasured(k)) })
     }
 
     var lastEmit = 0.0
@@ -549,11 +589,17 @@ object Bench {
           }
           val dir = downLadder(downLevel)
           val q0 = System.nanoTime()
-          try { fn(spark, dir).count() } catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - q0) / 1e9
-          bestDown.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
-          if (!downDir.contains(name)) downDir(name) = dir
-          downObs += dt
+          // record only SUCCESSFUL completions (same rule the warm-up
+          // sweep follows): a query that threw at the smaller scale — a
+          // fixture missing at sf0.001, say — measured nothing, and its
+          // time-to-exception must not count as labeled downshift breadth
+          try {
+            fn(spark, dir).count()
+            val dt = (System.nanoTime() - q0) / 1e9
+            bestDown.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+            if (!downDir.contains(name)) downDir(name) = dir
+            downObs += dt
+          } catch { case _: Throwable => () }
         } else {
           val q0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

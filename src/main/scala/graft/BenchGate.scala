@@ -106,6 +106,97 @@ object BenchGate {
     }
   }
 
+  /** RESUMABLE CAPTURE (round-17): identity of the current source tree,
+    * used to invalidate persisted bench state when the code changed. HEAD
+    * commit hash plus an MD5 of `git status --porcelain` (so a dirty tree
+    * differs from its clean parent, and any edit invalidates). Empty
+    * string when git is unavailable — the caller then neither resumes nor
+    * persists (fail-safe: no resume beats resuming stale minima). */
+  def treeKey(): String = {
+    def run(cmd: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (p.waitFor() == 0) Some(out.trim) else None
+      } catch { case _: Throwable => None }
+    (for {
+      head <- run("git", "rev-parse", "HEAD")
+      dirty <- run("git", "status", "--porcelain")
+    } yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(dirty.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.take(8)
+      s"$head-$dig"
+    }).getOrElse("")
+  }
+
+  /** Default state-file location: OUTSIDE the repo (java.io.tmpdir), so
+    * persisting the state cannot itself dirty `git status` and invalidate
+    * the very key that guards it. Override via SPARK_GRAFT_BENCH_STATE;
+    * "none" disables resume entirely. */
+  def statePathFor(overridePath: Option[String]): String =
+    overridePath.getOrElse(
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-bench-state.properties").getAbsolutePath)
+
+  /** Load persisted per-entry (measured-scale minimum, measurement count)
+    * pairs — empty when the file is absent, unreadable, or was written
+    * under a DIFFERENT tree key or measured dir (stale state never
+    * resumes). The count rides along so the warm-only regression gate
+    * (n >= 2) treats resumed warm entries as warm. */
+  def loadState(path: String, treeKey: String, sfDir: String): Map[String, (Double, Int)] =
+    if (path == "none" || treeKey.isEmpty) Map.empty
+    else try {
+      val f = new java.io.File(path)
+      if (!f.isFile) Map.empty
+      else {
+        val lines = scala.io.Source.fromFile(f, "UTF-8").getLines()
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+        val kv = lines.flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k.trim -> v.trim)
+            case _ => None
+          }
+        }.toMap
+        if (!kv.get("_tree").contains(treeKey) || !kv.get("_sf").contains(sfDir))
+          Map.empty
+        else kv.view.filterKeys(k => !k.startsWith("_")).toMap.flatMap {
+          case (name, v) => v.split(",", 2) match {
+            case Array(min, n) =>
+              for (m <- min.toDoubleOption; c <- n.toIntOption) yield name -> (m, c)
+            case _ => None
+          }
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Persist the current accumulated (min, count) map, write-temp +
+    * rename so a killed run never leaves a torn state file. Silent no-op
+    * on any failure — state is an accelerator, never a gate. */
+  def saveState(
+      path: String,
+      treeKey: String,
+      sfDir: String,
+      calibSpark: Double,
+      entries: Map[String, (Double, Int)]): Unit =
+    if (path != "none" && treeKey.nonEmpty) try {
+      val sb = new StringBuilder()
+      sb.append("# graft bench resumable-capture state\n")
+      sb.append(s"_tree=$treeKey\n_sf=$sfDir\n")
+      sb.append(String.format(java.util.Locale.ROOT, "_calib_spark=%.3f%n", calibSpark))
+      entries.toSeq.sortBy(_._1).foreach { case (name, (m, n)) =>
+        sb.append(String.format(java.util.Locale.ROOT, "%s=%.4f,%d%n", name,
+          Double.box(m), Integer.valueOf(n)))
+      }
+      val p = java.nio.file.Paths.get(path)
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, sb.toString)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Throwable => () }
+
   /** Warm-up directory for a measured `sfDir`: the explicit override when
     * set (`"none"` disables the sweep), else the smallest sibling
     * (`sf0.001`) when it exists and differs from the measured dir — a

@@ -126,6 +126,46 @@ object Snapshots {
     v
   }
 
+  /** Hard-link support, probed ONCE per manifest directory and cached.
+    * Catching link failures inline at publish time conflated "this mount
+    * has no link(2)" with REAL commit failures (AccessDenied, quota,
+    * transient IO) — degrading those to a weaker arbiter silently dropped
+    * the no-overwrite guarantee exactly when commits started failing. The
+    * probe links a throwaway file to a throwaway name: only link-layer
+    * refusals mark the mount degraded; everything else at publish time
+    * propagates as the commit failure it is. */
+  private val linkSupport =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def linksSupported(dir: java.nio.file.Path): Boolean =
+    linkSupport.computeIfAbsent(dir.toString, _ => {
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val src = dir.resolve(s".linkprobe-$nonce.src")
+      val lnk = dir.resolve(s".linkprobe-$nonce.lnk")
+      try {
+        java.nio.file.Files.createFile(src)
+        try { java.nio.file.Files.createLink(lnk, src); java.lang.Boolean.TRUE }
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            System.err.println(s"[graft.Snapshots] WARNING: no hard-link support " +
+              s"under $dir — manifest publishes run in DEGRADED mode " +
+              "(claim-file arbitration instead of link(2))")
+            java.lang.Boolean.FALSE
+        }
+      } finally {
+        try java.nio.file.Files.deleteIfExists(lnk)
+        catch { case _: java.io.IOException => () }
+        try java.nio.file.Files.deleteIfExists(src)
+        catch { case _: java.io.IOException => () }
+      }
+    })
+
+  /** TEST HOOK: pin a manifest directory's probed link capability, so the
+    * spec can exercise the degraded (claim-file) arbiter on a filesystem
+    * that HAS hard links. Production code never calls this. */
+  private[sinks] def setLinkSupportForTest(dir: java.nio.file.Path, supported: Boolean): Unit =
+    linkSupport.put(dir.toString, java.lang.Boolean.valueOf(supported))
+
   /** ATOMIC no-overwrite publish of `tmp` as `dst` — the commit-race
     * arbiter. `FileSystem.rename` is NOT that arbiter everywhere: HDFS
     * refuses an existing destination, but RawLocalFileSystem delegates to
@@ -134,38 +174,61 @@ object Snapshots {
     * first's just-published manifest (a lost update, caught live by the
     * concurrent-writers spec). On file:// the arbiter is hard-link
     * creation (link(2) fails EEXIST atomically, no stat-then-rename
-    * window); elsewhere rename keeps its documented no-overwrite
-    * semantics. Returns false when the version was already won. */
+    * window). Mounts without link support (probed once, [[linksSupported]])
+    * arbitrate on a per-version CLAIM file instead — `Files.createFile` is
+    * O_CREAT|O_EXCL, equally atomic — and the claim winner ATOMIC_MOVEs its
+    * tmp into place, so readers only ever see fully-written manifests.
+    * (The previous degraded path was check-then-ATOMIC_MOVE; POSIX
+    * ATOMIC_MOVE REPLACES an existing destination, so two racing writers
+    * could both "win" — the claim file closes that.) Any other IO failure
+    * at publish time PROPAGATES as a commit failure. Returns false when the
+    * version was already won. */
   private[sinks] def publishNoOverwrite(f: FileSystem, tmp: Path, dst: Path): Boolean =
     if ("file".equals(f.getUri.getScheme)) {
       val t = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
       val d = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
-      try {
-        java.nio.file.Files.createLink(d, t)
-        f.delete(tmp, false) // drops the tmp name (and its .crc shadow)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        // file:// mounts WITHOUT hard-link support (overlay/network
-        // filesystems): link(2) throws UnsupportedOperation or a generic
-        // FileSystemException (EAlreadyExists was caught above). Degrade
-        // to check-then-ATOMIC_MOVE: a narrower arbiter (a racing writer
-        // can slip between the check and the move) but a commit succeeds
-        // instead of every publish hard-failing — and on such mounts
-        // rename-based table formats share exactly this window.
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          if (java.nio.file.Files.exists(d)) false
-          else
-            try {
-              java.nio.file.Files.move(t, d,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              // NIO move bypasses Hadoop, so drop tmp's .crc shadow by hand
-              try f.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
-              catch { case _: java.io.IOException => () }
-              true
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException => false
-            }
+      if (linksSupported(d.getParent)) {
+        try {
+          java.nio.file.Files.createLink(d, t)
+          f.delete(tmp, false) // drops the tmp name (and its .crc shadow)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // AccessDenied / quota / transient FileSystemExceptions fall
+          // through: the probe already decided this mount HAS link(2), so
+          // these are commit failures, not capability gaps
+        }
+      } else {
+        // DEGRADED (no hard links): claim-file arbitration. The claim
+        // persists beside the manifest (never matches the v\d+\.json
+        // version regex) so the version can never be "won" twice; the
+        // manifest itself only ever appears via ATOMIC_MOVE of a fully-
+        // written tmp.
+        val claim = d.resolveSibling(s"${d.getFileName}.claim")
+        try {
+          java.nio.file.Files.createFile(claim)
+          java.nio.file.Files.move(t, d, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // NIO move bypasses Hadoop, so drop tmp's .crc shadow by hand
+          try f.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
+          catch { case _: java.io.IOException => () }
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // Lost the claim. If the winner's manifest never materializes
+            // the claim is a crash orphan (writer died between claim and
+            // move): fail LOUDLY after a grace window instead of letting
+            // commitRetryingRaces recompute the same version forever.
+            val age =
+              try System.currentTimeMillis() -
+                java.nio.file.Files.getLastModifiedTime(claim).toMillis
+              catch { case _: java.io.IOException => 0L }
+            if (!java.nio.file.Files.exists(d) && age > 60000L)
+              throw new java.io.IOException(
+                s"stale claim $claim (${age} ms old, no published manifest): " +
+                "a writer died mid-publish in degraded (no-hard-link) mode; " +
+                "remove the claim file to recover the version")
+            false
+        }
       }
     } else f.rename(tmp, dst)
 
@@ -769,7 +832,13 @@ object Snapshots {
     val vs = versions(spark, table)
     val keep = vs.takeRight(math.max(1, retainLast))
     vs.dropRight(math.max(1, retainLast))
-      .foreach(v => f.delete(manifestPath(table, v), false))
+      .foreach { v =>
+        f.delete(manifestPath(table, v), false)
+        // degraded-mode claim sidecar (see publishNoOverwrite), if any
+        val mp = manifestPath(table, v)
+        try f.delete(new Path(mp.getParent, s"${mp.getName}.claim"), false)
+        catch { case _: java.io.IOException => () }
+      }
     val keepManifests = keep.map(readManifest(f, table, _))
     val liveDirs = keepManifests.flatMap(_.dirs).toSet
     val livePairs = keepManifests.flatMap(_.partitions.toSeq.flatMap {

@@ -1156,25 +1156,58 @@ object StreamingOps {
         // still runs: recovery)
         val replacedMan = Snapshots.partitions(spark, manifestTable, Some(manV))
           .filter(sp => Snapshots.parseSpec(sp).get("dbucket").exists(dbks))
-        if (replacedMan.isEmpty) manV
-        else {
-          val bucketRows = Snapshots.read(spark, manifestTable, Some(manV),
+        val bucketRows =
+          if (replacedMan.isEmpty) None
+          else Some(Snapshots.read(spark, manifestTable, Some(manV),
               partitionFilter = m => m.get("dbucket").exists(dbks))
-            .localCheckpoint() // one read serves the probe and the rewrite
-          val erasedRows = bucketRows.filter(col("doc_id").isin(docIds: _*))
-          if (erasedRows.isEmpty) manV
+            .localCheckpoint()) // one read serves the probe and the rewrite
+        // COVERAGE CHECK on the dbucket derivation (same premise-
+        // verification as the sweep's, ADVICE r16): with the ingest's own
+        // bucket count every still-present requested doc lives in its
+        // derived dbucket. A requested doc the pruned read can NOT find is
+        // EITHER already erased OR sitting in a partition the (mismatched)
+        // derivation never read — and concluding "already erased" in the
+        // second case silently RETAINS the doc on an erasure API.
+        val found: Set[Long] = bucketRows.map(
+          _.filter(col("doc_id").isin(docIds: _*)).select(col("doc_id"))
+            .distinct().collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+        if (found == docIds.toSet) {
+          val br = bucketRows.get
+          val erasedRows = br.filter(col("doc_id").isin(docIds: _*))
+          // the erased docs' own digests, pinned BEFORE the replace: only
+          // these can have been orphaned BY THIS ERASE, so the sweep can
+          // prune its chunk-side read to their cbuckets (§9.6 curve —
+          // without this the sweep re-reads the whole chunk table per
+          // erase). Pre-existing orphans from an earlier crash still
+          // fall to the full recovery sweep below.
+          cands = Some(erasedRows.select(col("chunk_hash")).distinct().localCheckpoint())
+          manifestLegRan = true
+          Snapshots.commitPartitionReplace(
+            br.filter(!col("doc_id").isin(docIds: _*)),
+            manifestTable, Seq("dbucket"), replacedMan,
+            baseVersion = Some(manV))
+        } else {
+          // premise failed for at least one doc: locate the docs' rows
+          // bucket-agnostically (ONE column-pruned manifest scan — the
+          // same O as the sweep's reference scan, paid only on premise
+          // failure), then rewrite exactly the partitions that hold them
+          val hitBks: Set[String] = Snapshots.read(spark, manifestTable, Some(manV))
+            .filter(col("doc_id").isin(docIds: _*))
+            .select(col("dbucket").cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+          if (hitBks.isEmpty) manV // genuinely nothing left to erase
           else {
-            // the erased docs' own digests, pinned BEFORE the replace: only
-            // these can have been orphaned BY THIS ERASE, so the sweep can
-            // prune its chunk-side read to their cbuckets (§9.6 curve —
-            // without this the sweep re-reads the whole chunk table per
-            // erase). Pre-existing orphans from an earlier crash still
-            // fall to the full recovery sweep below.
-            cands = Some(erasedRows.select(col("chunk_hash")).distinct().localCheckpoint())
+            val replaced2 = Snapshots.partitions(spark, manifestTable, Some(manV))
+              .filter(sp => Snapshots.parseSpec(sp).get("dbucket").exists(hitBks))
+            val rows2 = Snapshots.read(spark, manifestTable, Some(manV),
+                partitionFilter = m => m.get("dbucket").exists(hitBks))
+              .localCheckpoint()
+            cands = Some(rows2.filter(col("doc_id").isin(docIds: _*))
+              .select(col("chunk_hash")).distinct().localCheckpoint())
             manifestLegRan = true
             Snapshots.commitPartitionReplace(
-              bucketRows.filter(!col("doc_id").isin(docIds: _*)),
-              manifestTable, Seq("dbucket"), replacedMan,
+              rows2.filter(!col("doc_id").isin(docIds: _*)),
+              manifestTable, Seq("dbucket"), replaced2,
               baseVersion = Some(manV))
           }
         }
@@ -1207,7 +1240,15 @@ object StreamingOps {
     * ingest, the wrong trade for a rare GC. Without `candidates` (crash
     * recovery, or a periodic orphan GC) both sides scan fully — that pass
     * also catches orphans this erase did NOT create (an ingest that
-    * crashed between its chunk and manifest commits). */
+    * crashed between its chunk and manifest commits).
+    *
+    * The pruned path VERIFIES its own premise: every candidate digest must
+    * be found in its arithmetically-derived cbucket (ingest commits chunks
+    * before manifests, so a referenced digest is always stored). Any miss
+    * — a `buckets` value differing from the ingest's, or an already-swept
+    * candidate — falls back to the bucket-agnostic full scan, so a wrong
+    * bucket count can cost an extra scan but can never silently RETAIN
+    * erased text. */
   def sweepOrphanChunks(
       spark: org.apache.spark.sql.SparkSession,
       manifestTable: String,
@@ -1229,13 +1270,37 @@ object StreamingOps {
           val pbks: Set[String] = cand
             .select(pmod(xxhash64(col("chunk_hash")), lit(buckets)).cast("string"))
             .distinct().collect().map(_.getString(0)).toSet
-          if (pbks.isEmpty ||
-              !Snapshots.partitions(spark, chunkTable, Some(chunkV)).exists(sp =>
-                Snapshots.parseSpec(sp).get("cbucket").exists(pbks))) None
-          else Some(Snapshots.read(spark, chunkTable, Some(chunkV),
-              partitionFilter = m => m.get("cbucket").exists(pbks))
-            .select(col("cbucket"), col("chunk_hash"))
-            .join(cand, Seq("chunk_hash")))
+          val parts = Snapshots.partitions(spark, chunkTable, Some(chunkV))
+          if (pbks.isEmpty || parts.isEmpty) None
+          else {
+            val pruned =
+              if (parts.exists(sp =>
+                  Snapshots.parseSpec(sp).get("cbucket").exists(pbks)))
+                Some(Snapshots.read(spark, chunkTable, Some(chunkV),
+                    partitionFilter = m => m.get("cbucket").exists(pbks))
+                  .select(col("cbucket"), col("chunk_hash"))
+                  .join(cand, Seq("chunk_hash")))
+              else None
+            // COVERAGE CHECK on the pruning premise (ADVICE r16): the
+            // candidates came from manifest rows this erase just removed,
+            // and ingest commits chunks BEFORE manifests — so with the
+            // RIGHT bucket count every candidate digest is present in its
+            // derived cbucket. A candidate the pruned read cannot find
+            // means the premise is broken: the caller's `buckets` differs
+            // from the ingest's (the arithmetic derivation points at the
+            // wrong partitions — silently no-op'ing would RETAIN erased
+            // text on an erasure API), or a prior pass already swept it.
+            // Either way the bucket-agnostic full scan is correct, still
+            // candidate-joined, and only paid when the premise fails.
+            val candN = cand.count()
+            val foundN = pruned.map(
+              _.select(col("chunk_hash")).distinct().count()).getOrElse(0L)
+            if (candN == 0) None
+            else if (foundN == candN) pruned
+            else Some(Snapshots.read(spark, chunkTable, Some(chunkV))
+              .select(col("cbucket"), col("chunk_hash"))
+              .join(cand, Seq("chunk_hash")))
+          }
         case None => Some(Snapshots.read(spark, chunkTable, Some(chunkV))
           .select(col("cbucket"), col("chunk_hash")))
       }

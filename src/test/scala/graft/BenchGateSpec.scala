@@ -290,6 +290,49 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.downshiftLadder(s1.toString, Some("none")).isEmpty)
   }
 
+  test("resumable state: roundtrip, stale-tree/dir/disabled invalidation, torn files ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstate")
+    val path = dir.resolve("state.properties").toString
+    val entries = Map("q_a" -> (1.234, 2), "q_b" -> (0.05, 1))
+    BenchGate.saveState(path, "tree-abc", "/data/sf0.1", 0.85, entries)
+    // same tree + same dir: resumes exactly what was saved
+    val back = BenchGate.loadState(path, "tree-abc", "/data/sf0.1")
+    assert(back.keySet == Set("q_a", "q_b"))
+    assert(math.abs(back("q_a")._1 - 1.234) < 1e-6 && back("q_a")._2 == 2)
+    assert(back("q_b")._2 == 1)
+    // a DIFFERENT tree key (code changed) invalidates — stale minima of an
+    // edited tree must never seed a capture of the new one
+    assert(BenchGate.loadState(path, "tree-xyz", "/data/sf0.1").isEmpty)
+    // a different measured dir invalidates (sf0.01 state is not sf0.1 state)
+    assert(BenchGate.loadState(path, "tree-abc", "/data/sf0.01").isEmpty)
+    // disabled / unknown-tree modes never resume and never write
+    assert(BenchGate.loadState("none", "tree-abc", "/data/sf0.1").isEmpty)
+    assert(BenchGate.loadState(path, "", "/data/sf0.1").isEmpty)
+    val nonePath = dir.resolve("never.properties")
+    BenchGate.saveState("none", "tree-abc", "/data/sf0.1", 0.85, entries)
+    BenchGate.saveState(nonePath.toString, "", "/data/sf0.1", 0.85, entries)
+    assert(!java.nio.file.Files.exists(nonePath))
+    // garbage on disk is ignored, not fatal (state is an accelerator)
+    java.nio.file.Files.writeString(dir.resolve("torn.properties"), "_tree=tree-abc\n_sf=/data/sf0.1\nq_bad=not,numbers\nq_ok=2.5,3\n")
+    val torn = BenchGate.loadState(dir.resolve("torn.properties").toString,
+      "tree-abc", "/data/sf0.1")
+    assert(torn == Map("q_ok" -> (2.5, 3)))
+    // saving again OVERWRITES (the caller already folded old state in)
+    BenchGate.saveState(path, "tree-abc", "/data/sf0.1", 0.9, Map("q_c" -> (9.0, 2)))
+    assert(BenchGate.loadState(path, "tree-abc", "/data/sf0.1").keySet == Set("q_c"))
+  }
+
+  test("resumable state: treeKey is stable within a tree and empty only without git") {
+    // run inside the repo: two consecutive reads of an unchanged tree must
+    // agree (the whole point — consecutive bench invocations resume)
+    val k1 = BenchGate.treeKey()
+    val k2 = BenchGate.treeKey()
+    assert(k1 == k2)
+    assert(k1.nonEmpty, "treeKey empty inside a git repo")
+    // shape: <head-hash>-<8-hex dirty digest>
+    assert(k1.matches("[0-9a-f]{40}-[0-9a-f]{8}"), s"unexpected key shape: $k1")
+  }
+
   test("baseline resource carries the quiet probe references") {
     val b = BenchGate.loadBaseline()
     assert(b.mcalRef > 0.0, "mcal_ref missing from bench-baseline.properties")

@@ -208,6 +208,50 @@ class SnapshotsSpec extends SparkSpec {
     assert(ks.count(_ == 0) == 2 && ks.size == 2 + won.size)
   }
 
+  test("degraded (no-hard-link) publish: claim files arbitrate — two racing writers can never both win a version") {
+    // ADVICE r16 (medium): the old degraded path was check-then-ATOMIC_MOVE,
+    // and POSIX ATOMIC_MOVE REPLACES an existing destination — two writers
+    // racing the same version could both "succeed", the second silently
+    // replacing the first's manifest. The claim file (Files.createFile =
+    // O_CREAT|O_EXCL) restores atomic arbitration without link(2). This
+    // spec pins the degraded mode directly via the test hook.
+    val t = tmp()
+    val manifestDir = java.nio.file.Paths.get(s"$t/_manifests")
+    java.nio.file.Files.createDirectories(manifestDir)
+    Snapshots.setLinkSupportForTest(manifestDir, supported = false)
+    try {
+      Snapshots.commitPartitioned(Seq(("a", 0), ("b", 0)).toDF("g", "k"), t, Seq("g"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val attempts = (1 to 6).map { i =>
+        Future(
+          try Right(Snapshots.commitPartitioned(
+            Seq(("a", i)).toDF("g", "k"), t, Seq("g")))
+          catch { case e: java.io.IOException => Left(e.getMessage) })
+      }
+      val results = Await.result(Future.sequence(attempts), 5.minutes)
+      val won = results.collect { case Right(v) => v }
+      val lost = results.collect { case Left(m) => m }
+      assert(lost.forall(_.contains("commit race")), s"unexpected failures: $lost")
+      val vs = Snapshots.versions(spark, t)
+      assert(vs == (1L to (1 + won.size)).toSeq, s"chain $vs vs ${won.size} wins")
+      assert(won.toSet.size == won.size, "two writers claimed the same version")
+      val ks = Snapshots.read(spark, t).select("k").as[Int].collect().sorted.toSeq
+      assert(ks.count(_ == 0) == 2 && ks.size == 2 + won.size)
+      // every published version left its claim sidecar — the persistent
+      // arbiter that prevents the version from ever being "won" twice
+      val claims = manifestDir.toFile.listFiles().map(_.getName)
+        .filter(_.endsWith(".json.claim")).toSet
+      assert(vs.forall(v => claims.contains(f"v$v%05d.json.claim")), s"claims: $claims")
+      // vacuum drops the claim beside each pruned manifest
+      Snapshots.vacuum(spark, t, retainLast = 1, minAgeMs = 0L)
+      val claimsAfter = manifestDir.toFile.listFiles().map(_.getName)
+        .filter(_.endsWith(".json.claim")).toSet
+      assert(claimsAfter == Set(f"v${vs.last}%05d.json.claim"), s"after vacuum: $claimsAfter")
+    } finally Snapshots.setLinkSupportForTest(manifestDir, supported = true)
+  }
+
   test("baseVersion CAS: a rewrite whose base was superseded races loudly instead of dropping the interleaved commit") {
     // the WRITE-SKEW a version collision alone cannot catch (found live by
     // ChunkStoreIngestSpec's out-of-band test): a compaction resolves its

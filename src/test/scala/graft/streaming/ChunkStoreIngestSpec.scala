@@ -266,6 +266,49 @@ class ChunkStoreIngestSpec extends SparkSpec {
     assert(after == Map(2L -> "other text entirely"))
   }
 
+  test("erase with a MISMATCHED bucket count still erases: the coverage check falls back to the full scan, never silent retention") {
+    // ADVICE r16 (low): cbucket/dbucket derive arithmetically from the
+    // caller's `buckets`; a caller passing a value differing from the
+    // ingest's would prune to partitions that hold nothing of the erased
+    // docs, and the pre-fix code silently no-op'd — erased text RETAINED
+    // with no error, on an erasure API. The coverage check (every
+    // requested doc / candidate digest must be FOUND where the derivation
+    // says it lives) now detects the broken premise and re-runs bucket-
+    // agnostically.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-mb").toString
+    val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
+    val body = (1 to 400).map(i => s"mismatch$i").mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // ingest at the DEFAULT 64 buckets
+    val q = StreamingOps.startChunkStoreIngest(
+      mem.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // doc 70 lives in dbucket 6 at 64 buckets but derives dbucket 0 at
+      // the mismatched 7 — the pruned manifest read misses it entirely
+      mem.addData(Seq((70L, body), (2L, "innocent second doc")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // erase with the WRONG bucket count
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(70L), buckets = 7)
+    assert(Snapshots.read(spark, manT).filter($"doc_id" === 70L).isEmpty,
+      "mismatched-bucket erase silently retained the doc's manifest rows")
+    val live = Snapshots.read(spark, chunkT).select($"ctext".as[String]).collect()
+    assert(!live.exists(_.contains("mismatch17")),
+      "mismatched-bucket erase silently retained the doc's chunk text")
+    // the innocent doc survives intact
+    val after = StreamingOps.reconstruct(spark, manT, chunkT)
+      .as[(Long, String)].collect().toMap
+    assert(after == Map(2L -> "innocent second doc"))
+    // and a MATCHED-bucket erase of the remaining doc still works (the
+    // normal pruned path is untouched by the fallback)
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(2L))
+    assert(Snapshots.read(spark, chunkT).isEmpty)
+  }
+
   test("erasing the LAST documents leaves both tables empty-but-readable; erase and sweep stay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-full").toString
