@@ -430,6 +430,31 @@ object PipelineBattery {
         .orderBy($"lang")
     },
 
+    // ICEBERG interop, oracled end-to-end (VERDICT r16 item 2 — the
+    // q_delta_roundtrip shape on the sibling format): commit a partitioned
+    // gold table, export the snapshot as Iceberg v2 metadata (metadata.json
+    // + manifest-list/manifest Avro referencing the parquet in place, no
+    // data copy), read it back through the metadata chain, and oracle the
+    // values cross-engine. Any drift in the export's schema/partition
+    // encoding or the read's chain resolution breaks the hash.
+    sql("q_iceberg_roundtrip",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val gold = Tables.documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg($"n_chars"), 2).as("avg_chars"))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val table = s"${sys.props("java.io.tmpdir")}/graft-iceberg-$key/gold"
+      graft.sinks.Snapshots.commitPartitioned(gold, table, Seq("lang"),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sinks.IcebergExport.export(s, table)
+      graft.sinks.IcebergExport.read(s, table)
+        .select($"lang", $"n_docs", $"avg_chars")
+        .orderBy($"lang")
+    },
+
     // FOREIGN-log conformance, oracled end-to-end (round-16 item 5): the
     // Delta log here is authored BY HAND, not by DeltaExport.export — a
     // stand-in for an external writer, exercising protocol-legal shapes

@@ -52,6 +52,18 @@ final class DigestBloom(val bits: Array[Long], val k: Int) {
 
   def add(s: String): Unit = positions(s).foreach(set)
   def contains(s: String): Boolean = positions(s).forall(get)
+
+  /** Fraction of set bits — the saturation gauge. At ~50% (the classic
+    * optimum for k = m/n·ln2 sizing) the filter is AT capacity; beyond it
+    * the false-positive rate climbs toward 1 and the probe quietly stops
+    * pruning (VERDICT r16 item 4). Computed on demand: one bitCount pass
+    * over the array (~1M longs worst case) is noise next to any probe. */
+  def fillRatio: Double = {
+    var setBits = 0L
+    var i = 0
+    while (i < bits.length) { setBits += java.lang.Long.bitCount(bits(i)); i += 1 }
+    setBits.toDouble / m
+  }
   def or(other: DigestBloom): DigestBloom = {
     require(other.bits.length == bits.length && other.k == k,
       "bloom shape mismatch")
@@ -66,6 +78,19 @@ object DigestBloom {
   val defaultBits: Int = 1 << 23
   val defaultK: Int = 6
   private val magic: Int = 0x47424c4d // "GBLM"
+
+  /** Bits for ~10 bits per stored digest (fp ≈ 0.8% at k=6), rounded up
+    * to a power of two and clamped to [`minBits`, 2^29] (64 MiB — a bloom
+    * bigger than that stops being a cheap sidecar). The committer calls
+    * this with the store's ACTUAL digest count at rebuild time, so the
+    * sidecar scales with the corpus instead of silently saturating at the
+    * fixed default (VERDICT r16 item 4). */
+  def sizedBits(n: Long, minBits: Int = defaultBits): Int = {
+    val target = 10L * math.max(1L, n)
+    val pow = java.lang.Long.highestOneBit(target)
+    val rounded = if (pow == target) target else pow << 1
+    math.min(1L << 29, math.max(minBits.toLong, rounded)).toInt
+  }
 
   def empty(mBits: Int = defaultBits, k: Int = defaultK): DigestBloom = {
     require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")

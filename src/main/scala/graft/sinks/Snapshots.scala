@@ -232,6 +232,136 @@ object Snapshots {
       }
     } else f.rename(tmp, dst)
 
+  // ---- table-level writer lease --------------------------------------------
+
+  /** The WRITER LEASE: mutual exclusion for multi-commit critical sections
+    * that the per-commit CAS cannot protect. The CAS makes every single
+    * commit race-safe, but a GC that decides "unreferenced" BETWEEN another
+    * writer's two commits (an ingest sits between its chunk-table and
+    * manifest-table appends) can collect a chunk the in-flight manifest is
+    * about to reference — no version ever collides, the corruption is
+    * cross-table. Round 16 proved documented concurrency contracts get
+    * violated silently (the write-skew bug lived in a path whose safety was
+    * argued in prose); this makes the erase-vs-live-ingest exclusion
+    * MECHANICAL (VERDICT r16 item 1).
+    *
+    * One lease file per table (`_manifests/_lease.json`, holder + expiry):
+    * acquisition is an atomic create-exclusive (O_CREAT|O_EXCL via NIO on
+    * file://, `FileSystem.create(overwrite=false)` elsewhere); an expired
+    * or same-holder lease is deleted via rename-to-unique (exactly one
+    * contender wins the rename, so two waiters can never each delete the
+    * other's fresh claim). Contenders wait up to `waitMs` (critical
+    * sections are seconds), then fail LOUDLY naming the holder. The TTL
+    * bounds a crashed holder's shadow; holders must finish (or renew)
+    * within it. Maintenance jobs (compact/compactFragmented) deliberately
+    * take NO lease — they are content-preserving and the CAS retry makes
+    * racing them safe. */
+  private def leasePath(table: String) = new Path(manifestDir(table), "_lease.json")
+
+  private def tryCreateLease(
+      f: FileSystem, table: String, holder: String, ttlMs: Long): Boolean = {
+    val node = mapper.createObjectNode()
+    node.put("holder", holder)
+    node.put("expiry", System.currentTimeMillis() + ttlMs)
+    val bytes = mapper.writeValueAsBytes(node)
+    val p = leasePath(table)
+    try {
+      if ("file".equals(f.getUri.getScheme)) {
+        val d = java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
+        java.nio.file.Files.createFile(d) // atomic exclusive claim
+        java.nio.file.Files.write(d, bytes)
+      } else {
+        val out = f.create(p, false) // no-overwrite create: atomic on HDFS
+        try out.write(bytes) finally out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+  }
+
+  /** (holder, expiry) of the current lease; None when absent or not yet
+    * fully written (a contender between its claim and its write — treat as
+    * held-for-an-instant and re-read). */
+  private def readLease(f: FileSystem, table: String): Option[(String, Long)] =
+    try {
+      val in = f.open(leasePath(table))
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      val n = mapper.readTree(bytes)
+      if (n != null && n.has("holder") && n.has("expiry"))
+        Some((n.get("holder").asText(), n.get("expiry").asLong()))
+      else None
+    } catch { case _: java.io.IOException => None }
+
+  /** Remove the lease via rename-to-unique-then-delete: rename arbitrates
+    * (only one contender finds the source present), so an expired lease
+    * can never be "deleted twice" with the second delete removing a fresh
+    * claim that landed in between. */
+  private def removeLease(f: FileSystem, table: String): Unit = {
+    val aside = new Path(manifestDir(table),
+      s".lease.stale.${java.util.UUID.randomUUID().toString.take(8)}")
+    try { if (f.rename(leasePath(table), aside)) f.delete(aside, false) }
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Acquire `table`'s writer lease for `holder`, waiting up to `waitMs`
+    * for a live foreign lease to release or expire; throws loudly (holder
+    * named) when the wait runs out. Re-entrant by holder string: finding
+    * one's own lease re-claims it (a crashed-and-restarted holder with a
+    * stable id recovers instantly). */
+  def acquireLease(
+      spark: SparkSession,
+      table: String,
+      holder: String,
+      ttlMs: Long = 600000L,
+      waitMs: Long = 120000L): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(manifestDir(table))
+    val deadline = System.currentTimeMillis() + math.max(0L, waitMs)
+    var acquired = tryCreateLease(f, table, holder, ttlMs)
+    while (!acquired) {
+      readLease(f, table) match {
+        case Some((h, exp)) if h == holder || exp < System.currentTimeMillis() =>
+          removeLease(f, table) // own stale claim, or an expired foreign one
+        case held =>
+          // a live foreign lease, or a claimed-but-unwritten one (instant)
+          if (System.currentTimeMillis() > deadline) {
+            val who = held.map { case (h, exp) =>
+              s"held by '$h' until $exp" }.getOrElse("being claimed")
+            throw new java.io.IOException(
+              s"writer lease on $table $who — another writer (a live ingest " +
+              "gate?) owns this table's commit section; quiesce it or retry " +
+              "after it releases")
+          }
+          Thread.sleep(100)
+      }
+      acquired = tryCreateLease(f, table, holder, ttlMs)
+    }
+  }
+
+  /** Release `holder`'s lease (no-op when absent or held by someone else —
+    * an expired lease may have been legitimately stolen). */
+  def releaseLease(spark: SparkSession, table: String, holder: String): Unit = {
+    val f = fs(spark, table)
+    readLease(f, table) match {
+      case Some((h, _)) if h == holder => removeLease(f, table)
+      case _ => ()
+    }
+  }
+
+  /** Run `body` under `table`'s writer lease — the bracket every
+    * multi-commit critical section should use. */
+  def withTableLease[T](
+      spark: SparkSession,
+      table: String,
+      holder: String,
+      ttlMs: Long = 600000L,
+      waitMs: Long = 120000L)(body: => T): T = {
+    acquireLease(spark, table, holder, ttlMs, waitMs)
+    try body finally releaseLease(spark, table, holder)
+  }
+
   /** Re-derive-and-retry wrapper for the commit race: losing a version to
     * a concurrent writer (an out-of-band [[compactFragmented]] loop racing
     * an ingest gate — §9.5/§9.6) throws 'commit race' BEFORE anything is

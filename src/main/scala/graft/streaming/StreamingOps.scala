@@ -984,6 +984,17 @@ object StreamingOps {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import graft.sinks.{DigestBloom, Snapshots}
+          // WRITER LEASE over the batch's two-table critical section
+          // (VERDICT r16 item 1): between this batch's chunk-table append
+          // and its manifest-table append, a concurrent erase/sweep could
+          // decide "unreferenced" for a chunk the in-flight manifest is
+          // about to reference and collect it — no version ever collides,
+          // so the CAS alone cannot catch it. The lease (held seconds,
+          // released at batch end) makes the exclusion mechanical: an
+          // erase attempted mid-batch waits briefly, then fails LOUDLY
+          // naming this gate. Maintenance compactions stay lease-free
+          // (content-preserving; racing them is CAS-safe).
+          Snapshots.withTableLease(spark, manifestTable, holder = appId) {
           val ch = graft.ext.ContentChunker
             .chunks(batch.toDF().select(col("doc_id"), col("text")),
               "doc_id", "text", mask)
@@ -998,6 +1009,16 @@ object StreamingOps {
             .distinct().collect().map(r => (r.getString(0), r.getString(1)))
           val curV = Snapshots.versions(spark, chunkTable).lastOption
           val sidecar = curV.flatMap(v => DigestBloom.read(spark, chunkTable, v))
+          // saturation gauge (VERDICT r16 item 4): past ~50% fill the fp
+          // rate climbs toward 1 and the probe quietly stops pruning —
+          // never incorrect, but the exact failure shape the gate curves
+          // were built to avoid. Surface it; the commit below REBUILDS
+          // larger instead of carrying a saturated sidecar forward.
+          val sidecarFill = sidecar.map(_.fillRatio).getOrElse(0.0)
+          if (sidecarFill > 0.5)
+            System.err.println(f"[graft.chunkstore] WARNING: digest bloom " +
+              f"fill ${sidecarFill * 100}%.1f%% — pruning power fading; " +
+              "this commit rebuilds the sidecar at corpus-proportional size")
           // with a trusted (version-matched) sidecar, only bloom-positive
           // digests can exist; without one, every batch digest might
           val maybe = sidecar match {
@@ -1032,11 +1053,19 @@ object StreamingOps {
                 txn = Some(s"$appId-chunks" -> batchId)))
             // advance the sidecar to v2: trusted base + this batch's novel
             // digests, else a one-off distributed rebuild from the table
-            // (adding novelDigests twice after a rebuild is harmless)
-            val next = sidecar.map(_.copy()).getOrElse(
-              DigestBloom.build(
-                Snapshots.read(spark, chunkTable, Some(v2)).select(col("chunk_hash")),
-                "chunk_hash"))
+            // (adding novelDigests twice after a rebuild is harmless).
+            // AUTO-SIZING: a saturated (fill > 50%) sidecar is NOT carried
+            // forward — rebuild at ~10 bits per stored digest, sized from
+            // the store's actual count (the rebuild scans the digest
+            // column anyway; the count is one cheap extra aggregation on a
+            // rare path), so the sidecar scales with the corpus instead of
+            // silently degrading to a no-op filter at 100 TB.
+            val next = sidecar.filter(_.fillRatio <= 0.5).map(_.copy()).getOrElse {
+              val stored = Snapshots.read(spark, chunkTable, Some(v2))
+                .select(col("chunk_hash"))
+              DigestBloom.build(stored, "chunk_hash",
+                DigestBloom.sizedBits(stored.count()))
+            }
             novelDigests.foreach(next.add)
             DigestBloom.write(spark, chunkTable, v2, next)
             // fragmentation maintenance: selectively rewrite buckets whose
@@ -1061,6 +1090,7 @@ object StreamingOps {
                 org.apache.spark.sql.SaveMode.Append,
                 txn = Some(s"$appId-manifest" -> batchId))))
           ()
+          } // lease released: the two-table critical section is closed
         }
       }
       .start()
@@ -1129,15 +1159,35 @@ object StreamingOps {
       manifestTable: String,
       chunkTable: String,
       docIds: Seq[Long],
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64,
+      leaseWaitMs: Long = 120000L): Unit = {
     import graft.sinks.Snapshots
-    // CONCURRENCY CONTRACT: erase/sweep may race the out-of-band
-    // compactFragmented loop (content-preserving — the CAS'd retry below
-    // re-derives and completes), but NOT a live ingest on the SAME tables:
-    // a GC that deletes "unreferenced" chunks while an ingest is between
-    // its chunk and manifest commits could collect a chunk the in-flight
-    // manifest is about to reference. Quiesce the gate (or schedule erasure
-    // through the tombstone gate, which runs in-band) before erasing.
+    // CONCURRENCY CONTRACT, MECHANICALLY ENFORCED (VERDICT r16 item 1):
+    // erase/sweep may race the out-of-band compactFragmented loop
+    // (content-preserving — the CAS'd retry below re-derives and
+    // completes), but NOT a live ingest batch on the SAME tables: a GC
+    // that deletes "unreferenced" chunks while an ingest is between its
+    // chunk and manifest commits could collect a chunk the in-flight
+    // manifest is about to reference. Both sides now take the manifest
+    // table's WRITER LEASE around their critical section — an erase
+    // attempted mid-batch waits up to `leaseWaitMs` for the batch to
+    // close, then fails LOUDLY naming the holder (the r16 write-skew find
+    // proved prose contracts around concurrency get violated silently).
+    Snapshots.withTableLease(spark, manifestTable,
+        holder = s"chunkStoreErase-${java.util.UUID.randomUUID().toString.take(8)}",
+        waitMs = leaseWaitMs) {
+      chunkStoreEraseLocked(spark, manifestTable, chunkTable, docIds, buckets)
+    }
+  }
+
+  /** [[chunkStoreErase]]'s body, lease already held by the caller. */
+  private def chunkStoreEraseLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestTable: String,
+      chunkTable: String,
+      docIds: Seq[Long],
+      buckets: Int): Unit = {
+    import graft.sinks.Snapshots
     var cands: Option[DataFrame] = None
     var manifestLegRan = false
     if (Snapshots.versions(spark, manifestTable).nonEmpty && docIds.nonEmpty) {
@@ -1214,12 +1264,12 @@ object StreamingOps {
       }
     }
     if (manifestLegRan)
-      sweepOrphanChunks(spark, manifestTable, chunkTable, cands, buckets)
+      sweepOrphanChunksLocked(spark, manifestTable, chunkTable, cands, buckets)
     else
       // nothing matched the manifest (already-replaced dbuckets, an empty
       // table, or no docIds): run the FULL recovery sweep — this is exactly
       // the crash-between-commits path the header describes
-      sweepOrphanChunks(spark, manifestTable, chunkTable)
+      sweepOrphanChunksLocked(spark, manifestTable, chunkTable, None, buckets)
   }
 
   /** GC leg of [[chunkStoreErase]], callable on its own as crash recovery:
@@ -1254,7 +1304,24 @@ object StreamingOps {
       manifestTable: String,
       chunkTable: String,
       candidates: Option[DataFrame] = None,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64,
+      leaseWaitMs: Long = 120000L): Unit =
+    // standalone sweeps take the same writer lease the gate and the erase
+    // hold (see chunkStoreErase) — a bare recovery sweep racing a live
+    // ingest batch has the identical collect-an-in-flight-reference hazard
+    graft.sinks.Snapshots.withTableLease(spark, manifestTable,
+        holder = s"sweepOrphans-${java.util.UUID.randomUUID().toString.take(8)}",
+        waitMs = leaseWaitMs) {
+      sweepOrphanChunksLocked(spark, manifestTable, chunkTable, candidates, buckets)
+    }
+
+  /** [[sweepOrphanChunks]]'s body, lease already held by the caller. */
+  private def sweepOrphanChunksLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestTable: String,
+      chunkTable: String,
+      candidates: Option[DataFrame],
+      buckets: Int): Unit = {
     import graft.sinks.Snapshots
     if (Snapshots.versions(spark, chunkTable).isEmpty) return
     // the whole derive+rewrite sits inside the race retry, CAS'd on the

@@ -44,6 +44,25 @@ class DigestBloomSpec extends SparkSpec {
     assert(!empty.contains("anything"))
   }
 
+  test("fillRatio gauges saturation; sizedBits scales ~10 bits/digest within clamps") {
+    val b = DigestBloom.empty(1 << 10, 4) // 1024 bits
+    assert(b.fillRatio == 0.0)
+    digests(500).foreach(b.add) // ~2000 set positions into 1024 bits
+    assert(b.fillRatio > 0.5, f"expected saturation, fill ${b.fillRatio}%.2f")
+    val half = DigestBloom.empty(1 << 10, 4)
+    digests(40).foreach(half.add) // ~160/1024 → well under half
+    assert(half.fillRatio < 0.2)
+    // ~10 bits per digest, rounded up to a power of two
+    assert(DigestBloom.sizedBits(1000, minBits = 64) == 16384)
+    assert(DigestBloom.sizedBits(51, minBits = 64) == 512)
+    // floor: never below minBits (the shipped default for production)
+    assert(DigestBloom.sizedBits(5, minBits = 64) == 64)
+    assert(DigestBloom.sizedBits(5) == DigestBloom.defaultBits)
+    // ceiling: 2^29 bits — past that a sidecar stops being cheap
+    assert(DigestBloom.sizedBits(1L << 40, minBits = 64) == (1 << 29))
+    assert(DigestBloom.sizedBits(1 << 10, minBits = 64) == (1 << 14))
+  }
+
   test("sidecar write/read round-trips; reads are version-exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
     val b = DigestBloom.empty(1 << 12, 5)

@@ -293,6 +293,66 @@ class SnapshotsSpec extends SparkSpec {
       Set(1, 3, 101, 102, 103, 104, 105))
   }
 
+  test("writer lease: exclusive, re-entrant by holder, expiry steals, contention fails loudly naming the holder") {
+    val t = tmp()
+    Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t)
+    // acquire + re-acquire by the same holder (a restarted gate with a
+    // stable appId recovers instantly)
+    Snapshots.acquireLease(spark, t, "gate-A", ttlMs = 60000L, waitMs = 0L)
+    Snapshots.acquireLease(spark, t, "gate-A", ttlMs = 60000L, waitMs = 0L)
+    // a second holder with no patience fails LOUDLY, naming the owner
+    val e = intercept[java.io.IOException] {
+      Snapshots.acquireLease(spark, t, "erase-B", ttlMs = 60000L, waitMs = 0L)
+    }
+    assert(e.getMessage.contains("gate-A") && e.getMessage.contains("writer lease"))
+    // a patient second holder acquires as soon as the first releases
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val waiter = Future {
+      Snapshots.acquireLease(spark, t, "erase-B", ttlMs = 60000L, waitMs = 30000L)
+      System.nanoTime()
+    }
+    Thread.sleep(500)
+    val tRelease = System.nanoTime()
+    Snapshots.releaseLease(spark, t, "gate-A")
+    val tAcquired = Await.result(waiter, 1.minute)
+    assert(tAcquired >= tRelease, "waiter acquired before the release")
+    // an EXPIRED lease is stolen (crashed holder's shadow is bounded by ttl)
+    Snapshots.releaseLease(spark, t, "erase-B")
+    Snapshots.acquireLease(spark, t, "crashed-C", ttlMs = 1L, waitMs = 0L)
+    Thread.sleep(10)
+    Snapshots.acquireLease(spark, t, "next-D", ttlMs = 60000L, waitMs = 0L)
+    Snapshots.releaseLease(spark, t, "next-D")
+    // releasing a lease one does not hold is a no-op, not a theft
+    Snapshots.acquireLease(spark, t, "holder-E", ttlMs = 60000L, waitMs = 0L)
+    Snapshots.releaseLease(spark, t, "someone-else")
+    intercept[java.io.IOException] {
+      Snapshots.acquireLease(spark, t, "F", ttlMs = 60000L, waitMs = 0L)
+    }
+    Snapshots.releaseLease(spark, t, "holder-E")
+    // CONTENDED acquisition: N threads loop acquire→release; the lease is
+    // held by at most one at a time (exclusivity under concurrency)
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    var maxInside = 0
+    val workers = (1 to 4).map { i =>
+      Future {
+        (1 to 5).foreach { _ =>
+          Snapshots.withTableLease(spark, t, s"w$i", ttlMs = 60000L, waitMs = 60000L) {
+            val now = inside.incrementAndGet()
+            synchronized { maxInside = math.max(maxInside, now) }
+            Thread.sleep(20)
+            inside.decrementAndGet()
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(workers), 5.minutes)
+    assert(maxInside == 1, s"lease admitted $maxInside holders at once")
+    // the lease file never pollutes the version chain
+    assert(Snapshots.versions(spark, t) == Seq(1L))
+  }
+
   test("commitRetryingRaces: re-derives by name on a race, rethrows when exhausted, passes other failures through") {
     // by-name re-evaluation is the load-bearing part: the retry must
     // re-run the WHOLE commit expression (manifest re-reads included)

@@ -266,6 +266,128 @@ class ChunkStoreIngestSpec extends SparkSpec {
     assert(after == Map(2L -> "other text entirely"))
   }
 
+  test("saturated digest bloom rebuilds at corpus-proportional size; trust and dedup semantics unchanged") {
+    // VERDICT r16 item 4: the sidecar's size was fixed at the default —
+    // at 100 TB a saturated bloom degrades to ~100% false positives,
+    // never incorrect (FPs only cost extra bucket reads) but the probe
+    // quietly stops pruning. The committer now refuses to carry a
+    // > 50%-full sidecar forward and rebuilds at ~10 bits per stored
+    // digest. This spec stamps a deliberately tiny SATURATED sidecar
+    // (valid: it contains every stored digest — no false negatives) and
+    // asserts the next commit rebuilds it bigger, un-saturated, with
+    // dedup exactness untouched.
+    import graft.sinks.DigestBloom
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-bloom").toString
+    val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
+    val body = (1 to 400).map(i => s"bloom$i").mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.startChunkStoreIngest(
+      mem.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(Seq((1L, body)))
+      q.processAllAvailable()
+      val v1 = Snapshots.versions(spark, chunkT).last
+      // replace v1's sidecar with a 64-bit bloom holding EVERY stored
+      // digest: trusted (version-exact), correct (no false negatives),
+      // and hopelessly saturated — the shape a fixed-size sidecar reaches
+      // as the corpus grows past its capacity
+      val tiny = DigestBloom.build(
+        Snapshots.read(spark, chunkT, Some(v1)).select($"chunk_hash"),
+        "chunk_hash", mBits = 64, k = 6)
+      assert(tiny.fillRatio > 0.5, "precondition: tiny sidecar saturated")
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(f"$chunkT/_bloom/v-$v1%05d"))
+      DigestBloom.write(spark, chunkT, v1, tiny)
+      assert(DigestBloom.read(spark, chunkT, v1).get.bits.length == 1)
+
+      // next batch: novel content commits, and the committer must REBUILD
+      // (not carry) the sidecar — sized from the store's actual count
+      mem.addData(Seq((2L, "wholly new second document text")))
+      q.processAllAvailable()
+      val v2 = Snapshots.versions(spark, chunkT).last
+      val rebuilt = DigestBloom.read(spark, chunkT, v2)
+      assert(rebuilt.isDefined, "rebuild must stamp the new version")
+      assert(rebuilt.get.bits.length * 64 >= DigestBloom.defaultBits,
+        s"rebuilt sidecar still tiny: ${rebuilt.get.bits.length * 64} bits")
+      assert(rebuilt.get.fillRatio < 0.5, "rebuilt sidecar still saturated")
+      // no false negatives across the transition: every stored digest hits
+      val stored = Snapshots.read(spark, chunkT)
+        .select($"chunk_hash".as[String]).collect()
+      assert(stored.forall(rebuilt.get.contains), "rebuild lost digests")
+
+      // dedup exactness unchanged: re-delivering doc 1's body as a new doc
+      // stores ZERO new chunks (probe + anti-join still correct)
+      val preCount = Snapshots.read(spark, chunkT).count()
+      mem.addData(Seq((3L, body)))
+      q.processAllAvailable()
+      assert(Snapshots.read(spark, chunkT).count() == preCount,
+        "dedup broke after the sidecar rebuild")
+    } finally q.stop()
+  }
+
+  test("writer lease enforces erase-vs-live-ingest exclusion: refusal is loud, retry after release is clean") {
+    // VERDICT r16 item 1: the erase/ingest exclusion was a DOC contract
+    // ("may race the maintenance loop, NOT a live ingest"); the same
+    // round's write-skew find proved prose contracts get violated
+    // silently. Now both sides take the manifest table's writer lease —
+    // this spec pins the refusal (loud, holder named, nothing erased),
+    // the clean retry after release, and the wait-for-release liveness.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-lease").toString
+    val (chunkT, manT) = (s"$dir/chunks", s"$dir/manifest")
+    val body = (1 to 400).map(i => s"lease$i").mkString(" ")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps.startChunkStoreIngest(
+      mem.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(Seq((1L, body), (2L, "second doc")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // simulate an ingest batch IN FLIGHT between its two commits: the gate
+    // holds the manifest table's lease for the whole critical section
+    Snapshots.acquireLease(spark, manT, "in-flight-ingest-batch")
+    // an impatient erase REFUSES loudly, naming the holder...
+    val e = intercept[java.io.IOException] {
+      StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L), leaseWaitMs = 0L)
+    }
+    assert(e.getMessage.contains("in-flight-ingest-batch"), e.getMessage)
+    // ...and NOTHING was erased (no partial manifest replace, no sweep)
+    assert(Snapshots.read(spark, manT).filter($"doc_id" === 1L).count() > 0)
+    assert(Snapshots.read(spark, chunkT)
+      .select($"ctext".as[String]).collect().exists(_.contains("lease17")))
+    // a bare recovery sweep refuses under the same lease
+    intercept[java.io.IOException] {
+      StreamingOps.sweepOrphanChunks(spark, manT, chunkT, leaseWaitMs = 0L)
+    }
+
+    // liveness: a PATIENT erase waits for the batch to close, then runs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val eraser = Future {
+      StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L), leaseWaitMs = 30000L)
+    }
+    Thread.sleep(1000)
+    Snapshots.releaseLease(spark, manT, "in-flight-ingest-batch")
+    Await.result(eraser, 2.minutes)
+    assert(Snapshots.read(spark, manT).filter($"doc_id" === 1L).isEmpty)
+    assert(!Snapshots.read(spark, chunkT)
+      .select($"ctext".as[String]).collect().exists(_.contains("lease17")),
+      "erase after release must complete the sweep")
+    // the innocent doc is intact, and the store is erase-idempotent with
+    // the lease in the path
+    val after = StreamingOps.reconstruct(spark, manT, chunkT)
+      .as[(Long, String)].collect().toMap
+    assert(after == Map(2L -> "second doc"))
+    StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L))
+  }
+
   test("erase with a MISMATCHED bucket count still erases: the coverage check falls back to the full scan, never silent retention") {
     // ADVICE r16 (low): cbucket/dbucket derive arithmetically from the
     // caller's `buckets`; a caller passing a value differing from the
