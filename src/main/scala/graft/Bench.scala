@@ -475,9 +475,16 @@ object Bench {
     while (headlinePasses < headlineTarget && !outOfTime) {
       var aborted = false
       var phaseAborted = false
-      // phase pass 2 repairs slowest-first, same rationale as the main loop
+      // phase pass 1 runs entries with NO measured-scale reading first
+      // (resumed entries already hold a warm minimum from a prior window —
+      // re-measuring them before never-measured ones would make
+      // consecutive tight windows re-tread the same prefix instead of
+      // ACCUMULATING coverage); pass 2 repairs slowest-first, same
+      // rationale as the main loop
       val order =
-        if (headlinePasses == 0) headlineList
+        if (headlinePasses == 0)
+          headlineList.sortBy { case (n, _) =>
+            (if (nMeasured(n) == 0) 0 else 1, headlineRank(n)) }
         else headlineList.sortBy { case (n, _) => -best.getOrElse(n, Double.MaxValue) }
       val it = order.iterator
       var done = 0

@@ -455,6 +455,155 @@ object PipelineBattery {
         .orderBy($"lang")
     },
 
+    // FOREIGN-metadata conformance for Iceberg (the q_delta_foreign
+    // discipline on the sibling format): the metadata chain here is
+    // authored BY HAND in the legacy v1 shape a real external writer
+    // produces and IcebergExport.export never does — format-version 1
+    // with the bare "schema" / legacy "partition-spec" keys, an older
+    // snapshot carrying an INLINE "manifests" array (no manifest-list
+    // file), the current snapshot's manifest list in v1 Avro (no
+    // content/sequence fields), TWO manifests (EXISTING + ADDED status
+    // codes split across them), a status=2 DELETED entry referencing a
+    // real decoy file holding WRONG rows (a reader that fails to skip
+    // deletions reads them and breaks the hash), and a STALE
+    // version-hint pointing below the newest metadata (the listing must
+    // win). Oracle recomputes from raw documents.
+    sql("q_iceberg_foreign",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM documents WHERE doc_id % 2 = 1 GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" % 2 === 1)
+        .select($"doc_id".cast("long").as("doc_id"),
+          $"n_chars".cast("int").as("n_chars"), $"lang")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val t = s"${sys.props("java.io.tmpdir")}/graft-icebergforeign-$key/t"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(t))
+      docs.repartition($"lang").write.partitionBy("lang").parquet(t)
+      // the decoy: REAL parquet holding the WRONG half of the data — its
+      // manifest entry is status=2 DELETED, so a correct reader never
+      // touches it and a broken one changes the aggregate
+      Tables.documents(s, d).filter($"doc_id" % 2 === 0)
+        .select($"doc_id".cast("long").as("doc_id"),
+          $"n_chars".cast("int").as("n_chars"))
+        .coalesce(1).write.parquet(s"$t/decoy")
+      val leafs = new java.io.File(t).listFiles().filter(_.getName.startsWith("lang="))
+        .sortBy(_.getName).toSeq.flatMap { dir =>
+          dir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .map(pf => (pf.toURI.toString, dir.getName.stripPrefix("lang="), pf.length()))
+        }
+      val decoy = new java.io.File(s"$t/decoy").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toURI.toString
+      require(leafs.size >= 2, s"foreign fixture needs >= 2 files, got ${leafs.size}")
+      val (firstHalf, secondHalf) = leafs.splitAt(leafs.size / 2)
+      // v1 Avro schemas — no content / sequence-number fields, exactly
+      // what a v1 writer serializes
+      val parser = new org.apache.avro.Schema.Parser()
+      val listV1 = parser.parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          |{"name":"manifest_path","type":"string"},
+          |{"name":"manifest_length","type":"long"},
+          |{"name":"partition_spec_id","type":"int"},
+          |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+          |]}""".stripMargin.replaceAll("\n", ""))
+      val entryV1 = parser.parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"snapshot_id","type":["null","long"],"default":null},
+          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |{"name":"file_path","type":"string"},
+          |{"name":"file_format","type":"string"},
+          |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+          |{"name":"lang","type":["null","string"],"default":null}]}},
+          |{"name":"record_count","type":"long"},
+          |{"name":"file_size_in_bytes","type":"long"}
+          |]}}]}""".stripMargin.replaceAll("\n", ""))
+      val metaDir = new java.io.File(s"$t/metadata"); metaDir.mkdirs()
+      def writeAvro(name: String, schema: org.apache.avro.Schema,
+          recs: Seq[org.apache.avro.generic.GenericRecord]): String = {
+        val fl = new java.io.File(metaDir, name)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.create(schema, fl)
+        recs.foreach(w.append)
+        w.close()
+        fl.toURI.toString
+      }
+      def entry(status: Int, path: String, lang: String, len: Long) = {
+        val p = new org.apache.avro.generic.GenericData.Record(
+          entryV1.getField("data_file").schema().getField("partition").schema())
+        p.put("lang", lang)
+        val df = new org.apache.avro.generic.GenericData.Record(
+          entryV1.getField("data_file").schema())
+        df.put("file_path", path)
+        df.put("file_format", "PARQUET")
+        df.put("partition", p)
+        df.put("record_count", 0L) // v1 writers of unknown provenance: unused by scan
+        df.put("file_size_in_bytes", len)
+        val e = new org.apache.avro.generic.GenericData.Record(entryV1)
+        e.put("status", status)
+        e.put("snapshot_id", 20L)
+        e.put("data_file", df)
+        e
+      }
+      // snapshot 10 (old): firstHalf only, referenced INLINE (no list file)
+      val m0 = writeAvro("m0.avro", entryV1,
+        firstHalf.map { case (p, l, len) => entry(1, p, l, len) })
+      // snapshot 20 (current): m1 = firstHalf EXISTING + the decoy DELETED;
+      // m2 = secondHalf ADDED — final live set is every real file
+      val m1 = writeAvro("m1.avro", entryV1,
+        firstHalf.map { case (p, l, len) => entry(0, p, l, len) } :+
+          entry(2, decoy, "en", 1L))
+      val m2 = writeAvro("m2.avro", entryV1,
+        secondHalf.map { case (p, l, len) => entry(1, p, l, len) })
+      def listEntry(path: String) = {
+        val r = new org.apache.avro.generic.GenericData.Record(listV1)
+        r.put("manifest_path", path)
+        r.put("manifest_length", new java.io.File(new java.net.URI(path)).length())
+        r.put("partition_spec_id", 0)
+        r.put("added_snapshot_id", 20L)
+        r
+      }
+      val ml = writeAvro("snap-20.avro", listV1, Seq(listEntry(m1), listEntry(m2)))
+      val schemaJson =
+        """{"type":"struct","fields":[
+          |{"id":1,"name":"doc_id","required":false,"type":"long"},
+          |{"id":2,"name":"n_chars","required":false,"type":"int"},
+          |{"id":3,"name":"lang","required":false,"type":"string"}
+          |]}""".stripMargin.replaceAll("\n", "")
+      val specJson =
+        """[{"name":"lang","transform":"identity","source-id":3,"field-id":1000}]"""
+      def metadata(v: Int, snapsJson: String, current: Long): Unit = {
+        val body =
+          s"""{"format-version":1,"table-uuid":"graft-foreign-iceberg",
+             |"location":"$t","last-updated-ms":1,"last-column-id":3,
+             |"schema":$schemaJson,"partition-spec":$specJson,
+             |"properties":{},"current-snapshot-id":$current,
+             |"snapshots":$snapsJson}""".stripMargin.replaceAll("\n", "")
+        java.nio.file.Files.write(metaDir.toPath.resolve(s"v$v.metadata.json"),
+          body.getBytes("UTF-8")); ()
+      }
+      val snap10 = s"""{"snapshot-id":10,"timestamp-ms":1,"manifests":[${
+        firstHalf.map(_ => s""""$m0"""").distinct.mkString(",")}]}"""
+      val snap20 = s"""{"snapshot-id":20,"timestamp-ms":2,"manifest-list":"$ml"}"""
+      metadata(1, s"[$snap10]", 10L)
+      metadata(2, s"[$snap10,$snap20]", 20L)
+      // STALE version-hint: points at v1 while v2 exists — listing wins
+      java.nio.file.Files.write(metaDir.toPath.resolve("version-hint.text"),
+        "1".getBytes("UTF-8"))
+      graft.sinks.IcebergExport.read(s, t)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg($"n_chars"), 2).as("avg_chars"))
+        .orderBy($"lang")
+    },
+
     // FOREIGN-log conformance, oracled end-to-end (round-16 item 5): the
     // Delta log here is authored BY HAND, not by DeltaExport.export — a
     // stand-in for an external writer, exercising protocol-legal shapes

@@ -412,6 +412,12 @@ object IcebergExport {
         n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
       .maxOption
 
+  /** Field value of a record whose WRITER schema may predate the field
+    * (v1 Avro has no content/sequence columns) — `GenericData.Record.get`
+    * THROWS on an unknown field name, it does not return null. */
+  private def optField(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+
   private def readAvro(
       f: FileSystem, conf: org.apache.hadoop.conf.Configuration, p: Path): Seq[GenericRecord] = {
     val in = new org.apache.avro.mapred.FsInput(p, conf)
@@ -459,14 +465,23 @@ object IcebergExport {
     }
     val schema = org.apache.spark.sql.types.StructType(fields.result())
 
-    // default partition spec: identity transforms only
+    // default partition spec: identity transforms only. v2 carries
+    // partition-specs + default-spec-id; v1 may carry only the LEGACY
+    // "partition-spec" (a bare fields array) — falling through to "no
+    // spec" there would silently drop the partition columns from a v1
+    // foreign table, the exact misread this reader promises never to do.
     val specNode = Option(md.get("partition-specs")).map { arr =>
       val want = md.get("default-spec-id").asInt
       var found: com.fasterxml.jackson.databind.JsonNode = null
       arr.forEach(s => if (s.get("spec-id").asInt == want) found = s)
       require(found != null, s"default-spec-id $want not among partition-specs")
       found
-    }.getOrElse(mapper.readTree("""{"spec-id":0,"fields":[]}"""))
+    }.orElse(Option(md.get("partition-spec")).map { legacy =>
+      val o = mapper.createObjectNode()
+      o.put("spec-id", 0)
+      o.set[ObjectNode]("fields", legacy)
+      o
+    }).getOrElse(mapper.readTree("""{"spec-id":0,"fields":[]}"""))
     val partCols = Seq.newBuilder[String]
     specNode.get("fields").forEach { pf =>
       val tr = pf.get("transform").asText()
@@ -485,19 +500,32 @@ object IcebergExport {
     var snapNode: com.fasterxml.jackson.databind.JsonNode = null
     snaps.forEach(s => if (s.get("snapshot-id").asLong == wantSnap) snapNode = s)
     require(snapNode != null, s"snapshot $wantSnap not in $table metadata")
-    val listPath = new Path(new java.net.URI(snapNode.get("manifest-list").asText()))
 
-    // manifest list → data manifests (delete manifests refuse loudly)
-    val manifests = readAvro(f, conf, listPath).map { r =>
-      val content = r.get("content") match {
-        case null => 0
-        case n: Number => n.intValue()
-      }
-      if (content != 0) throw new UnsupportedOperationException(
-        s"$table snapshot $wantSnap carries a DELETE manifest " +
-          s"(content=$content); row-level deletes are out of scope — " +
-          "see IcebergExport scope note")
-      new Path(new java.net.URI(r.get("manifest_path").toString))
+    // manifest list → data manifests (delete manifests refuse loudly).
+    // v1 snapshots may carry an inline "manifests" path array instead of a
+    // manifest-list file — both are spec-legal, read either.
+    val manifests: Seq[Path] = Option(snapNode.get("manifest-list")) match {
+      case Some(ml) =>
+        val listPath = new Path(new java.net.URI(ml.asText()))
+        readAvro(f, conf, listPath).map { r =>
+          val content = optField(r, "content") match {
+            case None => 0 // v1 manifest lists carry no content field: data
+            case Some(n: Number) => n.intValue()
+            case Some(_) => 0
+          }
+          if (content != 0) throw new UnsupportedOperationException(
+            s"$table snapshot $wantSnap carries a DELETE manifest " +
+              s"(content=$content); row-level deletes are out of scope — " +
+              "see IcebergExport scope note")
+          new Path(new java.net.URI(r.get("manifest_path").toString))
+        }
+      case None =>
+        val inline = snapNode.get("manifests")
+        require(inline != null,
+          s"snapshot $wantSnap has neither manifest-list nor manifests")
+        val out = Seq.newBuilder[Path]
+        inline.forEach(p => out += new Path(new java.net.URI(p.asText())))
+        out.result()
     }
 
     // manifests → live files with typed partition tuples
@@ -507,9 +535,10 @@ object IcebergExport {
         if (status == 2) None // DELETED entry
         else {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val content = df.get("content") match {
-            case null => 0
-            case n: Number => n.intValue()
+          val content = optField(df, "content") match {
+            case None => 0 // v1 data files carry no content field: data
+            case Some(n: Number) => n.intValue()
+            case Some(_) => 0
           }
           if (content != 0) throw new UnsupportedOperationException(
             s"$table carries a delete file (data_file.content=$content); " +

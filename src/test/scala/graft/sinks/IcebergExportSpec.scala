@@ -85,6 +85,93 @@ class IcebergExportSpec extends SparkSpec {
     assert(after == Set(("en", 9L), ("de", 3L), ("fr", 4L)))
   }
 
+  test("v1 foreign chain: legacy schema/partition-spec keys, inline manifests, DELETED entries skipped, stale hint ignored") {
+    // the registry's q_iceberg_foreign oracles the manifest-list path of a
+    // hand-authored v1 chain; this spec covers the rest of the v1 surface:
+    // a snapshot referencing its manifests INLINE (no list file) read by
+    // id, and the stale version-hint losing to the listing
+    val t = tmp()
+    val dir = new java.io.File(t); dir.mkdirs()
+    Seq((1L, "en"), (2L, "en")).toDF("id", "lang").coalesce(1)
+      .write.parquet(s"$t/f-en")
+    Seq((3L, "de")).toDF("id", "lang").coalesce(1).write.parquet(s"$t/f-de")
+    def part(d: String) = new java.io.File(s"$t/$d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toURI.toString
+    val (fEn, fDe) = (part("f-en"), part("f-de"))
+    val parser = new org.apache.avro.Schema.Parser()
+    val entryV1 = parser.parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |{"name":"lang","type":["null","string"],"default":null}]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin.replaceAll("\n", ""))
+    val meta = new java.io.File(s"$t/metadata"); meta.mkdirs()
+    def entry(status: Int, path: String, lang: String) = {
+      val p = new org.apache.avro.generic.GenericData.Record(
+        entryV1.getField("data_file").schema().getField("partition").schema())
+      p.put("lang", lang)
+      val df = new org.apache.avro.generic.GenericData.Record(
+        entryV1.getField("data_file").schema())
+      df.put("file_path", path); df.put("file_format", "PARQUET")
+      df.put("partition", p); df.put("record_count", 0L)
+      df.put("file_size_in_bytes", 1L)
+      val e = new org.apache.avro.generic.GenericData.Record(entryV1)
+      e.put("status", status); e.put("data_file", df)
+      e
+    }
+    def writeAvro(name: String, recs: Seq[org.apache.avro.generic.GenericRecord]) = {
+      val fl = new java.io.File(meta, name)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](entryV1))
+      w.create(entryV1, fl); recs.foreach(w.append); w.close()
+      fl.toURI.toString
+    }
+    // snapshot 10: en only; snapshot 20: en EXISTING + de ADDED + a
+    // DELETED duplicate of en (must be skipped, not double-read)
+    val m10 = writeAvro("m10.avro", Seq(entry(1, fEn, "en")))
+    val m20 = writeAvro("m20.avro",
+      Seq(entry(0, fEn, "en"), entry(1, fDe, "de"), entry(2, fDe, "de")))
+    val schemaJson = """{"type":"struct","fields":[
+      |{"id":1,"name":"id","required":false,"type":"long"},
+      |{"id":2,"name":"lang","required":false,"type":"string"}]}"""
+      .stripMargin.replaceAll("\n", "")
+    val specJson =
+      """[{"name":"lang","transform":"identity","source-id":2,"field-id":1000}]"""
+    def md(v: Int, current: Long): Unit = {
+      java.nio.file.Files.write(meta.toPath.resolve(s"v$v.metadata.json"),
+        (s"""{"format-version":1,"table-uuid":"u","location":"$t",""" +
+          s""""last-updated-ms":1,"last-column-id":2,"schema":$schemaJson,""" +
+          s""""partition-spec":$specJson,"properties":{},""" +
+          s""""current-snapshot-id":$current,"snapshots":[""" +
+          s"""{"snapshot-id":10,"timestamp-ms":1,"manifests":["$m10"]},""" +
+          s"""{"snapshot-id":20,"timestamp-ms":2,"manifests":["$m20"]}]}""")
+          .getBytes("UTF-8")); ()
+    }
+    md(1, 10L)
+    md(2, 20L)
+    // stale hint: points at v1 — the listing (v2, current snapshot 20) wins
+    java.nio.file.Files.write(meta.toPath.resolve("version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val cur = IcebergExport.read(spark, t)
+      .select($"id".as[Long], $"lang".as[String]).collect().toSet
+    assert(cur == Set((1L, "en"), (2L, "en"), (3L, "de")),
+      s"v1 current state misread: $cur")
+    // time travel to the inline-manifests snapshot
+    val old = IcebergExport.read(spark, t, snapshotId = Some(10L))
+      .select($"id".as[Long], $"lang".as[String]).collect().toSet
+    assert(old == Set((1L, "en"), (2L, "en")), s"inline-manifests snapshot misread: $old")
+    // legacy partition-spec drove pruning: the partition column prunes
+    val pruned = IcebergExport.read(spark, t,
+      partitionFilter = pv => pv.get("lang").contains("de"))
+    assert(pruned.select($"id".as[Long]).collect().toSeq == Seq(3L))
+  }
+
   test("scope limits fail LOUDLY by name: format-version, transforms, delete manifests, delete files, nested types") {
     val t = tmp()
     Snapshots.commitPartitioned(Seq(("en", 1)).toDF("lang", "n"), t, Seq("lang"))
