@@ -491,11 +491,18 @@ object Bench {
       while (it.hasNext && !aborted && !phaseAborted) {
         val (name, fn) = it.next()
         val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - q0) / 1e9
-        best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
-        nMeasured(name) += 1
-        pace.observe(name, dt)
+        // success-only recording (the warm-up/downshift rule, applied to
+        // every measured site): a query that threw measured NOTHING — its
+        // time-to-exception in `best` would be a bogus minimum that the
+        // resumable state now PERSISTS across invocations, masking any
+        // real regression for that entry until the tree changes
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - q0) / 1e9
+          best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+          nMeasured(name) += 1
+          pace.observe(name, dt)
+        } catch { case _: Throwable => () }
         done += 1
         val target = BenchGate.headlineTarget(
           pace,
@@ -609,11 +616,14 @@ object Bench {
           } catch { case _: Throwable => () }
         } else {
           val q0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - q0) / 1e9
-          best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
-          nMeasured(name) += 1
-          pace.observe(name, dt) // keeps the recovery projection warm-informed
+          // success-only, same rationale as the headline phase
+          try {
+            fn(spark, sfDir).count()
+            val dt = (System.nanoTime() - q0) / 1e9
+            best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+            nMeasured(name) += 1
+            pace.observe(name, dt) // keeps the recovery projection warm-informed
+          } catch { case _: Throwable => () }
         }
         // measured passes stop `reserveSec` short of the budget: the
         // reserve pays for the flag-retest pass below (isolated re-measures
@@ -646,11 +656,14 @@ object Bench {
       while (it.hasNext && !aborted) {
         val (name, fn) = it.next()
         val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - q0) / 1e9
-        best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
-        nMeasured(name) += 1
-        pace.observe(name, dt)
+        // success-only, same rationale as the headline phase
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - q0) / 1e9
+          best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+          nMeasured(name) += 1
+          pace.observe(name, dt)
+        } catch { case _: Throwable => () }
         if (elapsed() > budgetSec - reserveSec) { aborted = true; outOfTime = true }
         else if (elapsed() - lastEmit > 20.0) {
           sampleProbes(); emit(pass, complete = lastComplete); lastEmit = elapsed()
@@ -668,11 +681,14 @@ object Bench {
     locally {
       val (retested, n) = BenchGate.retestFlags(
         best.toMap, benchBaseline, calibSpark,
-        name => SparkEntry.queries.get(name).map { fn =>
+        name => SparkEntry.queries.get(name).flatMap { fn =>
           val q0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          nMeasured(name) += 1
-          (System.nanoTime() - q0) / 1e9
+          // success-only: a retest that threw produced no measurement
+          try {
+            fn(spark, sfDir).count()
+            nMeasured(name) += 1
+            Some((System.nanoTime() - q0) / 1e9)
+          } catch { case _: Throwable => None }
         },
         () => elapsed() < budgetSec - 5.0,
         calibMtRun = calibMtPre)

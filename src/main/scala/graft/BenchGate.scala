@@ -133,12 +133,20 @@ object BenchGate {
 
   /** Default state-file location: OUTSIDE the repo (java.io.tmpdir), so
     * persisting the state cannot itself dirty `git status` and invalidate
-    * the very key that guards it. Override via SPARK_GRAFT_BENCH_STATE;
-    * "none" disables resume entirely. */
+    * the very key that guards it — and KEYED BY THE CHECKOUT (md5 of the
+    * working directory), so two checkouts or worktrees alternating runs on
+    * one host don't clobber each other's state (a single shared file would
+    * carry the other tree's key and resume nothing, silently). Override
+    * via SPARK_GRAFT_BENCH_STATE; "none" disables resume entirely. */
   def statePathFor(overridePath: Option[String]): String =
-    overridePath.getOrElse(
+    overridePath.getOrElse {
+      val cwd = System.getProperty("user.dir", "")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(cwd.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.take(12)
       new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-bench-state.properties").getAbsolutePath)
+        s"graft-bench-state-$key.properties").getAbsolutePath
+    }
 
   /** Load persisted per-entry (measured-scale minimum, measurement count)
     * pairs — empty when the file is absent, unreadable, or was written
@@ -151,8 +159,12 @@ object BenchGate {
       val f = new java.io.File(path)
       if (!f.isFile) Map.empty
       else {
-        val lines = scala.io.Source.fromFile(f, "UTF-8").getLines()
-          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+        val lines = {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines()
+            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+          finally src.close()
+        }
         val kv = lines.flatMap { l =>
           l.split("=", 2) match {
             case Array(k, v) => Some(k.trim -> v.trim)

@@ -250,16 +250,21 @@ object IcebergExport {
       (qualified, st.getLen, counts.getOrElse(uri, 0L), pv)
     }
 
-    // chain state: prior metadata carries uuid, snapshots, sequence numbers
+    // chain state: prior metadata carries uuid, snapshots, sequence
+    // numbers — every field Option-wrapped, because the prior chain may be
+    // a FOREIGN v1 metadata.json where table-uuid and last-sequence-number
+    // are optional (a bare .asText/.asLong would NPE with no boundary
+    // named, violating the fail-loudly contract)
     val priorV = currentMetadataVersion(f, table)
     val prior = priorV.map(v => mapper.readTree(readText(f, metadataPath(table, v))))
-    val tableUuid = prior.map(_.get("table-uuid").asText())
+    val tableUuid = prior.flatMap(p => Option(p.get("table-uuid")).map(_.asText()))
       .getOrElse(java.util.UUID.randomUUID().toString)
     val priorSnaps = prior.map(_.get("snapshots")).filter(_ != null)
     val priorMaxSnap = priorSnaps.map { arr =>
       var m = 0L; arr.forEach(s => m = math.max(m, s.get("snapshot-id").asLong)); m
     }.getOrElse(0L)
-    val seqNo = prior.map(_.get("last-sequence-number").asLong).getOrElse(0L) + 1
+    val seqNo = prior.flatMap(p =>
+      Option(p.get("last-sequence-number")).map(_.asLong)).getOrElse(0L) + 1
     val snapId = priorMaxSnap + 1
     val nowMs = System.currentTimeMillis()
     val v = priorV.getOrElse(0L) + 1
@@ -311,7 +316,14 @@ object IcebergExport {
       }
       mapper.writeValueAsString(sc)
     }
-    val manifestPath = new Path(metaDir(table), s"m-$snapId-0.avro")
+    // per-writer nonce in the Avro filenames: two exports racing the same
+    // snapId must never share artifact paths — the loser's metadata CAS
+    // below fails, but with deterministic names it would ALREADY have
+    // overwritten the winner's manifest bytes (overwrite=true create),
+    // leaving the published chain pointing at the wrong file set. With
+    // nonced names the loser's files are mere orphans.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val manifestPath = new Path(metaDir(table), s"m-$snapId-$nonce.avro")
     val manifestLen = writeAvro(f, manifestPath, mSchema,
       Map("schema" -> schemaJson, "partition-spec" -> specJson,
         "partition-spec-id" -> "0", "format-version" -> "2", "content" -> "data"),
@@ -330,7 +342,7 @@ object IcebergExport {
     listEntry.put("added_rows_count", Long.box(files.map(_._3).sum))
     listEntry.put("existing_rows_count", Long.box(0L))
     listEntry.put("deleted_rows_count", Long.box(0L))
-    val listPath = new Path(metaDir(table), s"snap-$snapId-1-$tableUuid.avro")
+    val listPath = new Path(metaDir(table), s"snap-$snapId-$nonce-$tableUuid.avro")
     writeAvro(f, listPath, manifestListSchema,
       Map("format-version" -> "2"), Seq(listEntry))
 
@@ -492,11 +504,31 @@ object IcebergExport {
       partCols += pf.get("name").asText()
     }
     val pCols = partCols.result()
+    // partition SOURCE types must survive the stringify → cast round trip
+    // the literal-column attachment below performs: a date/timestamptz/
+    // decimal identity partition would stringify to its raw storage form
+    // (epoch days / micros) and cast back to NULL — a silent misread.
+    // Refuse those loudly, mirroring partCodec on the export side.
+    pCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      schema(c).dataType match {
+        case StringType | IntegerType | LongType | DoubleType | BooleanType |
+             ShortType | ByteType => ()
+        case other => throw new UnsupportedOperationException(
+          s"$table identity partition on ${other.simpleString} column '$c' is " +
+            "out of scope (string/integral/double/boolean partition values " +
+            "only — see IcebergExport scope note)")
+      }
+    }
 
-    // snapshot → manifest list
+    // snapshot → manifest list (current-snapshot-id is OPTIONAL in v1 —
+    // its absence must name the problem, not NPE)
     val snaps = md.get("snapshots")
     require(snaps != null && snaps.size() > 0, s"no snapshots in $table metadata")
-    val wantSnap = snapshotId.getOrElse(md.get("current-snapshot-id").asLong)
+    val wantSnap = snapshotId.orElse(
+      Option(md.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table metadata names no current-snapshot-id — pass snapshotId explicitly"))
     var snapNode: com.fasterxml.jackson.databind.JsonNode = null
     snaps.forEach(s => if (s.get("snapshot-id").asLong == wantSnap) snapNode = s)
     require(snapNode != null, s"snapshot $wantSnap not in $table metadata")

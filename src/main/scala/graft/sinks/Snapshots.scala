@@ -325,8 +325,21 @@ object Snapshots {
         case Some((h, exp)) if h == holder || exp < System.currentTimeMillis() =>
           removeLease(f, table) // own stale claim, or an expired foreign one
         case held =>
-          // a live foreign lease, or a claimed-but-unwritten one (instant)
-          if (System.currentTimeMillis() > deadline) {
+          // a live foreign lease, or a claimed-but-unwritten one. The
+          // unwritten state is normally an instant (between createFile and
+          // the body write) — but a holder CRASHING in that instant leaves
+          // an empty lease with no expiry that could never be stolen.
+          // Age-bound it: an unparseable lease older than 60 s is a crash
+          // orphan, removed like an expired one.
+          val orphaned = held.isEmpty && {
+            val age =
+              try System.currentTimeMillis() -
+                f.getFileStatus(leasePath(table)).getModificationTime
+              catch { case _: java.io.IOException => 0L } // vanished: retry
+            age > 60000L
+          }
+          if (orphaned) removeLease(f, table)
+          else if (System.currentTimeMillis() > deadline) {
             val who = held.map { case (h, exp) =>
               s"held by '$h' until $exp" }.getOrElse("being claimed")
             throw new java.io.IOException(
@@ -334,7 +347,7 @@ object Snapshots {
               "gate?) owns this table's commit section; quiesce it or retry " +
               "after it releases")
           }
-          Thread.sleep(100)
+          else Thread.sleep(100)
       }
       acquired = tryCreateLease(f, table, holder, ttlMs)
     }

@@ -975,7 +975,14 @@ object StreamingOps {
       compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // per-GATE-INSTANCE lease holder: the bare appId is SHARED by every
+    // gate left on the default, and acquireLease is re-entrant by holder —
+    // two default-appId gates would steal each other's live lease
+    // mid-batch and silently void the very exclusion the lease enforces.
+    // A crashed instance's lease falls to the TTL instead of instant
+    // same-holder recovery; that trade is the safe direction.
+    val leaseHolder = s"$appId-${java.util.UUID.randomUUID().toString.take(8)}"
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -994,7 +1001,7 @@ object StreamingOps {
           // erase attempted mid-batch waits briefly, then fails LOUDLY
           // naming this gate. Maintenance compactions stay lease-free
           // (content-preserving; racing them is CAS-safe).
-          Snapshots.withTableLease(spark, manifestTable, holder = appId) {
+          Snapshots.withTableLease(spark, manifestTable, holder = leaseHolder) {
           val ch = graft.ext.ContentChunker
             .chunks(batch.toDF().select(col("doc_id"), col("text")),
               "doc_id", "text", mask)
@@ -1060,7 +1067,7 @@ object StreamingOps {
             // column anyway; the count is one cheap extra aggregation on a
             // rare path), so the sidecar scales with the corpus instead of
             // silently degrading to a no-op filter at 100 TB.
-            val next = sidecar.filter(_.fillRatio <= 0.5).map(_.copy()).getOrElse {
+            val next = sidecar.filter(_ => sidecarFill <= 0.5).map(_.copy()).getOrElse {
               val stored = Snapshots.read(spark, chunkTable, Some(v2))
                 .select(col("chunk_hash"))
               DigestBloom.build(stored, "chunk_hash",
@@ -1094,6 +1101,7 @@ object StreamingOps {
         }
       }
       .start()
+  }
 
   /** Reassemble documents from the chunk store: manifest rows of the
     * requested docs (doc-id-bucket pruned) joined to their chunks,
@@ -1340,13 +1348,19 @@ object StreamingOps {
           val parts = Snapshots.partitions(spark, chunkTable, Some(chunkV))
           if (pbks.isEmpty || parts.isEmpty) None
           else {
+            // localCheckpoint: the coverage count below AND the sweep's
+            // downstream reference anti-join both consume this join —
+            // uncached it would re-read the pruned partitions twice per
+            // erase (the exact IO the §9.6 pruning bought back). Bounded
+            // by the candidates' own chunk rows.
             val pruned =
               if (parts.exists(sp =>
                   Snapshots.parseSpec(sp).get("cbucket").exists(pbks)))
                 Some(Snapshots.read(spark, chunkTable, Some(chunkV),
                     partitionFilter = m => m.get("cbucket").exists(pbks))
                   .select(col("cbucket"), col("chunk_hash"))
-                  .join(cand, Seq("chunk_hash")))
+                  .join(cand, Seq("chunk_hash"))
+                  .localCheckpoint())
               else None
             // COVERAGE CHECK on the pruning premise (ADVICE r16): the
             // candidates came from manifest rows this erase just removed,
