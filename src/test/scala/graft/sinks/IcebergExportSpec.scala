@@ -286,5 +286,15 @@ class IcebergExportSpec extends SparkSpec {
     Snapshots.commit(Seq((1, Seq(1.0, 2.0))).toDF("k", "emb"), t2)
     val e5 = intercept[UnsupportedOperationException](IcebergExport.export(spark, t2))
     assert(e5.getMessage.contains("out of scope"), e5.getMessage)
+
+    // read side: an identity partition on a DATE column would stringify to
+    // epoch-days and cast back to NULL — must refuse by column, not
+    // silently null the partition values
+    Files.write(metaP, good
+      .replace(""""type":"string"""", """"type":"date"""")
+      .getBytes("UTF-8"))
+    val e6 = intercept[UnsupportedOperationException](IcebergExport.read(spark, t))
+    assert(e6.getMessage.contains("identity partition on date"), e6.getMessage)
+    Files.write(metaP, good.getBytes("UTF-8"))
   }
 }

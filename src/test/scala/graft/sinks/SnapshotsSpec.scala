@@ -351,6 +351,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(maxInside == 1, s"lease admitted $maxInside holders at once")
     // the lease file never pollutes the version chain
     assert(Snapshots.versions(spark, t) == Seq(1L))
+
+    // CRASH ORPHAN: a holder dying between createFile and the body write
+    // leaves an EMPTY lease with no expiry — age-bounded steal (no
+    // parseable expiry + old mtime) must recover it, else every writer
+    // blocks forever on a file nobody owns
+    Snapshots.releaseLease(spark, t, "w4") // whoever held last
+    (1 to 4).foreach(i => Snapshots.releaseLease(spark, t, s"w$i"))
+    val leaseFile = java.nio.file.Paths.get(s"$t/_manifests/_lease.json")
+    java.nio.file.Files.createFile(leaseFile) // empty: crashed mid-claim
+    java.nio.file.Files.setLastModifiedTime(leaseFile,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    Snapshots.acquireLease(spark, t, "recoverer", ttlMs = 60000L, waitMs = 5000L)
+    Snapshots.releaseLease(spark, t, "recoverer")
+    // a FRESH unwritten claim is NOT stolen (it is a live contender's
+    // instant between create and write): acquisition times out loudly
+    java.nio.file.Files.createFile(leaseFile)
+    intercept[java.io.IOException] {
+      Snapshots.acquireLease(spark, t, "impatient", ttlMs = 60000L, waitMs = 0L)
+    }
+    java.nio.file.Files.delete(leaseFile)
   }
 
   test("commitRetryingRaces: re-derives by name on a race, rethrows when exhausted, passes other failures through") {
