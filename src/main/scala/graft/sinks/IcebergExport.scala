@@ -179,7 +179,18 @@ object IcebergExport {
     * default Configuration (file://, classpath core-site). */
   private def recordCounts(spark: SparkSession, uris: Seq[String]): Map[String, Long] =
     if (uris.isEmpty) Map.empty
-    else spark.sparkContext
+    else if (uris.size <= 16) {
+      // BOUNDED small-table fast path: a Spark job's scheduling overhead
+      // dwarfs 16 footer reads — do them on the driver. The distributed
+      // path below is the scale story.
+      val conf = spark.sparkContext.hadoopConfiguration
+      uris.map { u =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(new java.net.URI(u)), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try u -> r.getRecordCount finally r.close()
+      }.toMap
+    } else spark.sparkContext
       .parallelize(uris, math.max(1, math.min(uris.size, 64)))
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -257,14 +268,16 @@ object IcebergExport {
     // named, violating the fail-loudly contract)
     val priorV = currentMetadataVersion(f, table)
     val prior = priorV.map(v => mapper.readTree(readText(f, metadataPath(table, v))))
-    val tableUuid = prior.flatMap(p => Option(p.get("table-uuid")).map(_.asText()))
+    val tableUuid = prior.flatMap(p =>
+      Option(p.get("table-uuid")).filterNot(_.isNull).map(_.asText()))
       .getOrElse(java.util.UUID.randomUUID().toString)
     val priorSnaps = prior.map(_.get("snapshots")).filter(_ != null)
     val priorMaxSnap = priorSnaps.map { arr =>
       var m = 0L; arr.forEach(s => m = math.max(m, s.get("snapshot-id").asLong)); m
     }.getOrElse(0L)
     val seqNo = prior.flatMap(p =>
-      Option(p.get("last-sequence-number")).map(_.asLong)).getOrElse(0L) + 1
+      Option(p.get("last-sequence-number")).filterNot(_.isNull).map(_.asLong))
+      .getOrElse(0L) + 1
     val snapId = priorMaxSnap + 1
     val nowMs = System.currentTimeMillis()
     val v = priorV.getOrElse(0L) + 1
@@ -526,7 +539,8 @@ object IcebergExport {
     val snaps = md.get("snapshots")
     require(snaps != null && snaps.size() > 0, s"no snapshots in $table metadata")
     val wantSnap = snapshotId.orElse(
-      Option(md.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L))
+      Option(md.get("current-snapshot-id")).filterNot(_.isNull) // JSON null ≠ absent
+        .map(_.asLong).filter(_ != -1L))
       .getOrElse(throw new IllegalArgumentException(
         s"$table metadata names no current-snapshot-id — pass snapshotId explicitly"))
     var snapNode: com.fasterxml.jackson.databind.JsonNode = null
