@@ -62,7 +62,7 @@ class BenchContractSpec extends AnyFunSuite {
     assert(last("unit") == "sec")
     val requiredKeys = Seq("value", "t", "n_queries", "pass", "complete",
       "full_passes", "headline_passes", "headline_target", "degraded",
-      "warmup_n", "warmup_t",
+      "warmup_n", "warmup_t", "resumed_n",
       "n_sf", "downshift_n", "downshift_total", "downshift",
       "regressions", "regressions_n", "cold_flags", "cold_flags_n",
       "mcal_n", "mcal_min", "mcal_med", "mcal_max",

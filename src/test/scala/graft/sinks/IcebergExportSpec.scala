@@ -85,6 +85,28 @@ class IcebergExportSpec extends SparkSpec {
     assert(after == Set(("en", 9L), ("de", 3L), ("fr", 4L)))
   }
 
+  test("cross-format agreement: Delta and Iceberg exports of the SAME snapshot read value-identically") {
+    // both interop paths reference the same immutable snapshot parquet in
+    // place; any divergence (partition decode, file resolution, schema
+    // attachment) shows as a row diff between the two external readers
+    val t = tmp()
+    Snapshots.commitPartitioned(
+      Seq(("en", 1L, 10), ("de", 2L, 20), ("fr", 3L, 30)).toDF("lang", "id", "n"),
+      t, Seq("lang"))
+    Snapshots.commitPartitioned(
+      Seq(("en", 4L, 40)).toDF("lang", "id", "n"), t, Seq("lang"))
+    DeltaExport.export(spark, t)
+    IcebergExport.export(spark, t)
+    val viaDelta = DeltaExport.read(spark, t)
+      .select($"lang", $"id", $"n").as[(String, Long, Int)].collect().toSet
+    val viaIceberg = IcebergExport.read(spark, t)
+      .select($"lang", $"id", $"n").as[(String, Long, Int)].collect().toSet
+    val direct = Snapshots.read(spark, t)
+      .select($"lang", $"id", $"n").as[(String, Long, Int)].collect().toSet
+    assert(viaDelta == direct, s"Delta read drifted: $viaDelta vs $direct")
+    assert(viaIceberg == direct, s"Iceberg read drifted: $viaIceberg vs $direct")
+  }
+
   test("v1 foreign chain: legacy schema/partition-spec keys, inline manifests, DELETED entries skipped, stale hint ignored") {
     // the registry's q_iceberg_foreign oracles the manifest-list path of a
     // hand-authored v1 chain; this spec covers the rest of the v1 surface:
