@@ -222,9 +222,15 @@ object IcebergExport {
   /** Publish the current snapshot version of `table` as the next Iceberg
     * snapshot. First export writes `v1.metadata.json`; later exports
     * append a snapshot (and a fresh manifest list) to the chain under
-    * `vN+1.metadata.json` — prior snapshots remain readable by id. Data
-    * files are never moved or rewritten. Returns the snapshot id. */
-  def export(spark: SparkSession, table: String): Long = {
+    * `vN+1.metadata.json` — prior snapshots remain readable by id up to
+    * `retainSnapshots` (SNAPSHOT EXPIRATION, the spec's
+    * expire_snapshots discipline: an unbounded chain makes every
+    * metadata parse grow with export count; expired snapshots leave the
+    * metadata and their manifest files become unreferenced orphans for
+    * external cleanup). Data files are never moved or rewritten. Returns
+    * the snapshot id. */
+  def export(spark: SparkSession, table: String, retainSnapshots: Int = 10): Long = {
+    require(retainSnapshots >= 1, "retainSnapshots must be >= 1")
     val f = fs(spark, table)
     val vs = Snapshots.versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
@@ -379,8 +385,15 @@ object IcebergExport {
     so.putArray("fields")
     md.putObject("properties")
     md.put("current-snapshot-id", snapId)
+    // snapshot expiration: carry only the newest retainSnapshots-1 prior
+    // snapshots (+ this one); the history logs hold to the same cap
     val snaps = md.putArray("snapshots")
-    priorSnaps.foreach(_.forEach(s => snaps.add(s)))
+    val priorList = {
+      val b = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+      priorSnaps.foreach(_.forEach(s => b += s))
+      b.result()
+    }
+    priorList.takeRight(math.max(0, retainSnapshots - 1)).foreach(snaps.add)
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapId)
     sn.put("sequence-number", seqNo)
@@ -388,11 +401,16 @@ object IcebergExport {
     sn.put("manifest-list", f.makeQualified(listPath).toString)
     sn.putObject("summary").put("operation", "overwrite")
     sn.put("schema-id", 0)
-    val slog = md.putArray("snapshot-log")
-    prior.map(_.get("snapshot-log")).filter(_ != null).foreach(_.forEach(n => slog.add(n)))
-    slog.addObject().put("timestamp-ms", nowMs).put("snapshot-id", snapId)
-    val mlog = md.putArray("metadata-log")
-    prior.map(_.get("metadata-log")).filter(_ != null).foreach(_.forEach(n => mlog.add(n)))
+    def cappedLog(name: String): com.fasterxml.jackson.databind.node.ArrayNode = {
+      val arr = md.putArray(name)
+      val b = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+      prior.map(_.get(name)).filter(_ != null).foreach(_.forEach(n => b += n))
+      b.result().takeRight(math.max(0, retainSnapshots - 1)).foreach(arr.add)
+      arr
+    }
+    cappedLog("snapshot-log")
+      .addObject().put("timestamp-ms", nowMs).put("snapshot-id", snapId)
+    val mlog = cappedLog("metadata-log")
     priorV.foreach { pv =>
       mlog.addObject().put("timestamp-ms", nowMs)
         .put("metadata-file", f.makeQualified(metadataPath(table, pv)).toString)
@@ -415,6 +433,26 @@ object IcebergExport {
     f.delete(new Path(metaDir(table), "version-hint.text"), false)
     if (!f.rename(hintTmp, new Path(metaDir(table), "version-hint.text")))
       f.delete(hintTmp, false)
+    // housekeeping (best-effort, post-publish): metadata.json versions past
+    // the retention cap, and THIS EXPORTER's avro artifacts for snapshots
+    // that left the chain — identified by the m-/snap- filename convention
+    // carrying the snapshot id, so files a foreign writer placed here are
+    // never touched. Readers resolve through the newest metadata only, so
+    // dropping expired history is safe by construction.
+    val oldestRetained = priorList.takeRight(math.max(0, retainSnapshots - 1))
+      .headOption.map(_.get("snapshot-id").asLong).getOrElse(snapId)
+    try f.listStatus(metaDir(table)).foreach { st =>
+      val n = st.getPath.getName
+      val expiredMeta = n.matches("v\\d+\\.metadata\\.json") &&
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong <=
+          v - retainSnapshots
+      val expiredAvro =
+        (n.matches("m-\\d+-[0-9a-f]{8}\\.avro") &&
+          n.stripPrefix("m-").takeWhile(_.isDigit).toLong < oldestRetained) ||
+        (n.matches("snap-\\d+-.*\\.avro") &&
+          n.stripPrefix("snap-").takeWhile(_.isDigit).toLong < oldestRetained)
+      if (expiredMeta || expiredAvro) f.delete(st.getPath, false)
+    } catch { case _: java.io.IOException => () }
     snapId
   }
 

@@ -85,6 +85,30 @@ class IcebergExportSpec extends SparkSpec {
     assert(after == Set(("en", 9L), ("de", 3L), ("fr", 4L)))
   }
 
+  test("snapshot expiration: the chain, history logs, and exporter artifacts hold to retainSnapshots") {
+    val t = tmp()
+    Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t)
+    val s1 = IcebergExport.export(spark, t, retainSnapshots = 2)
+    Snapshots.commit(Seq((2, "b")).toDF("k", "v"), t)
+    val s2 = IcebergExport.export(spark, t, retainSnapshots = 2)
+    Snapshots.commit(Seq((3, "c")).toDF("k", "v"), t)
+    val s3 = IcebergExport.export(spark, t, retainSnapshots = 2)
+    val names = Files.list(java.nio.file.Paths.get(s"$t/metadata"))
+      .toArray.map(_.toString.split('/').last).toSet
+    // only the last retainSnapshots metadata versions survive
+    assert(!names.exists(_.startsWith("v1.metadata")), s"expired metadata kept: $names")
+    assert(names.contains("v2.metadata.json") && names.contains("v3.metadata.json"))
+    // snapshot s1 left the chain: its artifacts are gone, reads refuse by id
+    assert(!names.exists(_.startsWith(s"m-$s1-")), s"expired manifest kept: $names")
+    assert(!names.exists(_.startsWith(s"snap-$s1-")), s"expired list kept: $names")
+    intercept[IllegalArgumentException] {
+      IcebergExport.read(spark, t, snapshotId = Some(s1))
+    }
+    // the retained ones still read
+    assert(IcebergExport.read(spark, t, snapshotId = Some(s2)).count() == 2)
+    assert(IcebergExport.read(spark, t, snapshotId = Some(s3)).count() == 3)
+  }
+
   test("cross-format agreement: Delta and Iceberg exports of the SAME snapshot read value-identically") {
     // both interop paths reference the same immutable snapshot parquet in
     // place; any divergence (partition decode, file resolution, schema
