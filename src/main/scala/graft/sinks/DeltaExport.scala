@@ -64,7 +64,18 @@ object DeltaExport {
     * Data files are NEVER moved or rewritten: the log references the
     * snapshot's immutable commit-dir files relative to the table root.
     * Returns the Delta version written. */
-  def export(spark: SparkSession, table: String, checkpointInterval: Int = 10): Long = {
+  /** `logRetention > 0` enables the protocol's METADATA CLEANUP after each
+    * checkpoint write: JSON commits and checkpoints more than
+    * `logRetention` versions below the newest checkpoint are deleted —
+    * reads resolve checkpoint-first so current-state scans are unaffected,
+    * and time travel below the horizon fails with the loud
+    * vacuumed-commits diagnosis [[read]] already implements. 0 (default)
+    * keeps the full log. */
+  def export(
+      spark: SparkSession,
+      table: String,
+      checkpointInterval: Int = 10,
+      logRetention: Int = 0): Long = {
     val f = fs(spark, table)
     val vs = Snapshots.versions(spark, table)
     require(vs.nonEmpty, s"no snapshots at $table")
@@ -170,8 +181,24 @@ object DeltaExport {
       try f.delete(tmp, false) catch { case _: java.io.IOException => () }
       throw new java.io.IOException(s"delta export race on $table v$v")
     }
-    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0) {
       writeCheckpoint(spark, f, table, v, schemaJson, partCols, files)
+      if (logRetention > 0) {
+        // best-effort, post-checkpoint: the state at or above the horizon
+        // resolves through the checkpoint just written, so history below
+        // (horizon = v - logRetention) is deletable per protocol
+        val horizon = v - logRetention
+        try f.listStatus(logDir(table)).foreach { st =>
+          val n = st.getPath.getName
+          val expired =
+            (n.matches("\\d{20}\\.json") &&
+              n.stripSuffix(".json").toLong < horizon) ||
+            (n.matches("\\d{20}\\.checkpoint\\.parquet") &&
+              n.stripSuffix(".checkpoint.parquet").toLong < horizon)
+          if (expired) f.delete(st.getPath, false)
+        } catch { case _: java.io.IOException => () }
+      }
+    }
     v
   }
 

@@ -352,6 +352,32 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.read(spark, t).select($"k").as[Int].collect().toSet == Set(5))
   }
 
+  test("log retention: post-checkpoint cleanup bounds the log; time travel below the horizon fails loudly") {
+    val t = tmp()
+    Snapshots.commit(Seq((0, "seed")).toDF("k", "v"), t)
+    // 7 exports, checkpoint every 2, retention 2: after the v6 checkpoint
+    // the horizon is 4 — commits 0-3 and the v2/v4 checkpoints drop
+    (0 to 6).foreach { i =>
+      if (i > 0) Snapshots.commit(Seq((i, s"r$i")).toDF("k", "v"), t)
+      DeltaExport.export(spark, t, checkpointInterval = 2, logRetention = 2)
+    }
+    val names = new java.io.File(s"$t/_delta_log").listFiles().map(_.getName).toSet
+    assert(!names.contains(f"${0L}%020d.json") && !names.contains(f"${3L}%020d.json"),
+      s"expired commits kept: $names")
+    assert(names.contains(f"${6L}%020d.checkpoint.parquet"))
+    assert(!names.contains(f"${2L}%020d.checkpoint.parquet"),
+      s"expired checkpoint kept: $names")
+    assert(names.contains(f"${5L}%020d.json") && names.contains(f"${6L}%020d.json"))
+    // current state reads checkpoint-first, unaffected by the cleanup
+    assert(DeltaExport.read(spark, t).count() == 7)
+    // below the horizon: the loud vacuumed-commits diagnosis, not a misread
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, t, version = Some(1L))
+    }
+    assert(e.getMessage.contains("not in") || e.getMessage.contains("missing"),
+      e.getMessage)
+  }
+
   test("export stats files with O(leaf dirs) metadata calls, not one RPC per file") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.cfs.impl", classOf[CountingFs].getName)
