@@ -106,23 +106,39 @@ object BenchGate {
     }
   }
 
-  /** RESUMABLE CAPTURE (round-17): identity of the current source tree,
-    * used to invalidate persisted bench state when the code changed. HEAD
-    * commit hash plus an MD5 of `git status --porcelain` (so a dirty tree
-    * differs from its clean parent, and any edit invalidates). Empty
-    * string when git is unavailable — the caller then neither resumes nor
+  /** Paths whose edits change what the bench measures. The dirty digest
+    * below is restricted to these: a capture's identity is the CODE, not
+    * the checkout's incidental clutter. The list is exhaustive on purpose —
+    * `src` covers main/test/resources (the shipped baseline lives in
+    * resources), `build.sbt`/`project` the build, `tools` the bless
+    * scripts the baseline derives from. */
+  val sourcePaths: Seq[String] = Seq("src", "build.sbt", "project", "tools")
+
+  /** RESUMABLE CAPTURE (round-17; scoped round-18): identity of the
+    * current source tree, used to invalidate persisted bench state when
+    * the code changed. HEAD commit hash plus an MD5 of
+    * `git status --porcelain -- <sourcePaths>` — SOURCE-BEARING paths
+    * only. The r17 full-tree digest could never match for its primary
+    * consumer: the driver's capture always runs with driver artifacts
+    * present (modified LEAKCHECK.json, untracked BENCH/CORRECTNESS
+    * files), so `resumed_n` was 0 by construction and warm coverage
+    * re-rolled window luck every round. Non-source churn (reports,
+    * verdicts, scratch output) now leaves the key unchanged; any edit
+    * under src/build.sbt/project/tools still invalidates. Empty string
+    * when git is unavailable — the caller then neither resumes nor
     * persists (fail-safe: no resume beats resuming stale minima). */
-  def treeKey(): String = {
+  def treeKey(dir: java.io.File = new java.io.File(".")): String = {
     def run(cmd: String*): Option[String] =
       try {
-        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val p = new ProcessBuilder(cmd: _*).directory(dir)
+          .redirectErrorStream(true).start()
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         if (p.waitFor() == 0) Some(out.trim) else None
       } catch { case _: Throwable => None }
     (for {
       head <- run("git", "rev-parse", "HEAD")
-      dirty <- run("git", "status", "--porcelain")
+      dirty <- run(Seq("git", "status", "--porcelain", "--") ++ sourcePaths: _*)
     } yield {
       val md = java.security.MessageDigest.getInstance("MD5")
       val dig = md.digest(dirty.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -65,12 +65,15 @@ object DeltaExport {
     * snapshot's immutable commit-dir files relative to the table root.
     * Returns the Delta version written. */
   /** `logRetention > 0` enables the protocol's METADATA CLEANUP after each
-    * checkpoint write: JSON commits and checkpoints more than
-    * `logRetention` versions below the newest checkpoint are deleted —
-    * reads resolve checkpoint-first so current-state scans are unaffected,
-    * and time travel below the horizon fails with the loud
-    * vacuumed-commits diagnosis [[read]] already implements. 0 (default)
-    * keeps the full log. */
+    * checkpoint write: log entries strictly below the newest checkpoint
+    * that sits at or below `horizon = v - logRetention` are deleted — the
+    * cut anchors to a CHECKPOINT so every retained version keeps a
+    * resolvable base (a bare-horizon cut under
+    * `logRetention < checkpointInterval` would orphan retained JSONs whose
+    * only base checkpoint was deleted). Reads resolve checkpoint-first so
+    * current-state scans are unaffected; time travel below the cut fails
+    * with the loud vacuumed-commits diagnosis [[read]] already implements.
+    * 0 (default) keeps the full log. */
   def export(
       spark: SparkSession,
       table: String,
@@ -184,19 +187,28 @@ object DeltaExport {
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0) {
       writeCheckpoint(spark, f, table, v, schemaJson, partCols, files)
       if (logRetention > 0) {
-        // best-effort, post-checkpoint: the state at or above the horizon
-        // resolves through the checkpoint just written, so history below
-        // (horizon = v - logRetention) is deletable per protocol
+        // best-effort, post-checkpoint cleanup, ANCHORED TO A CHECKPOINT
+        // (ADVICE r17): a retained version is only resolvable if some
+        // checkpoint at-or-below it survives, so the cut is the newest
+        // checkpoint <= horizon — NOT the bare horizon. The bare-horizon
+        // form could delete the previous checkpoint while keeping JSON
+        // commits in [horizon, cut) that no surviving base resolves
+        // (logRetention < checkpointInterval made retained history
+        // unreadable and the kept JSONs dead weight). With no checkpoint
+        // at or below the horizon nothing is deletable yet.
         val horizon = v - logRetention
-        try f.listStatus(logDir(table)).foreach { st =>
-          val n = st.getPath.getName
-          val expired =
-            (n.matches("\\d{20}\\.json") &&
-              n.stripSuffix(".json").toLong < horizon) ||
-            (n.matches("\\d{20}\\.checkpoint\\.parquet") &&
-              n.stripSuffix(".checkpoint.parquet").toLong < horizon)
-          if (expired) f.delete(st.getPath, false)
-        } catch { case _: java.io.IOException => () }
+        listCheckpointVersions(f, table).filter(_ <= horizon).lastOption
+          .foreach { cut =>
+            try f.listStatus(logDir(table)).foreach { st =>
+              val n = st.getPath.getName
+              val expired =
+                (n.matches("\\d{20}\\.json") &&
+                  n.stripSuffix(".json").toLong < cut) ||
+                (n.matches("\\d{20}\\.checkpoint\\.parquet") &&
+                  n.stripSuffix(".checkpoint.parquet").toLong < cut)
+              if (expired) f.delete(st.getPath, false)
+            } catch { case _: java.io.IOException => () }
+          }
       }
     }
     v

@@ -44,7 +44,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     file (data_file.content != 0) refuses by name — v2 row-level
   *     deletes change scan semantics and must not be silently ignored;
   *   - flat schemas of primitive types (the engine's own table shapes);
-  *     nested struct/list/map fields refuse by type name.
+  *     nested struct/list/map fields refuse by type name;
+  *   - columns resolve by NAME, not field id (the export side writes
+  *     `schema.name-mapping.default` so spec-strict readers can do the
+  *     same over our field-id-less parquet). A foreign table whose column
+  *     was RENAMED (metadata names differ from older files' footers) is
+  *     therefore out of scope — detected via a sample footer and refused
+  *     by column name, never read as silent NULLs.
   */
 object IcebergExport {
 
@@ -264,7 +270,13 @@ object IcebergExport {
         val raw = Snapshots.percentDecode(kv.substring(i + 1))
         k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else codecs(k)._2(raw))
       }.toMap
-      (qualified, st.getLen, counts.getOrElse(uri, 0L), pv)
+      // record_count is spec-REQUIRED and consumed by scan planners and
+      // count(*) shortcuts downstream — a missing footer read must fail
+      // the export by name, never publish 0 (ADVICE r17)
+      val nRows = counts.getOrElse(uri, throw new IllegalStateException(
+        s"IcebergExport: no footer record count recovered for live file $uri " +
+          "— refusing to publish metadata with a wrong record_count"))
+      (qualified, st.getLen, nRows, pv)
     }
 
     // chain state: prior metadata carries uuid, snapshots, sequence
@@ -383,7 +395,24 @@ object IcebergExport {
     val so = md.putArray("sort-orders").addObject()
     so.put("order-id", 0)
     so.putArray("fields")
+    // schema.name-mapping.default (VERDICT r17 item 2): the engine's
+    // parquet is written by plain Spark and carries NO Iceberg field ids;
+    // the spec's column-projection rule resolves field-id-less columns via
+    // this mapping — without it a spec-strict external reader
+    // (Spark+Iceberg, Trino) must treat every column as absent and
+    // projects all-NULL, defeating the export's entire purpose. One entry
+    // per schema field, names → the id the schema JSON above assigned.
+    val nameMapping = {
+      val arr = mapper.createArrayNode()
+      schema.fields.foreach { fld =>
+        val o = arr.addObject()
+        o.put("field-id", fieldId(fld.name))
+        o.putArray("names").add(fld.name)
+      }
+      mapper.writeValueAsString(arr)
+    }
     md.putObject("properties")
+      .put("schema.name-mapping.default", nameMapping)
     md.put("current-snapshot-id", snapId)
     // snapshot expiration: carry only the newest retainSnapshots-1 prior
     // snapshots (+ this one); the history logs hold to the same cap
@@ -482,7 +511,7 @@ object IcebergExport {
     Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
 
   private def readAvro(
-      f: FileSystem, conf: org.apache.hadoop.conf.Configuration, p: Path): Seq[GenericRecord] = {
+      conf: org.apache.hadoop.conf.Configuration, p: Path): Seq[GenericRecord] = {
     val in = new org.apache.avro.mapred.FsInput(p, conf)
     val rd = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     try {
@@ -491,6 +520,54 @@ object IcebergExport {
       out.result()
     } finally rd.close()
   }
+
+  /** Scheme/authority-insensitive canonical form of a file URI, the join
+    * key between manifest-declared paths and `input_file_name()` output —
+    * Hadoop prints `file:/a`, Spark's scan reports `file:///a`, and both
+    * must key the same partition tuple. Unparseable strings pass through
+    * raw (both sides use this same function, so a shared raw form still
+    * matches). */
+  private[sinks] def normPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme == null) s
+      else s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    } catch { case _: java.net.URISyntaxException => s }
+
+  /** One manifest's live data files as plain `(file_path, partition
+    * tuple)` pairs — plain data, not GenericRecords, so the distributed
+    * read path can ship results back from executors. Every scope refusal
+    * lives HERE, so the driver-side and distributed paths refuse
+    * identically (a distributed refusal surfaces wrapped in Spark's task
+    * failure, message intact). */
+  private def manifestEntries(
+      conf: org.apache.hadoop.conf.Configuration,
+      table: String,
+      pCols: Seq[String],
+      mp: Path): Seq[(String, Map[String, String])] =
+    readAvro(conf, mp).flatMap { e =>
+      val status = e.get("status").asInstanceOf[Number].intValue()
+      if (status == 2) None // DELETED entry
+      else {
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val content = optField(df, "content") match {
+          case None => 0 // v1 data files carry no content field: data
+          case Some(n: Number) => n.intValue()
+          case Some(_) => 0
+        }
+        if (content != 0) throw new UnsupportedOperationException(
+          s"$table carries a delete file (data_file.content=$content); " +
+            "row-level deletes are out of scope — see IcebergExport scope note")
+        val fmt = df.get("file_format").toString
+        require(fmt.equalsIgnoreCase("parquet"),
+          s"$table data file format $fmt unsupported (parquet only)")
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val pv: Map[String, String] = pCols.flatMap { c =>
+          Option(part.get(c)).map(v => c -> v.toString)
+        }.toMap
+        Some((df.get("file_path").toString, pv))
+      }
+    }
 
   /** Scan an Iceberg table through its metadata chain. `snapshotId` picks
     * any retained snapshot (time travel); the current one by default.
@@ -591,7 +668,7 @@ object IcebergExport {
     val manifests: Seq[Path] = Option(snapNode.get("manifest-list")) match {
       case Some(ml) =>
         val listPath = new Path(new java.net.URI(ml.asText()))
-        readAvro(f, conf, listPath).map { r =>
+        readAvro(conf, listPath).map { r =>
           val content = optField(r, "content") match {
             case None => 0 // v1 manifest lists carry no content field: data
             case Some(n: Number) => n.intValue()
@@ -612,32 +689,27 @@ object IcebergExport {
         out.result()
     }
 
-    // manifests → live files with typed partition tuples
-    val live = manifests.flatMap { mp =>
-      readAvro(f, conf, mp).flatMap { e =>
-        val status = e.get("status").asInstanceOf[Number].intValue()
-        if (status == 2) None // DELETED entry
-        else {
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val content = optField(df, "content") match {
-            case None => 0 // v1 data files carry no content field: data
-            case Some(n: Number) => n.intValue()
-            case Some(_) => 0
-          }
-          if (content != 0) throw new UnsupportedOperationException(
-            s"$table carries a delete file (data_file.content=$content); " +
-              "row-level deletes are out of scope — see IcebergExport scope note")
-          val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"$table data file format $fmt unsupported (parquet only)")
-          val part = df.get("partition").asInstanceOf[GenericRecord]
-          val pv: Map[String, String] = pCols.flatMap { c =>
-            Option(part.get(c)).map(v => c -> v.toString)
-          }.toMap
-          Some((df.get("file_path").toString, pv))
-        }
+    // manifests → live files with typed partition tuples. Small tables
+    // parse on the driver (a Spark job's scheduling overhead dwarfs 16
+    // Avro reads — the recordCounts rule); past the threshold the
+    // per-manifest reads DISTRIBUTE over the cluster: a real table carries
+    // thousands of manifests, and a sequential driver loop over them is
+    // the metadata-RPC disease this module repeatedly refuses (VERDICT r17
+    // item 4a).
+    val live: Seq[(String, Map[String, String])] =
+      if (manifests.size <= 16)
+        manifests.flatMap(mp => manifestEntries(conf, table, pCols, mp))
+      else {
+        val paths = manifests.map(_.toString)
+        val tableName = table
+        val cols = pCols
+        spark.sparkContext
+          .parallelize(paths, math.max(1, math.min(paths.size, 64)))
+          .flatMap { s =>
+            manifestEntries(new org.apache.hadoop.conf.Configuration(),
+              tableName, cols, new Path(s))
+          }.collect().toSeq // bounded: one (path, tuple) pair per data file
       }
-    }
 
     val kept = live.filter { case (_, pv) => partitionFilter(pv) }
     val dataSchema = org.apache.spark.sql.types.StructType(
@@ -645,20 +717,57 @@ object IcebergExport {
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // RENAME GUARD (ADVICE r17): this reader resolves parquet columns BY
+    // NAME, but the Iceberg spec mandates field-id resolution — a foreign
+    // table whose column was RENAMED (metadata carries the new name, older
+    // files the old one) would silently read that column all-NULL. Compare
+    // one sample footer's column names against the metadata schema and
+    // refuse the mismatch by name. One footer read; the sample is sound
+    // because every file of an in-scope table was written against the
+    // name-mapped schema this module exports (a table whose files disagree
+    // among THEMSELVES is by construction a renamed/evolved one).
+    locally {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(new java.net.URI(kept.head._1)), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val footerCols =
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+        } finally r.close()
+      val missing = dataSchema.fieldNames.filterNot(footerCols.contains)
+      if (missing.nonEmpty) throw new UnsupportedOperationException(
+        s"$table: column(s) ${missing.mkString(", ")} named by the metadata " +
+          s"schema are absent from data file ${kept.head._1} — a renamed or " +
+          "evolved column; this reader resolves columns by NAME and field-id " +
+          "resolution is out of scope — see IcebergExport scope note")
+    }
     if (pCols.isEmpty)
       spark.read.schema(dataSchema).parquet(kept.map(_._1): _*)
     else {
-      // group by identical partition tuple; the manifest's typed values are
-      // the source of truth — literal columns attach per group
-      import org.apache.spark.sql.functions.{col, lit}
-      kept.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-        .map { case (pv, paths) =>
-          val base = spark.read.schema(dataSchema).parquet(paths.map(_._1): _*)
-          pCols.foldLeft(base) { (df, c) =>
-            df.withColumn(c, lit(pv.getOrElse(c, null)).cast(schema(c).dataType))
-          }
-        }
-        .reduce(_.unionByName(_))
+      // ONE parquet read over every kept file; partition columns attach
+      // via a BROADCAST (normalized path → typed tuple) join keyed on
+      // input_file_name(). The r17 shape — one read + unionByName per
+      // DISTINCT tuple — was correct but O(partitions) in plan size: at
+      // thousands of partition tuples the union chain bloats analysis and
+      // codegen (VERDICT r17 item 4b). The manifest's typed values stay
+      // the source of truth — hive path segments are never re-parsed.
+      import org.apache.spark.sql.functions.{broadcast, col, input_file_name, udf}
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val pvRows = kept.map { case (p, pv) =>
+        org.apache.spark.sql.Row.fromSeq(
+          normPath(p) +: pCols.map(c => pv.getOrElse(c, null)))
+      }
+      val pvDf = pCols.foldLeft(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(pvRows, 1),
+          StructType(StructField("__graft_file", StringType) +:
+            pCols.map(c => StructField(c, StringType)))))(
+        (d, c) => d.withColumn(c, col(c).cast(schema(c).dataType)))
+      val norm = udf(normPath _)
+      spark.read.schema(dataSchema).parquet(kept.map(_._1): _*)
+        .withColumn("__graft_file", norm(input_file_name()))
+        .join(broadcast(pvDf), Seq("__graft_file"), "left")
         .select(schema.fieldNames.map(col).toSeq: _*)
     }
   }

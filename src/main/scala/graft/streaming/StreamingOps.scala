@@ -1088,6 +1088,19 @@ object StreamingOps {
           val manifest = ch.select(
             pmod(col("doc_id"), lit(buckets)).as("dbucket"),
             col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("n_tok"))
+          // PRE-COMMIT OWNERSHIP RE-CHECK (ADVICE r17): the lease bracket
+          // heartbeats at ttl/3 and fails loudly AFTER the body on any
+          // loss, but the manifest append is the commit whose chunk
+          // references a stolen-lease GC could have just collected — so
+          // verify ownership immediately before it and fail BEFORE
+          // publishing a manifest that may point at swept chunks. The
+          // streaming checkpoint replays the batch; the chunk-table
+          // append above is idempotent under its txn watermark.
+          if (!Snapshots.leaseHeld(spark, manifestTable, leaseHolder))
+            throw new java.io.IOException(
+              s"writer lease on $manifestTable stolen from '$leaseHolder' " +
+                "mid-batch: refusing the manifest commit (its chunk rows may " +
+                "have been GC'd by the thief) — the batch will replay")
           // same cadence for the manifest table: reconstruct() and the
           // erase sweep read it whole, and it fragments one file per
           // dbucket per batch just like the chunk table

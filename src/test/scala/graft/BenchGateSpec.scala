@@ -333,6 +333,57 @@ class BenchGateSpec extends AnyFunSuite {
     assert(k1.matches("[0-9a-f]{40}-[0-9a-f]{8}"), s"unexpected key shape: $k1")
   }
 
+  test("resumable state: treeKey ignores non-source churn, invalidates on src edits") {
+    // The r17 defect: the driver's capture always runs on a tree dirtied by
+    // driver artifacts (modified LEAKCHECK.json, untracked BENCH/CORRECTNESS
+    // files), so a full-tree dirty digest made resume impossible in the one
+    // environment it was built for (BENCH_r17 resumed_n: 0). Pin the scoped
+    // contract on a synthetic repo: non-source churn leaves the key
+    // unchanged; any source-path edit still invalidates.
+    val dir = java.nio.file.Files.createTempDirectory("gate-tree").toFile
+    def git(args: String*): Unit = {
+      val p = new ProcessBuilder((Seq("git") ++ args): _*).directory(dir)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"git ${args.mkString(" ")} failed: $out")
+    }
+    def write(rel: String, body: String): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, body)
+    }
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    write("src/main/scala/X.scala", "object X\n")
+    write("build.sbt", "name := \"t\"\n")
+    git("add", "-A")
+    git("commit", "-q", "-m", "base")
+    val clean = BenchGate.treeKey(dir)
+    assert(clean.matches("[0-9a-f]{40}-[0-9a-f]{8}"), s"unexpected key shape: $clean")
+    // driver-artifact churn: modified tracked report + untracked outputs —
+    // the exact git status the driver's capture always sees — must RESUME
+    write("LEAKCHECK.json", "{}")
+    git("add", "LEAKCHECK.json"); git("commit", "-q", "-m", "report")
+    val clean2 = BenchGate.treeKey(dir)
+    write("LEAKCHECK.json", "{\"hits\":0}")
+    write("BENCH_r18.json", "{}")
+    write("CORRECTNESS_r18.json", "{}")
+    assert(BenchGate.treeKey(dir) == clean2,
+      "non-source churn must not invalidate the capture key")
+    // a src/ edit invalidates; so do build.sbt, project/, tools/ edits
+    write("src/main/scala/X.scala", "object X { val y = 1 }\n")
+    val srcDirty = BenchGate.treeKey(dir)
+    assert(srcDirty != clean2, "src edit must invalidate")
+    git("checkout", "--", "src")
+    assert(BenchGate.treeKey(dir) == clean2)
+    write("build.sbt", "name := \"t2\"\n")
+    assert(BenchGate.treeKey(dir) != clean2, "build.sbt edit must invalidate")
+    git("checkout", "--", "build.sbt")
+    write("tools/bless.py", "# new\n")
+    assert(BenchGate.treeKey(dir) != clean2, "untracked tools/ file must invalidate")
+  }
+
   test("baseline resource carries the quiet probe references") {
     val b = BenchGate.loadBaseline()
     assert(b.mcalRef > 0.0, "mcal_ref missing from bench-baseline.properties")

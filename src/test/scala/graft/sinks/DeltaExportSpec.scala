@@ -378,6 +378,33 @@ class DeltaExportSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("log retention below the checkpoint interval: the cut anchors to a checkpoint, every retained version stays resolvable") {
+    val t = tmp()
+    Snapshots.commit(Seq((0, "seed")).toDF("k", "v"), t)
+    // interval 4, retention 2 (ADVICE r17): the bare-horizon rule would, at
+    // the v8 checkpoint (horizon 6), delete the v4 checkpoint while keeping
+    // JSON commits 6-7 that no surviving base resolves — retained history
+    // the docstring promises readable, actually dead. The checkpoint-
+    // anchored cut keeps v4 as the base until a checkpoint at-or-below the
+    // horizon supersedes it.
+    (0 to 8).foreach { i =>
+      if (i > 0) Snapshots.commit(Seq((i, s"r$i")).toDF("k", "v"), t)
+      DeltaExport.export(spark, t, checkpointInterval = 4, logRetention = 2)
+    }
+    val names = new java.io.File(s"$t/_delta_log").listFiles().map(_.getName).toSet
+    assert(names.contains(f"${4L}%020d.checkpoint.parquet"),
+      s"anchor checkpoint deleted: $names")
+    // everything below the cut (v4) is gone; everything at or above reads
+    assert(!names.contains(f"${3L}%020d.json"), s"expired commit kept: $names")
+    (4 to 8).foreach { v =>
+      assert(DeltaExport.read(spark, t, version = Some(v.toLong)).count() == v + 1,
+        s"retained version $v unresolvable")
+    }
+    intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, t, version = Some(3L))
+    }
+  }
+
   test("export stats files with O(leaf dirs) metadata calls, not one RPC per file") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.cfs.impl", classOf[CountingFs].getName)

@@ -373,6 +373,61 @@ class SnapshotsSpec extends SparkSpec {
     java.nio.file.Files.delete(leaseFile)
   }
 
+  test("writer lease heartbeat: long holders are never stolen, release stops the beat, a detected steal fails the bracket loudly") {
+    val t = tmp()
+    Snapshots.commit(Seq((1, "a")).toDF("k", "v"), t)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a critical section running 3x past the initial ttl: pre-heartbeat
+    // (r17) a contender would steal the "expired" lease mid-body — the
+    // exact 100TB erase/sweep hazard VERDICT r17 item 3 names
+    val long = Future {
+      Snapshots.withTableLease(spark, t, "long-runner", ttlMs = 1000L, waitMs = 0L) {
+        Thread.sleep(3000)
+        42
+      }
+    }
+    Thread.sleep(1800) // well past the initial expiry
+    val e = intercept[java.io.IOException] {
+      Snapshots.acquireLease(spark, t, "thief", ttlMs = 60000L, waitMs = 0L)
+    }
+    assert(e.getMessage.contains("long-runner"),
+      s"contender did not name the live renewed holder: ${e.getMessage}")
+    assert(Await.result(long, 1.minute) == 42)
+    // release stopped the heartbeat: the lease is gone, a new holder enters
+    // immediately (a still-beating thread would re-create it)
+    Snapshots.acquireLease(spark, t, "after", ttlMs = 60000L, waitMs = 5000L)
+    Snapshots.releaseLease(spark, t, "after")
+    Thread.sleep(800) // a surviving long-runner beat would resurface here
+    Snapshots.acquireLease(spark, t, "after2", ttlMs = 60000L, waitMs = 0L)
+    Snapshots.releaseLease(spark, t, "after2")
+    // a DEAD heartbeat (bare acquire, no bracket — a crashed holder) still
+    // falls to the ttl: the expiry-steal path is unchanged
+    Snapshots.acquireLease(spark, t, "crashed", ttlMs = 100L, waitMs = 0L)
+    Thread.sleep(250)
+    Snapshots.acquireLease(spark, t, "sweeper", ttlMs = 60000L, waitMs = 0L)
+    Snapshots.releaseLease(spark, t, "sweeper")
+    // a steal the heartbeat DETECTS (here: simulated by a foreign overwrite
+    // during heavy starvation) fails the bracket loudly instead of
+    // returning a result whose exclusivity was void
+    val leaseFile = java.nio.file.Paths.get(s"$t/_manifests/_lease.json")
+    val stolen = intercept[java.io.IOException] {
+      Snapshots.withTableLease(spark, t, "starved", ttlMs = 600L, waitMs = 0L) {
+        java.nio.file.Files.writeString(leaseFile,
+          s"""{"holder":"usurper","expiry":${System.currentTimeMillis() + 600000L}}""")
+        Thread.sleep(1200) // several heartbeat periods — the loss is noticed
+        "body-result"
+      }
+    }
+    assert(stolen.getMessage.contains("starved") &&
+      stolen.getMessage.contains("lost"), stolen.getMessage)
+    // the usurper's lease was NOT clobbered by the loser's release
+    val kept = new String(java.nio.file.Files.readAllBytes(leaseFile), "UTF-8")
+    assert(kept.contains("usurper"), s"loser's release clobbered the thief: $kept")
+    java.nio.file.Files.delete(leaseFile)
+  }
+
   test("commitRetryingRaces: re-derives by name on a race, rethrows when exhausted, passes other failures through") {
     // by-name re-evaluation is the load-bearing part: the retry must
     // re-run the WHOLE commit expression (manifest re-reads included)
