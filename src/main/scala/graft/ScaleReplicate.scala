@@ -34,10 +34,33 @@ import org.apache.spark.sql.functions._
   *   - `region`/`nation` stay as-is (TPC-H dims do not scale with sf) and
   *     unshifted `c_nationkey`/`s_nationkey` still reference them.
   *
-  * Usage: ScaleReplicate <srcSfDir> <outDir> <copies>
-  * (e.g. /root/testdata/sf0.1 target/scale/sf0.5 5). Output is a plain
-  * sibling-shaped dir readable by [[sources.Tables]]; point Bench at it
-  * with SPARK_GRAFT_BENCH_WARMUP_DIR set explicitly (no sf0.001 sibling).
+  * NEAR-DUP MODE (round-18, VERDICT r17 item 5): the disjoint-alphabet
+  * replica is the right input for gates where duplicates get CHEAPER
+  * (content/semantic dedup), but it starves near-dup admission gates of
+  * the cross-replica candidates real corpora have — while EXACT twins
+  * overfeed them (every band collides, candidate pairs grow
+  * quadratically; SURVEY §9 r17 marked those curves unmeasurable). With
+  * `neardupRate > 0`, each replica-k twin of a doc is, deterministically
+  * by hash(doc_id, k):
+  *   - with probability `neardupRate`: a NEAR-DUP — each token
+  *     independently rewritten to `tok~mK` with probability
+  *     `mutationRate` (hash(tok, pos, doc_id, k) decides, so twins are
+  *     reproducible bit-for-bit across runs) — landing in a tunable
+  *     Jaccard band below 1.0 instead of an exact copy;
+  *   - otherwise: the DISTINCT bijective rename above (cross-replica
+  *     Jaccard ~0).
+  * Dup-family membership then grows ~(1 + copies·neardupRate) per doc —
+  * candidate pairs grow LINEARLY with corpus size, the real-corpus shape.
+  * Embeddings follow the same split: near twins get a per-component
+  * deterministic relative jitter of ±2·mutationRate (cosine ≈ 1 − ε²/6,
+  * well above every dup threshold), distinct twins keep the sign-mask
+  * scramble.
+  *
+  * Usage: ScaleReplicate <srcSfDir> <outDir> <copies> [neardupRate] [mutationRate]
+  * (e.g. /root/testdata/sf0.1 target/scale/sf0.5 5 0.1 0.05). Output is a
+  * plain sibling-shaped dir readable by [[sources.Tables]]; point Bench at
+  * it with SPARK_GRAFT_BENCH_WARMUP_DIR set explicitly (no sf0.001
+  * sibling).
   */
 object ScaleReplicate {
 
@@ -59,20 +82,34 @@ object ScaleReplicate {
     (0 until copies).map(k => copy(df, k)).reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleReplicate <srcSfDir> <outDir> <copies>")
+    require(args.length >= 3 && args.length <= 5,
+      "usage: ScaleReplicate <srcSfDir> <outDir> <copies> [neardupRate] [mutationRate]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     // getOrCreate may hand back a session someone else owns; only stop the
     // context when this main created it (tests drive run() directly).
     val hadActive = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isDefined
     val spark = SessionFactory.builder("graft-scale-replicate", cpus.toInt).getOrCreate()
-    try run(spark, args(0), args(1), args(2).toInt)
+    try run(spark, args(0), args(1), args(2).toInt,
+      neardupRate = if (args.length >= 4) args(3).toDouble else 0.0,
+      mutationRate = if (args.length >= 5) args(4).toDouble else 0.05)
     finally if (!hadActive) spark.stop()
   }
 
   /** Replicates every table of `src` into `out` with `copies` structure-
-    * preserving replicas. Does not own the session lifecycle. */
-  def run(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    * preserving replicas. Does not own the session lifecycle.
+    * `neardupRate` > 0 turns the documented fraction of document/embedding
+    * twins into deterministic NEAR-dups (see the near-dup mode note);
+    * 0 keeps every twin alphabet-disjoint/geometry-scrambled. */
+  def run(
+      spark: SparkSession,
+      src: String,
+      out: String,
+      copies: Int,
+      neardupRate: Double = 0.0,
+      mutationRate: Double = 0.05): Unit = {
     require(copies >= 1, "copies must be >= 1")
+    require(neardupRate >= 0.0 && neardupRate <= 1.0, "neardupRate in [0,1]")
+    require(mutationRate >= 0.0 && mutationRate <= 1.0, "mutationRate in [0,1]")
     spark.sparkContext.setLogLevel("WARN")
     import sources.Tables
 
@@ -95,21 +132,57 @@ object ScaleReplicate {
       (d, k) => shifted(d, Seq("l_orderkey", "l_partkey", "l_suppkey"), k)))
     write("events", replicate(Tables.events(spark, src), copies)(
       (d, k) => shifted(d, Seq("event_id", "user_id"), k)))
+    // per-mille thresholds: integer hash buckets keep the twin choice and
+    // the per-token edits exactly reproducible across runs and partitions
+    val nearMille = math.round(neardupRate * 1000).toInt
+    val mutMille = math.round(mutationRate * 1000).toInt
     write("documents", replicate(Tables.documents(spark, src), copies) { (d, k) =>
-      val renamed =
+      val transformed =
         if (k == 0) d
-        else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1~$k"))
-          .withColumn("n_chars", length(col("text")).cast("long"))
-      shifted(renamed, Seq("doc_id"), k)
+        else {
+          val renamed = regexp_replace(col("text"), "(\\S+)", s"$$1~$k")
+          val text =
+            if (nearMille == 0) renamed
+            else {
+              val toks = split(col("text"), "\\s+")
+              val mutated = array_join(
+                zip_with(toks, sequence(lit(0), size(toks) - 1), (tok, i) =>
+                  when(pmod(xxhash64(tok, i, col("doc_id"), lit(k)), lit(1000))
+                      < lit(mutMille),
+                    concat(tok, lit(s"~m$k"))).otherwise(tok)), " ")
+              when(pmod(xxhash64(col("doc_id"), lit(k)), lit(1000)) < lit(nearMille),
+                mutated).otherwise(renamed)
+            }
+          d.withColumn("text", text)
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        }
+      shifted(transformed, Seq("doc_id"), k)
     })
     write("embeddings", replicate(Tables.embeddings(spark, src), copies) { (d, k) =>
       val dim = 64
-      val flipped =
+      val transformed =
         if (k == 0) d
-        else d.withColumn("embedding",
-          zip_with(col("embedding"), lit(signMask(k, dim).map(_.toFloat)),
-            (x, s) => (x * s).cast("float")))
-      shifted(flipped, Seq("vec_id"), k)
+        else {
+          val flipped = zip_with(col("embedding"),
+            lit(signMask(k, dim).map(_.toFloat)), (x, s) => (x * s).cast("float"))
+          val emb =
+            if (nearMille == 0) flipped
+            else {
+              // relative jitter: x·(1 + ε·u), u deterministic in
+              // (vec_id, component, k), uniform on [-1, 1] — scale-free,
+              // cosine ≈ 1 − ε²/6 (ε = 2·mutationRate → ~0.998 at 0.05)
+              val eps = 2.0 * mutationRate
+              val jittered = zip_with(col("embedding"),
+                sequence(lit(0), lit(dim - 1)), (x, i) =>
+                  (x * (lit(1.0) + lit(eps) *
+                    (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(2001))
+                      .cast("double") - lit(1000.0)) / lit(1000.0))).cast("float"))
+              when(pmod(xxhash64(col("vec_id"), lit(k)), lit(1000)) < lit(nearMille),
+                jittered).otherwise(flipped)
+            }
+          d.withColumn("embedding", emb)
+        }
+      shifted(transformed, Seq("vec_id"), k)
     })
   }
 }

@@ -79,4 +79,75 @@ class ScaleReplicateSpec extends SparkSpec {
     val bad = outDocs.filter(length($"text").cast("long") =!= $"n_chars").count()
     assert(bad == 0, "n_chars must track the transformed text")
   }
+
+  test("near-dup mode: a controlled twin fraction lands in a Jaccard band, deterministically; the rest stay disjoint") {
+    // VERDICT r17 item 5: exact twins overfeed near-dup admission gates
+    // (quadratic candidate pairs), disjoint twins starve them — the
+    // near-dup mode must yield ~neardupRate of twins as true near-dups
+    // (token Jaccard in a band below 1.0) and leave the rest
+    // alphabet-disjoint, all reproducible bit-for-bit.
+    val Off = 1000000000000L
+    val base = java.nio.file.Files.createTempDirectory("graft-scale-nd").toString
+    val dirA = s"$base/a"; val dirB = s"$base/b"
+    ScaleReplicate.run(spark, src, dirA, 3, neardupRate = 0.3, mutationRate = 0.05)
+    ScaleReplicate.run(spark, src, dirB, 3, neardupRate = 0.3, mutationRate = 0.05)
+
+    // scaled row counts and replica-0 intactness hold in this mode too
+    assert(spark.read.parquet(s"$dirA/documents.parquet").count() ==
+      3 * spark.read.parquet(s"$src/documents.parquet").count())
+    val docs = sources.Tables.documents(spark, dirA)
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toMap
+    val srcDocs = sources.Tables.documents(spark, src)
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toMap
+    val origIds = srcDocs.keys.toSeq.sorted
+    assert(origIds.forall(i => docs(i) == srcDocs(i)), "replica 0 must stay untouched")
+
+    // token-set Jaccard of every twin against its origin: bimodal by
+    // construction — near twins high (most tokens survive the 5% edit),
+    // distinct twins exactly 0 (disjoint alphabets)
+    def toks(s: String): Set[String] = s.split("\\s+").filter(_.nonEmpty).toSet
+    val jac = for (k <- 1 to 2; i <- origIds) yield {
+      val (a, b) = (toks(srcDocs(i)), toks(docs(i + k * Off)))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val near = jac.filter(_ > 0.4)
+    val frac = near.size.toDouble / jac.size
+    assert(frac > 0.15 && frac < 0.45,
+      s"near-twin fraction $frac drifted from neardupRate 0.3 (n=${jac.size})")
+    assert(jac.filterNot(_ > 0.4).forall(_ == 0.0),
+      "non-near twins must stay alphabet-disjoint (Jaccard 0)")
+    // near twins are NEAR dups, not exact copies: a Jaccard band under 1.0
+    assert(near.count(_ < 1.0) >= (near.size * 0.8).toInt,
+      s"near twins should be mutated, got ${near.count(_ == 1.0)} exact of ${near.size}")
+    assert(near.forall(_ > 0.5), s"near band floor broke: ${near.min}")
+
+    // embeddings: the same controlled split — near twins cosine ≈ 1,
+    // scrambled twins far below every dup threshold
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.zip(b).foreach { case (x, y) => dot += x * y; na += x * x; nb += y * y }
+      dot / math.sqrt(na * nb)
+    }
+    val srcV = sources.Tables.embeddings(spark, src)
+      .select($"vec_id".as[Long], $"embedding".as[Seq[Float]]).collect().toMap
+    val outV = sources.Tables.embeddings(spark, dirA)
+      .select($"vec_id".as[Long], $"embedding".as[Seq[Float]]).collect().toMap
+    val vids = srcV.keys.toSeq.sorted.take(200)
+    val cosines = for (k <- 1 to 2; i <- vids) yield cos(srcV(i), outV(i + k * Off))
+    val nearV = cosines.count(_ > 0.95)
+    val fracV = nearV.toDouble / cosines.size
+    assert(fracV > 0.15 && fracV < 0.45, s"near embedding fraction $fracV vs rate 0.3")
+    assert(cosines.count(c => math.abs(c) < 0.5) >= ((cosines.size - nearV) * 0.8).toInt,
+      "scrambled twins must stay far below dup thresholds")
+
+    // DETERMINISM: the same (src, copies, rates) reproduce byte-identical
+    // twins — a curve measured today is re-measurable tomorrow
+    val docsB = sources.Tables.documents(spark, dirB)
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toMap
+    assert(docsB == docs, "document twins must be deterministic")
+    val outVB = sources.Tables.embeddings(spark, dirB)
+      .select($"vec_id".as[Long], $"embedding".as[Seq[Float]]).collect().toMap
+    assert(vids.forall(i => (1 to 2).forall(k =>
+      outVB(i + k * Off) == outV(i + k * Off))), "embedding twins must be deterministic")
+  }
 }

@@ -228,4 +228,135 @@ class ComposedGatesSpec extends SparkSpec {
       assert(Snapshots.versions(spark, chunkT).size == vsC, "chunk replay committed")
     } finally Seq(rQ, rD, rS, rC).foreach(_.stop())
   }
+
+  test("erase composes into the live chain: loud refusal against an in-flight batch, then final corpus = batch semantics minus the erased docs") {
+    // VERDICT r17 item 6: the five-table composition above races
+    // maintenance but never erases mid-flight. This drives the same chain,
+    // then BETWEEN micro-batches (1) proves the writer lease forces the
+    // documented wait-or-loud-refusal against a held (in-flight) batch
+    // lease, (2) erases a stored doc while the gates and the maintenance
+    // loop stay live, (3) flows one more batch through, and (4) pins the
+    // final corpus to the sibling test's batch verdicts MINUS the erased
+    // doc, byte-exact, with the standalone sweep a no-op afterward.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-composed-erase").toString
+    val modelT = s"$dir/model"; val benchT = s"$dir/bench"
+    val qualT = s"$dir/quality"; val decoT = s"$dir/decontam"
+    val corpT = s"$dir/semcorpus"; val chunkT = s"$dir/chunks"
+    val manT = s"$dir/manifest"
+    val seed = (0L until 40L).map { i =>
+      val pos = i % 2 == 0
+      val words = if (pos) Seq("good", "clean", "prose") else Seq("spam", "junk", "noise")
+      (i, words.padTo(6, words.head).mkString(" "), pos, true)
+    }.toDF("doc_id", "text", "label", "is_train")
+      .withColumn("toks", graft.ext.TextAnalysis.tokens($"text"))
+    assert(StreamingOps.trainQualityModel(seed, "toks", "label", "is_train", modelT) == 1L)
+    assert(StreamingOps.registerBenchmark(
+      Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("text"),
+      "text", benchT) == 1L)
+    val tA = Seq.fill(40)("good clean prose").mkString(" ")
+    val tB = Seq.fill(20)("clean clean clean clean prose").mkString(" ")
+    val tC = Seq.fill(20)("prose prose prose good").mkString(" ")
+    val tX = Seq.fill(20)("good clean prose").mkString(" ") +
+      " alpha beta gamma delta epsilon"
+    val tS = Seq.fill(20)("spam junk noise").mkString(" ")
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> tA, 2L -> tS),
+      Seq(3L -> tX, 4L -> tA, 5L -> tB),
+      Seq(6L -> tC, 7L -> tS))
+    val textOf = batches.flatten.toMap
+    val trg = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+    val memQ = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val memD = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val memS = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val qQ = StreamingOps.startQualityIngest(
+      memQ.toDF().toDF("doc_id", "text"), modelT, qualT, s"$dir/ckptQ", trigger = trg)
+    val qD = StreamingOps.startDecontaminationIngest(
+      memD.toDF().toDF("doc_id", "text"), benchT, decoT, s"$dir/ckptD", trigger = trg)
+    val qS = StreamingOps.startSemDedupIngest(
+      memS.toDF().toDF("id", "v"), corpT, s"$dir/ckptS", minCos = 0.92, trigger = trg)
+    val qC = StreamingOps.startChunkStoreIngest(
+      memC.toDF().toDF("doc_id", "text"), chunkT, manT, s"$dir/ckptC", trigger = trg)
+    val loop = StreamingOps.startMaintenanceLoop(
+      spark, Seq(qualT, decoT, corpT, chunkT, manT),
+      intervalMs = 150, maxBasesPerSpec = 2,
+      onCompact = StreamingOps.chunkStoreMaintenanceRestamp(spark, chunkT))
+    val fedD = scala.collection.mutable.Set.empty[Long]
+    val fedS = scala.collection.mutable.Set.empty[Long]
+    val fedC = scala.collection.mutable.Set.empty[Long]
+    def drive(b: Seq[(Long, String)]): Unit = {
+      memQ.addData(b)
+      qQ.processAllAvailable()
+      val admitted = Snapshots.read(spark, qualT,
+          partitionFilter = m => m.get("admitted").contains("true"))
+        .select($"doc_id".as[Long]).collect().toSeq.filterNot(fedD).sorted
+      fedD ++= admitted
+      if (admitted.nonEmpty) {
+        memD.addData(admitted.map(id => id -> textOf(id)))
+        qD.processAllAvailable()
+      }
+      val clean = Snapshots.read(spark, decoT,
+          partitionFilter = m => m.get("contaminated").contains("false"))
+        .select($"doc_id".as[Long]).collect().toSeq.filterNot(fedS).sorted
+      fedS ++= clean
+      if (clean.nonEmpty) {
+        memS.addData(clean.map(id => id -> embed(textOf(id))))
+        qS.processAllAvailable()
+      }
+      val kept = Snapshots.read(spark, corpT)
+        .select($"id".as[Long]).collect().toSeq.filterNot(fedC).sorted
+      fedC ++= kept
+      if (kept.nonEmpty) {
+        memC.addData(kept.map(id => id -> textOf(id)))
+        qC.processAllAvailable()
+      }
+    }
+    try {
+      drive(batches(0))
+      drive(batches(1))
+      // store now holds docs 1 and 5 (the sibling test's verdicts). An
+      // erase against an IN-FLIGHT batch (its lease held) must refuse
+      // loudly naming the holder, not wait forever and not proceed.
+      Snapshots.acquireLease(spark, manT, "in-flight-ingest-batch", waitMs = 0L)
+      val refusal = intercept[java.io.IOException] {
+        StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L),
+          leaseWaitMs = 300L)
+      }
+      assert(refusal.getMessage.contains("in-flight-ingest-batch") &&
+        refusal.getMessage.contains("writer lease"), refusal.getMessage)
+      // the refused erase changed NOTHING
+      assert(StreamingOps.reconstruct(spark, manT, chunkT)
+        .select($"doc_id".as[Long]).collect().toSet == Set(1L, 5L))
+      Snapshots.releaseLease(spark, manT, "in-flight-ingest-batch")
+      // between micro-batches the lease is free: erase doc 1 while the
+      // gates are live and the maintenance loop keeps racing all tables
+      val chunksBefore = Snapshots.read(spark, chunkT).count()
+      StreamingOps.chunkStoreErase(spark, manT, chunkT, Seq(1L))
+      assert(Snapshots.read(spark, manT).filter($"doc_id" === 1L).count() == 0,
+        "erased doc's manifests survived")
+      assert(Snapshots.read(spark, chunkT).count() < chunksBefore,
+        "erased doc's unique chunks survived")
+      // the chain keeps flowing after the erase
+      drive(batches(2))
+      // final corpus = the sibling test's batch verdicts {1,5,6} minus the
+      // erased doc — byte-exact for the survivors, doc 1 gone for good
+      val finalDocs = StreamingOps.reconstruct(spark, manT, chunkT)
+        .as[(Long, String)].collect().toMap
+      assert(finalDocs.keySet == Set(5L, 6L), s"final corpus: ${finalDocs.keySet}")
+      assert(finalDocs(5L) == norm(tB) && finalDocs(6L) == norm(tC),
+        "reconstruction drifted after the composed erase")
+      // the standalone sweep (same lease discipline) is a no-op on the
+      // already-consistent store
+      val afterErase = Snapshots.read(spark, chunkT).count()
+      StreamingOps.sweepOrphanChunks(spark, manT, chunkT)
+      assert(Snapshots.read(spark, chunkT).count() == afterErase,
+        "sweep disturbed a consistent store")
+    } finally {
+      loop.stop()
+      Seq(qQ, qD, qS, qC).foreach(_.stop())
+    }
+    assert(loop.errors.get() == 0L,
+      "maintenance loop errored while racing the gates and the erase")
+  }
 }
