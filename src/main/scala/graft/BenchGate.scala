@@ -128,17 +128,24 @@ object BenchGate {
     * when git is unavailable — the caller then neither resumes nor
     * persists (fail-safe: no resume beats resuming stale minima). */
   def treeKey(dir: java.io.File = new java.io.File(".")): String = {
-    def run(cmd: String*): Option[String] =
+    def runIn(d: java.io.File, cmd: String*): Option[String] =
       try {
-        val p = new ProcessBuilder(cmd: _*).directory(dir)
+        val p = new ProcessBuilder(cmd: _*).directory(d)
           .redirectErrorStream(true).start()
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         if (p.waitFor() == 0) Some(out.trim) else None
       } catch { case _: Throwable => None }
+    // pathspecs are CWD-RELATIVE: `git status -- src` from a subdirectory
+    // matches nothing (exit 0, empty output), which would hash the dirty
+    // digest of an edited tree to the empty-string constant and RESUME
+    // STALE MINIMA — the fail-unsafe direction. Resolve the toplevel and
+    // run the status there, so the key is cwd-invariant.
     (for {
-      head <- run("git", "rev-parse", "HEAD")
-      dirty <- run(Seq("git", "status", "--porcelain", "--") ++ sourcePaths: _*)
+      head <- runIn(dir, "git", "rev-parse", "HEAD")
+      top <- runIn(dir, "git", "rev-parse", "--show-toplevel")
+      dirty <- runIn(new java.io.File(top),
+        Seq("git", "status", "--porcelain", "--") ++ sourcePaths: _*)
     } yield {
       val md = java.security.MessageDigest.getInstance("MD5")
       val dig = md.digest(dirty.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -45,8 +45,10 @@ import org.apache.spark.sql.functions._
   *   - with probability `neardupRate`: a NEAR-DUP — each token
   *     independently rewritten to `tok~mK` with probability
   *     `mutationRate` (hash(tok, pos, doc_id, k) decides, so twins are
-  *     reproducible bit-for-bit across runs) — landing in a tunable
-  *     Jaccard band below 1.0 instead of an exact copy;
+  *     reproducible bit-for-bit across runs), plus ONE forced edit at a
+  *     hash-chosen position so even a short doc's all-miss draw cannot
+  *     degenerate to an exact copy — landing in a tunable Jaccard band
+  *     strictly below 1.0;
   *   - otherwise: the DISTINCT bijective rename above (cross-replica
   *     Jaccard ~0).
   * Dup-family membership then grows ~(1 + copies·neardupRate) per doc —
@@ -145,10 +147,18 @@ object ScaleReplicate {
             if (nearMille == 0) renamed
             else {
               val toks = split(col("text"), "\\s+")
+              // one FORCED edit position per near twin: a short doc's
+              // independent 5% draws can all miss, and a zero-edit "near
+              // twin" is an exact copy — re-feeding near-dup gates the
+              // quadratic band collisions this mode exists to remove. The
+              // forced position keeps every near twin strictly below
+              // Jaccard 1.0 while leaving the band set by mutationRate.
+              val forced = pmod(xxhash64(col("doc_id"), lit(k), lit(-1)),
+                size(toks).cast("long"))
               val mutated = array_join(
                 zip_with(toks, sequence(lit(0), size(toks) - 1), (tok, i) =>
                   when(pmod(xxhash64(tok, i, col("doc_id"), lit(k)), lit(1000))
-                      < lit(mutMille),
+                      < lit(mutMille) || i.cast("long") === forced,
                     concat(tok, lit(s"~m$k"))).otherwise(tok)), " ")
               when(pmod(xxhash64(col("doc_id"), lit(k)), lit(1000)) < lit(nearMille),
                 mutated).otherwise(renamed)

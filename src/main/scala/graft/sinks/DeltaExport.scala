@@ -197,9 +197,12 @@ object DeltaExport {
         // unreadable and the kept JSONs dead weight). With no checkpoint
         // at or below the horizon nothing is deletable yet.
         val horizon = v - logRetention
-        listCheckpointVersions(f, table).filter(_ <= horizon).lastOption
+        // the WHOLE cleanup (anchor lookup included) stays best-effort:
+        // the version is already published, and a transient listing
+        // failure here must not make a landed export read as failed
+        try listCheckpointVersions(f, table).filter(_ <= horizon).lastOption
           .foreach { cut =>
-            try f.listStatus(logDir(table)).foreach { st =>
+            f.listStatus(logDir(table)).foreach { st =>
               val n = st.getPath.getName
               val expired =
                 (n.matches("\\d{20}\\.json") &&
@@ -207,8 +210,9 @@ object DeltaExport {
                 (n.matches("\\d{20}\\.checkpoint\\.parquet") &&
                   n.stripSuffix(".checkpoint.parquet").toLong < cut)
               if (expired) f.delete(st.getPath, false)
-            } catch { case _: java.io.IOException => () }
+            }
           }
+        catch { case _: java.io.IOException => () }
       }
     }
     v

@@ -180,9 +180,10 @@ object IcebergExport {
   /** `record_count` for every live parquet file — REQUIRED by the spec.
     * One footer read per file, distributed over the cluster: a driver-side
     * loop would be millions of sequential opens at scale (the same
-    * metadata-RPC disease [[DeltaExport.statLiveFiles]] documents). Local
-    * and default-configured filesystems resolve from the executor-side
-    * default Configuration (file://, classpath core-site). */
+    * metadata-RPC disease [[DeltaExport.statLiveFiles]] documents). The
+    * session's hadoop configuration ships to the executors whole, so
+    * store credentials and filesystem registrations resolve identically
+    * to the driver path. */
   private def recordCounts(spark: SparkSession, uris: Seq[String]): Map[String, Long] =
     if (uris.isEmpty) Map.empty
     else if (uris.size <= 16) {
@@ -196,17 +197,25 @@ object IcebergExport {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try u -> r.getRecordCount finally r.close()
       }.toMap
-    } else spark.sparkContext
-      .parallelize(uris, math.max(1, math.min(uris.size, 64)))
-      .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        it.map { u =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new Path(new java.net.URI(u)), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try u -> r.getRecordCount finally r.close()
-        }
-      }.collect().toMap
+    } else {
+      // session conf shipped whole (SerializableConfiguration): the
+      // distributed footer reads must resolve filesystems exactly like
+      // the driver path — spark.hadoop.* credentials and programmatic
+      // fs.*.impl registrations included
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext
+        .parallelize(uris, math.max(1, math.min(uris.size, 64)))
+        .mapPartitions { it =>
+          val conf = serConf.value
+          it.map { u =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(new java.net.URI(u)), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try u -> r.getRecordCount finally r.close()
+          }
+        }.collect().toMap
+    }
 
   private def writeAvro(
       f: FileSystem,
@@ -703,11 +712,16 @@ object IcebergExport {
         val paths = manifests.map(_.toString)
         val tableName = table
         val cols = pCols
+        // ship the SESSION hadoop conf (spark.hadoop.* credentials,
+        // programmatic fs.*.impl registrations) — a bare executor-side
+        // `new Configuration()` would read a >16-manifest table
+        // differently from the ≤16 driver path on any store configured
+        // through the session
+        val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
         spark.sparkContext
           .parallelize(paths, math.max(1, math.min(paths.size, 64)))
           .flatMap { s =>
-            manifestEntries(new org.apache.hadoop.conf.Configuration(),
-              tableName, cols, new Path(s))
+            manifestEntries(serConf.value, tableName, cols, new Path(s))
           }.collect().toSeq // bounded: one (path, tuple) pair per data file
       }
 
@@ -752,22 +766,36 @@ object IcebergExport {
       // thousands of partition tuples the union chain bloats analysis and
       // codegen (VERDICT r17 item 4b). The manifest's typed values stay
       // the source of truth — hive path segments are never re-parsed.
-      import org.apache.spark.sql.functions.{broadcast, col, input_file_name, udf}
-      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      import org.apache.spark.sql.functions.{broadcast, col, concat, input_file_name, lit, raise_error, udf, when}
+      import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
       val pvRows = kept.map { case (p, pv) =>
         org.apache.spark.sql.Row.fromSeq(
-          normPath(p) +: pCols.map(c => pv.getOrElse(c, null)))
+          (normPath(p) +: pCols.map(c => pv.getOrElse(c, null))) :+ true)
       }
       val pvDf = pCols.foldLeft(
         spark.createDataFrame(
           spark.sparkContext.parallelize(pvRows, 1),
-          StructType(StructField("__graft_file", StringType) +:
-            pCols.map(c => StructField(c, StringType)))))(
+          StructType((StructField("__graft_file", StringType) +:
+            pCols.map(c => StructField(c, StringType))) :+
+            StructField("__graft_hit", BooleanType))))(
         (d, c) => d.withColumn(c, col(c).cast(schema(c).dataType)))
       val norm = udf(normPath _)
       spark.read.schema(dataSchema).parquet(kept.map(_._1): _*)
         .withColumn("__graft_file", norm(input_file_name()))
         .join(broadcast(pvDf), Seq("__graft_file"), "left")
+        // a row whose scan path matched no manifest path would carry NULL
+        // partition columns — a silent misread in a module whose contract
+        // is refuse-loudly. Only a normPath asymmetry could cause it
+        // (both sides run the same function, but exotic URI encodings
+        // exist); make the miss throw AT SCAN TIME naming the file.
+        .withColumn("__graft_hit",
+          when(col("__graft_hit").isNull, raise_error(concat(
+            lit("IcebergExport: scanned file "), col("__graft_file"),
+            lit(" matched no manifest data_file path — URI normalization " +
+              "mismatch between the manifest and the scan; refusing a " +
+              "silent NULL-partition read"))))
+            .otherwise(col("__graft_hit")))
+        .filter(col("__graft_hit")) // always true; forces the guard's eval
         .select(schema.fieldNames.map(col).toSeq: _*)
     }
   }

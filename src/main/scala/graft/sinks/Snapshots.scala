@@ -386,7 +386,13 @@ object Snapshots {
   private def renewLease(
       f: FileSystem, table: String, holder: String, ttlMs: Long): Boolean =
     readLease(f, table) match {
-      case Some((h, _)) if h == holder =>
+      // ownership must be LIVE: an already-expired own lease is fair game
+      // for a contender's steal, and renewing it (REPLACE_EXISTING move)
+      // could clobber the thief's fresh claim — two holders, both
+      // believing. Declining instead reports the loss, and the bracket
+      // fails loudly: exactly the promised behavior under heartbeat
+      // starvation past the ttl.
+      case Some((h, exp)) if h == holder && exp > System.currentTimeMillis() =>
         val node = mapper.createObjectNode()
         node.put("holder", holder)
         node.put("expiry", System.currentTimeMillis() + ttlMs)
@@ -461,6 +467,11 @@ object Snapshots {
       out
     } finally {
       stop.countDown()
+      // join BEFORE releasing on every exit path (the throw path included):
+      // releasing while a renewal is between its ownership read and its
+      // move would let the move resurrect the just-released lease as an
+      // unowned orphan that locks contenders out until the ttl
+      beat.join(5000)
       releaseLease(spark, table, holder)
     }
   }

@@ -382,6 +382,20 @@ class BenchGateSpec extends AnyFunSuite {
     git("checkout", "--", "build.sbt")
     write("tools/bless.py", "# new\n")
     assert(BenchGate.treeKey(dir) != clean2, "untracked tools/ file must invalidate")
+    new java.io.File(dir, "tools/bless.py").delete()
+    assert(BenchGate.treeKey(dir) == clean2)
+    // CWD-INVARIANCE: git pathspecs are cwd-relative, so a naive
+    // `git status -- src` from a subdirectory matches nothing and would
+    // hash an edited tree to the clean empty digest — resuming stale
+    // minima, the fail-unsafe direction. The key resolves the toplevel
+    // first: a subdir launch must agree with the root AND see src edits.
+    val sub = new java.io.File(dir, "src/main")
+    assert(BenchGate.treeKey(sub) == clean2, "subdir key differs from root key")
+    write("src/main/scala/X.scala", "object X { val z = 2 }\n")
+    assert(BenchGate.treeKey(sub) != clean2,
+      "subdir-launched key is blind to a src edit")
+    git("checkout", "--", "src")
+    assert(BenchGate.treeKey(sub) == clean2)
   }
 
   test("baseline resource carries the quiet probe references") {

@@ -116,9 +116,11 @@ class ScaleReplicateSpec extends SparkSpec {
       s"near-twin fraction $frac drifted from neardupRate 0.3 (n=${jac.size})")
     assert(jac.filterNot(_ > 0.4).forall(_ == 0.0),
       "non-near twins must stay alphabet-disjoint (Jaccard 0)")
-    // near twins are NEAR dups, not exact copies: a Jaccard band under 1.0
-    assert(near.count(_ < 1.0) >= (near.size * 0.8).toInt,
-      s"near twins should be mutated, got ${near.count(_ == 1.0)} exact of ${near.size}")
+    // near twins are NEAR dups, never exact copies: the forced edit
+    // guarantees a band STRICTLY below 1.0 even for short docs whose
+    // independent per-token draws all miss
+    assert(near.forall(_ < 1.0),
+      s"exact-copy near twins: ${near.count(_ == 1.0)} of ${near.size}")
     assert(near.forall(_ > 0.5), s"near band floor broke: ${near.min}")
 
     // embeddings: the same controlled split — near twins cosine ≈ 1,

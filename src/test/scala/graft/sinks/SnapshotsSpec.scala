@@ -426,6 +426,21 @@ class SnapshotsSpec extends SparkSpec {
     val kept = new String(java.nio.file.Files.readAllBytes(leaseFile), "UTF-8")
     assert(kept.contains("usurper"), s"loser's release clobbered the thief: $kept")
     java.nio.file.Files.delete(leaseFile)
+    // renewal DECLINES an already-expired own lease (starvation past the
+    // ttl): renewing it could clobber a contender's legitimate steal
+    // mid-flight — the bracket must fail loudly instead of resurrecting
+    // the expired claim (simulated by rewriting the holder's own lease
+    // with a past expiry while the body sleeps through a heartbeat)
+    val expired = intercept[java.io.IOException] {
+      Snapshots.withTableLease(spark, t, "gc-paused", ttlMs = 600L, waitMs = 0L) {
+        java.nio.file.Files.writeString(leaseFile,
+          s"""{"holder":"gc-paused","expiry":${System.currentTimeMillis() - 1L}}""")
+        Thread.sleep(1200)
+        "unreachable-result"
+      }
+    }
+    assert(expired.getMessage.contains("gc-paused") &&
+      expired.getMessage.contains("lost"), expired.getMessage)
   }
 
   test("commitRetryingRaces: re-derives by name on a race, rethrows when exhausted, passes other failures through") {
