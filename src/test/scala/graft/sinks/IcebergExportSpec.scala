@@ -350,6 +350,215 @@ class IcebergExportSpec extends SparkSpec {
     assert(pruned.select($"id".as[Long]).collect().toSeq == Seq(13L))
   }
 
+  test("export writes field-507 partition summaries; bounds round-trip the single-value serialization for every in-scope type") {
+    // the summaries are what lets ANY reader (ours or a spec-strict
+    // foreign one) skip whole manifests without opening them — omitting
+    // them was the write-side half of the r18 O(table) weak mark
+    val t = tmp()
+    Snapshots.commitPartitioned(
+      Seq(("en", 1L), ("de", 2L), ("fr", 3L)).toDF("lang", "id"), t, Seq("lang"))
+    IcebergExport.export(spark, t)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = mapper.readTree(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json")))
+    val listUri = md.get("snapshots").get(0).get("manifest-list").asText()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.avro.mapred.FsInput(
+      new org.apache.hadoop.fs.Path(new java.net.URI(listUri)), conf)
+    val rd = new org.apache.avro.file.DataFileReader(
+      in, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val entry = try rd.next() finally rd.close()
+    val sums = entry.get("partitions").asInstanceOf[java.util.Collection[_]]
+    assert(sums != null && sums.size() == 1, "one field_summary per spec field")
+    val s0 = sums.iterator().next()
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(s0.get("contains_null") == java.lang.Boolean.FALSE)
+    def utf8(b: AnyRef): String = {
+      val d = b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val out = new Array[Byte](d.remaining()); d.get(out)
+      new String(out, "UTF-8")
+    }
+    // min/max over {en, de, fr} under the natural string order
+    assert(utf8(s0.get("lower_bound")) == "de", "lower bound is the min value")
+    assert(utf8(s0.get("upper_bound")) == "fr", "upper bound is the max value")
+    // single-value serialization round-trips for every in-scope type, and
+    // the decoded string equals the Avro value's toString (both sides feed
+    // the same partitionFilter — any drift would mis-prune)
+    import org.apache.spark.sql.types._
+    def rt(dt: DataType, v: AnyRef): String = {
+      val buf = IcebergExport.serializeBound(v)
+      val bytes = new Array[Byte](buf.remaining()); buf.duplicate().get(bytes)
+      IcebergExport.deserializeBound(dt, bytes)
+    }
+    assert(rt(IntegerType, Int.box(-42)) == "-42")
+    assert(rt(LongType, Long.box(1234567890123L)) == "1234567890123")
+    assert(rt(DoubleType, Double.box(2.5)) == "2.5")
+    assert(rt(BooleanType, Boolean.box(true)) == "true")
+    assert(rt(StringType, "dt=2025-01-01") == "dt=2025-01-01")
+  }
+
+  test("manifest-list summaries PRUNE manifests without opening them: a selective predicate on a many-manifest table") {
+    // the r18 weak mark, read side: every manifest Avro was parsed even
+    // when its summary provably excluded the predicate. Proof by fixture:
+    // 20 manifests whose list entries carry exact single-tuple summaries,
+    // of which 19 are GARBAGE BYTES on disk — a reader that opens a
+    // non-overlapping manifest cannot help but throw, so a succeeding
+    // selective read IS the proof it opened only the overlapping one.
+    val t = tmp()
+    new java.io.File(s"$t/metadata").mkdirs()
+    Seq((13L, "p13")).toDF("id", "lang").coalesce(1)
+      .write.parquet(s"$t/data/lang=p13")
+    val dataFile = new java.io.File(s"$t/data/lang=p13").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toURI.toString
+    val mSchema = IcebergExport.manifestSchema(Seq("lang" -> "\"string\""))
+    val meta = new java.io.File(s"$t/metadata")
+    // the one real manifest (p13)
+    val realManifest = {
+      val pS = mSchema.getField("data_file").schema().getField("partition").schema()
+      val p = new org.apache.avro.generic.GenericData.Record(pS)
+      p.put("lang", "p13")
+      val df = new org.apache.avro.generic.GenericData.Record(
+        mSchema.getField("data_file").schema())
+      df.put("content", Int.box(0)); df.put("file_path", dataFile)
+      df.put("file_format", "PARQUET"); df.put("partition", p)
+      df.put("record_count", Long.box(1L)); df.put("file_size_in_bytes", Long.box(1L))
+      val e = new org.apache.avro.generic.GenericData.Record(mSchema)
+      e.put("status", Int.box(1)); e.put("snapshot_id", Long.box(30L))
+      e.put("sequence_number", Long.box(1L)); e.put("file_sequence_number", Long.box(1L))
+      e.put("data_file", df)
+      val fl = new java.io.File(meta, "m-real-13.avro")
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](mSchema))
+      w.create(mSchema, fl); w.append(e); w.close()
+      fl.toURI.toString
+    }
+    // 19 garbage manifests: any open throws
+    val garbage = (0 until 20).filter(_ != 13).map { i =>
+      val fl = new java.io.File(meta, s"m-garbage-$i.avro")
+      java.nio.file.Files.write(fl.toPath,
+        s"NOT AVRO $i".getBytes("UTF-8"))
+      i -> fl.toURI.toString
+    }
+    // manifest list: exact single-tuple summaries for every entry
+    val listSchema = IcebergExport.manifestListSchema
+    val arrSchema = listSchema.getField("partitions").schema().getTypes.get(1)
+    val sumSchema = arrSchema.getElementType
+    def listEntry(path: String, lang: String) = {
+      val e = new org.apache.avro.generic.GenericData.Record(listSchema)
+      e.put("manifest_path", path); e.put("manifest_length", Long.box(1L))
+      e.put("partition_spec_id", Int.box(0)); e.put("content", Int.box(0))
+      e.put("sequence_number", Long.box(1L)); e.put("min_sequence_number", Long.box(1L))
+      e.put("added_snapshot_id", Long.box(30L))
+      e.put("added_files_count", Int.box(1)); e.put("existing_files_count", Int.box(0))
+      e.put("deleted_files_count", Int.box(0)); e.put("added_rows_count", Long.box(1L))
+      e.put("existing_rows_count", Long.box(0L)); e.put("deleted_rows_count", Long.box(0L))
+      val s = new org.apache.avro.generic.GenericData.Record(sumSchema)
+      s.put("contains_null", Boolean.box(false))
+      s.put("contains_nan", Boolean.box(false))
+      s.put("lower_bound", java.nio.ByteBuffer.wrap(lang.getBytes("UTF-8")))
+      s.put("upper_bound", java.nio.ByteBuffer.wrap(lang.getBytes("UTF-8")))
+      val arr = new org.apache.avro.generic.GenericData.Array[
+        org.apache.avro.generic.GenericRecord](1, arrSchema)
+      arr.add(s)
+      e.put("partitions", arr)
+      e
+    }
+    val entries = (garbage.map { case (i, u) => listEntry(u, s"p$i") } :+
+      listEntry(realManifest, "p13"))
+    val listFile = new java.io.File(meta, "snap-30.avro")
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](listSchema))
+      w.create(listSchema, listFile); entries.foreach(w.append); w.close()
+    }
+    val schemaJson = """{"type":"struct","schema-id":0,"fields":[
+      |{"id":1,"name":"id","required":false,"type":"long"},
+      |{"id":2,"name":"lang","required":false,"type":"string"}]}"""
+      .stripMargin.replaceAll("\n", "")
+    val specJson = """{"spec-id":0,"fields":[
+      |{"name":"lang","transform":"identity","source-id":2,"field-id":1000}]}"""
+      .stripMargin.replaceAll("\n", "")
+    java.nio.file.Files.write(meta.toPath.resolve("v1.metadata.json"),
+      (s"""{"format-version":2,"table-uuid":"u","location":"$t",""" +
+        s""""last-sequence-number":1,"last-updated-ms":1,"last-column-id":2,""" +
+        s""""current-schema-id":0,"schemas":[$schemaJson],""" +
+        s""""default-spec-id":0,"partition-specs":[$specJson],""" +
+        s""""properties":{},"current-snapshot-id":30,"snapshots":[""" +
+        s"""{"snapshot-id":30,"sequence-number":1,"timestamp-ms":1,""" +
+        s""""manifest-list":"${listFile.toURI.toString}"}]}""").getBytes("UTF-8"))
+    // selective read: ONLY the p13 manifest may be opened — 19 garbage
+    // manifests stand between success and any O(table) metadata scan
+    val got = IcebergExport.read(spark, t,
+      partitionFilter = pv => pv.get("lang").contains("p13"))
+      .select($"id".as[Long], $"lang".as[String]).collect().toSeq
+    assert(got == Seq((13L, "p13")), s"pruned read misread: $got")
+    // control: an unselective read MUST hit the garbage and fail — proving
+    // the fixture actually guards the property the test claims
+    intercept[Exception] { IcebergExport.read(spark, t).count() }
+  }
+
+  test("rename guard samples one footer PER MANIFEST: a rename hiding in the second manifest refuses loudly") {
+    // the r18 guard sampled kept.head of the whole table — a foreign table
+    // renamed mid-history has mixed footers, and when the sample landed on
+    // a post-rename file the pre-rename files silently read all-NULL
+    // (ADVICE r18). Two inline manifests: A's file carries (id, v), B's
+    // carries (id, v_old); metadata names (id, v). The per-table sample
+    // passes on A and misreads B; the per-manifest sample refuses on B.
+    val t = tmp()
+    new java.io.File(t).mkdirs()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(s"$t/f-new")
+    Seq((2L, "b")).toDF("id", "v_old").coalesce(1).write.parquet(s"$t/f-old")
+    def part(d: String) = new java.io.File(s"$t/$d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toURI.toString
+    val (fNew, fOld) = (part("f-new"), part("f-old"))
+    val parser = new org.apache.avro.Schema.Parser()
+    val entryV1 = parser.parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin.replaceAll("\n", ""))
+    val meta = new java.io.File(s"$t/metadata"); meta.mkdirs()
+    def writeManifest(name: String, path: String): String = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        entryV1.getField("data_file").schema())
+      df.put("file_path", path); df.put("file_format", "PARQUET")
+      df.put("partition", new org.apache.avro.generic.GenericData.Record(
+        entryV1.getField("data_file").schema().getField("partition").schema()))
+      df.put("record_count", 1L); df.put("file_size_in_bytes", 1L)
+      val e = new org.apache.avro.generic.GenericData.Record(entryV1)
+      e.put("status", 1); e.put("data_file", df)
+      val fl = new java.io.File(meta, name)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](entryV1))
+      w.create(entryV1, fl); w.append(e); w.close()
+      fl.toURI.toString
+    }
+    val mA = writeManifest("mA.avro", fNew)
+    val mB = writeManifest("mB.avro", fOld)
+    val schemaJson = """{"type":"struct","fields":[
+      |{"id":1,"name":"id","required":false,"type":"long"},
+      |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+      .stripMargin.replaceAll("\n", "")
+    java.nio.file.Files.write(meta.toPath.resolve("v1.metadata.json"),
+      (s"""{"format-version":1,"table-uuid":"u","location":"$t",""" +
+        s""""last-updated-ms":1,"last-column-id":2,"schema":$schemaJson,""" +
+        s""""partition-spec":[],"properties":{},""" +
+        s""""current-snapshot-id":40,"snapshots":[{"snapshot-id":40,""" +
+        s""""timestamp-ms":1,"manifests":["$mA","$mB"]}]}""").getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException](IcebergExport.read(spark, t))
+    assert(e.getMessage.contains("v") && e.getMessage.contains("renamed") &&
+      e.getMessage.contains("mB.avro"), e.getMessage)
+  }
+
   test("a RENAMED column (metadata name absent from file footers) refuses loudly, never reads silent NULLs") {
     // this reader resolves parquet columns by NAME; the spec mandates
     // field-id resolution, so a foreign table whose column was renamed
