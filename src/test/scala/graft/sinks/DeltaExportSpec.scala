@@ -128,6 +128,42 @@ class DeltaExportSpec extends SparkSpec {
     assert(none.columns.toSeq == Seq("id", "s") && none.isEmpty)
   }
 
+  test("partition predicate is pushed into the checkpoint scan: the collect materializes ONLY kept adds") {
+    // the r18 weak mark: readCheckpoint collected every checkpoint row
+    // (one per live file — GBs at 100-TB table sizes) and filtered later,
+    // so driver memory was ∝ table size regardless of selectivity. Now the
+    // predicate filters the DataFrame BELOW the collect; the function's
+    // returned live map is the direct evidence (it is built from exactly
+    // the collected add rows).
+    val t = tmp()
+    Snapshots.commitPartitioned(
+      Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("g", "k"), t, Seq("g"))
+    DeltaExport.export(spark, t, checkpointInterval = 1)
+    Snapshots.commitPartitioned(Seq(("d", 5)).toDF("g", "k"), t, Seq("g"))
+    val v1 = DeltaExport.export(spark, t, checkpointInterval = 1) // checkpoint at v1
+    assert(v1 == 1L)
+    assert(new java.io.File(
+      s"$t/_delta_log/00000000000000000001.checkpoint.parquet").exists)
+    val (live, meta) = DeltaExport.readCheckpoint(spark, t, 1L,
+      keepAdd = pv => pv.get("g").contains("b"))
+    assert(live.values.forall(_.get("g").contains("b")),
+      s"non-kept adds crossed the collect: ${live.values.toSeq}")
+    assert(live.size == 1, s"kept set should be partition b's one file: $live")
+    assert(meta.isDefined, "metaData rows must survive the add filter")
+    // the JSON tail streams the same predicate: a tail-added partition the
+    // filter rejects never enters the live map either — end-to-end, a
+    // selective read returns exactly the kept partition's rows
+    Snapshots.commitPartitioned(Seq(("e", 6)).toDF("g", "k"), t, Seq("g"))
+    DeltaExport.export(spark, t, checkpointInterval = 10) // v2: JSON tail only
+    val sel = DeltaExport.read(spark, t,
+      partitionFilter = pv => pv.get("g").contains("b"))
+    assert(sel.select($"g", $"k").as[(String, Int)].collect().toSet == Set(("b", 3)))
+    assert(sel.inputFiles.forall(_.contains("g=b")),
+      s"file IO leaked past the predicate: ${sel.inputFiles.mkString(",")}")
+    // and an unfiltered read still sees everything (backstop unchanged)
+    assert(DeltaExport.read(spark, t).count() == 6)
+  }
+
   // ---- round-16: path encoding symmetry + foreign-log conformance ----
 
   test("escaped partition values round-trip: percent-encoded paths, '+' literal, republish reconciles") {
