@@ -57,8 +57,10 @@ import org.apache.spark.sql.SparkSession
   * RESUMABLE CAPTURE (round-17 lesson — r16's spiky window measured 111
   * entries warm at sf0.1 while three quiet local captures covered all
   * 235): per-entry measured-scale minima (+ measurement counts) persist
-  * to a state file (SPARK_GRAFT_BENCH_STATE, default under
-  * java.io.tmpdir) keyed by git tree hash + measured dir; the next
+  * to a state file (SPARK_GRAFT_BENCH_STATE, default repo-local
+  * `.graft/bench-state.properties` — round-19: the tmpdir default never
+  * reached the driver's capture environment, so `resumed_n` read 0 for
+  * its primary consumer) keyed by git tree hash + measured dir; the next
   * invocation under the SAME tree folds them in, so consecutive captures
   * ACCUMULATE warm coverage and spend each window's budget on entries no
   * prior window reached. Any code change invalidates the key (no stale
@@ -528,6 +530,38 @@ object Bench {
       emit(0, complete = false)
       lastEmit = elapsed()
     }
+    // HEADLINE RECOVERY pass runner (round-19, VERDICT r18 item 5): one
+    // warm measured-scale pass over the frozen contract subset,
+    // slowest-first. Called BETWEEN full passes the moment breadth is
+    // secured (r18's recovery only ran after the whole pass loop, by which
+    // time a second full pass had spent the budget and headline_passes
+    // read 0 in a window that measured all 237 entries), and again after
+    // the loop for windows that never afforded it earlier.
+    def headlineRecoveryPass(): Unit = {
+      var aborted = false
+      val it = headlineList.sortBy { case (n, _) =>
+        -best.getOrElse(n, Double.MaxValue) }.iterator
+      while (it.hasNext && !aborted) {
+        val (name, fn) = it.next()
+        val q0 = System.nanoTime()
+        // success-only, same rationale as the headline phase
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - q0) / 1e9
+          best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
+          nMeasured(name) += 1
+          pace.observe(name, dt)
+        } catch { case _: Throwable => () }
+        if (elapsed() > budgetSec - reserveSec) { aborted = true; outOfTime = true }
+        else if (elapsed() - lastEmit > 20.0) {
+          sampleProbes(); emit(pass, complete = lastComplete); lastEmit = elapsed()
+        }
+      }
+      if (!aborted) headlinePasses += 1
+      emit(pass, complete = lastComplete)
+      lastEmit = elapsed()
+    }
+
     // Always start the next pass if budget remains: pass 1 still carries
     // whatever one-time cost the warm-up sweep didn't absorb (sf0.1-sized
     // IO, AQE re-plans), so predicting pass 2 from it would skip warm
@@ -640,39 +674,26 @@ object Bench {
       if (!aborted && !passDown) fullPasses += 1
       emit(pass, complete = lastComplete)
       lastEmit = elapsed()
+      // HEADLINE RECOVERY BETWEEN PASSES (round-19): the phase's
+      // degradation decision rests on 3-4 EARLY samples that still carry
+      // measured-scale first-touch costs, so it can under-promise in a
+      // window that turns out fine. The moment one complete measured-scale
+      // sweep exists (breadth secured), remaining budget funds the
+      // cross-round contract subset's warmth BEFORE another full pass —
+      // r18 ordered it the other way and a 237-entry window with headroom
+      // still ended at headline_passes 0.
+      while (BenchGate.recoverHeadlineNow(fullPasses >= 1, headlinePasses,
+          pace.project(headline), elapsed(), budgetSec, reserveSec) &&
+          !outOfTime)
+        headlineRecoveryPass()
     }
-    // HEADLINE RECOVERY: the phase's degradation decision rests on 3-4
-    // EARLY samples that still carry measured-scale first-touch costs, so
-    // it can under-promise in a window that turns out fine (observed live:
-    // a 720 s blessing capture dropped to 1 headline pass, then fit THREE
-    // full passes). If headline warmth was sacrificed and budget remains
-    // after the full passes, run the missing warm pass(es) now — warmth
-    // recovered exactly when it costs nothing, never at breadth's expense.
-    while (headlinePasses < 2 && !outOfTime &&
-        elapsed() + pace.project(headline) < budgetSec - reserveSec) {
-      var aborted = false
-      val it = headlineList.sortBy { case (n, _) =>
-        -best.getOrElse(n, Double.MaxValue) }.iterator
-      while (it.hasNext && !aborted) {
-        val (name, fn) = it.next()
-        val q0 = System.nanoTime()
-        // success-only, same rationale as the headline phase
-        try {
-          fn(spark, sfDir).count()
-          val dt = (System.nanoTime() - q0) / 1e9
-          best.updateWith(name)(prev => Some(prev.fold(dt)(math.min(_, dt))))
-          nMeasured(name) += 1
-          pace.observe(name, dt)
-        } catch { case _: Throwable => () }
-        if (elapsed() > budgetSec - reserveSec) { aborted = true; outOfTime = true }
-        else if (elapsed() - lastEmit > 20.0) {
-          sampleProbes(); emit(pass, complete = lastComplete); lastEmit = elapsed()
-        }
-      }
-      if (!aborted) headlinePasses += 1
-      emit(pass, complete = lastComplete)
-      lastEmit = elapsed()
-    }
+    // POST-LOOP RECOVERY: windows whose sweeps all downshifted (fullPasses
+    // 0) can still afford warmth once the breadth phase is over either way
+    // — warmth recovered exactly when it costs nothing, never at breadth's
+    // expense.
+    while (BenchGate.recoverHeadlineNow(breadthSecured = true, headlinePasses,
+        pace.project(headline), elapsed(), budgetSec, reserveSec) && !outOfTime)
+      headlineRecoveryPass()
     // FLAG RETEST (self-triaging gate): re-measure any currently-flagged
     // query in isolation before reporting it — in-battery interference on
     // floor-adjacent entries does not survive an isolated warm re-measure,

@@ -114,19 +114,21 @@ object BenchGate {
     * scripts the baseline derives from. */
   val sourcePaths: Seq[String] = Seq("src", "build.sbt", "project", "tools")
 
-  /** RESUMABLE CAPTURE (round-17; scoped round-18): identity of the
-    * current source tree, used to invalidate persisted bench state when
-    * the code changed. HEAD commit hash plus an MD5 of
-    * `git status --porcelain -- <sourcePaths>` — SOURCE-BEARING paths
-    * only. The r17 full-tree digest could never match for its primary
-    * consumer: the driver's capture always runs with driver artifacts
-    * present (modified LEAKCHECK.json, untracked BENCH/CORRECTNESS
-    * files), so `resumed_n` was 0 by construction and warm coverage
-    * re-rolled window luck every round. Non-source churn (reports,
-    * verdicts, scratch output) now leaves the key unchanged; any edit
-    * under src/build.sbt/project/tools still invalidates. Empty string
-    * when git is unavailable — the caller then neither resumes nor
-    * persists (fail-safe: no resume beats resuming stale minima). */
+  /** RESUMABLE CAPTURE (round-17; scoped round-18; content-hashed
+    * round-19): identity of the current source tree, used to invalidate
+    * persisted bench state when the code changed. HEAD commit hash plus an
+    * MD5 of the CONTENT of uncommitted source changes — `git diff HEAD --
+    * <sourcePaths>` (tracked edits, staged or not) plus the bytes of every
+    * untracked file under the source paths. The r18 digest hashed
+    * `git status --porcelain` output, i.e. file NAMES AND STATES only, so
+    * two different uncommitted edits to the same source file produced the
+    * same key and the bench resumed stale minima across a source change —
+    * the fail-unsafe direction (ADVICE r18). Non-source churn (reports,
+    * verdicts, scratch output) leaves the key unchanged; any content
+    * change under src/build.sbt/project/tools invalidates. Empty string
+    * when git is unavailable or an untracked source file vanishes
+    * mid-hash — the caller then neither resumes nor persists (fail-safe:
+    * no resume beats resuming stale minima). */
   def treeKey(dir: java.io.File = new java.io.File(".")): String = {
     def runIn(d: java.io.File, cmd: String*): Option[String] =
       try {
@@ -136,39 +138,75 @@ object BenchGate {
           java.nio.charset.StandardCharsets.UTF_8)
         if (p.waitFor() == 0) Some(out.trim) else None
       } catch { case _: Throwable => None }
-    // pathspecs are CWD-RELATIVE: `git status -- src` from a subdirectory
+    // pathspecs are CWD-RELATIVE: `git diff -- src` from a subdirectory
     // matches nothing (exit 0, empty output), which would hash the dirty
     // digest of an edited tree to the empty-string constant and RESUME
     // STALE MINIMA — the fail-unsafe direction. Resolve the toplevel and
-    // run the status there, so the key is cwd-invariant.
+    // run the diff there, so the key is cwd-invariant.
     (for {
       head <- runIn(dir, "git", "rev-parse", "HEAD")
       top <- runIn(dir, "git", "rev-parse", "--show-toplevel")
-      dirty <- runIn(new java.io.File(top),
-        Seq("git", "status", "--porcelain", "--") ++ sourcePaths: _*)
+      topDir = new java.io.File(top)
+      diff <- runIn(topDir,
+        Seq("git", "diff", "HEAD", "--") ++ sourcePaths: _*)
+      untracked <- runIn(topDir,
+        Seq("git", "ls-files", "--others", "--exclude-standard", "--") ++
+          sourcePaths: _*)
     } yield {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val dig = md.digest(dirty.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map(b => f"$b%02x").mkString.take(8)
-      s"$head-$dig"
+      md.update(diff.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var readable = true
+      untracked.split('\n').filter(_.nonEmpty).sorted.foreach { rel =>
+        md.update(0.toByte)
+        md.update(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(0.toByte)
+        try md.update(java.nio.file.Files.readAllBytes(
+          new java.io.File(topDir, rel).toPath))
+        catch { case _: Throwable => readable = false }
+      }
+      if (!readable) "" // a source file vanished mid-hash: no resume
+      else {
+        val dig = md.digest().map(b => f"$b%02x").mkString.take(8)
+        s"$head-$dig"
+      }
     }).getOrElse("")
   }
 
-  /** Default state-file location: OUTSIDE the repo (java.io.tmpdir), so
-    * persisting the state cannot itself dirty `git status` and invalidate
-    * the very key that guards it — and KEYED BY THE CHECKOUT (md5 of the
-    * working directory), so two checkouts or worktrees alternating runs on
-    * one host don't clobber each other's state (a single shared file would
-    * carry the other tree's key and resume nothing, silently). Override
-    * via SPARK_GRAFT_BENCH_STATE; "none" disables resume entirely. */
+  /** Default state-file location: REPO-LOCAL (`.graft/bench-state
+    * .properties` under the git toplevel, gitignored). The r18 default
+    * lived in the builder session's java.io.tmpdir, which the DRIVER's
+    * capture environment does not share — so the one consumer the resume
+    * feature was built for read `resumed_n: 0` every round (VERDICT r18
+    * item 3). A repo-local file travels with the checkout into any
+    * environment that runs the bench from it, and is safe now that
+    * [[treeKey]] digests only source paths: persisting state cannot
+    * invalidate the very key that guards it. Per-checkout isolation comes
+    * free (each checkout carries its own file). Outside a git checkout the
+    * old tmpdir-keyed-by-cwd scheme applies. Override via
+    * SPARK_GRAFT_BENCH_STATE; "none" disables resume entirely. */
   def statePathFor(overridePath: Option[String]): String =
     overridePath.getOrElse {
-      val cwd = System.getProperty("user.dir", "")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(cwd.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map(b => f"$b%02x").mkString.take(12)
-      new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-bench-state-$key.properties").getAbsolutePath
+      val cwd = System.getProperty("user.dir", ".")
+      val top =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "--show-toplevel")
+            .directory(new java.io.File(cwd)).redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+        } catch { case _: Throwable => None }
+      top match {
+        case Some(t) =>
+          val d = new java.io.File(t, ".graft")
+          d.mkdirs()
+          new java.io.File(d, "bench-state.properties").getAbsolutePath
+        case None =>
+          val key = java.security.MessageDigest.getInstance("MD5")
+            .digest(cwd.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map(b => f"$b%02x").mkString.take(12)
+          new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft-bench-state-$key.properties").getAbsolutePath
+      }
     }
 
   /** Load persisted per-entry (measured-scale minimum, measurement count)
@@ -361,6 +399,29 @@ object BenchGate {
     else if (rest1 + sweep <= avail) 1
     else 0
   }
+
+  /** HEADLINE RECOVERY decision (round-19, VERDICT r18 item 5): should a
+    * warm pass over the frozen headline subset run NOW? BENCH_r18 read
+    * `headline_passes: 0` in a window that went on to measure all 237
+    * entries with budget left: the phase's abort decision rests on 3-4
+    * EARLY pace samples that still carry measured-scale first-touch costs,
+    * and the r18 recovery loop only ran AFTER the full pass loop — by
+    * which time a second full pass had spent the remaining budget. The
+    * recovery check now also runs BETWEEN full passes: the moment breadth
+    * is secured (one complete measured-scale sweep), any remaining budget
+    * funds the cross-round contract subset's warmth BEFORE another full
+    * pass. Invariant this encodes: any window that secures breadth and
+    * still has `reserve + projectedCost` headroom ends with
+    * `headline_passes >= 1`. */
+  def recoverHeadlineNow(
+      breadthSecured: Boolean,
+      headlinePasses: Int,
+      projectedCost: Double,
+      elapsed: Double,
+      budget: Double,
+      reserve: Double): Boolean =
+    breadthSecured && headlinePasses < 2 &&
+      elapsed + projectedCost < budget - reserve
 
   /** MEASURED-SCALE DOWNSHIFT decision (round-16: the r15 breadth gap —
     * a pace-aware fallback that only sheds headline passes still cannot

@@ -375,6 +375,22 @@ class BenchGateSpec extends AnyFunSuite {
     write("src/main/scala/X.scala", "object X { val y = 1 }\n")
     val srcDirty = BenchGate.treeKey(dir)
     assert(srcDirty != clean2, "src edit must invalidate")
+    // CONTENT-hashed, not name-hashed (ADVICE r18): two DIFFERENT
+    // uncommitted edits to the SAME file must produce DIFFERENT keys — the
+    // porcelain digest gave them the same one, resuming stale minima
+    // across a source change
+    write("src/main/scala/X.scala", "object X { val y = 2 }\n")
+    val srcDirty2 = BenchGate.treeKey(dir)
+    assert(srcDirty2 != srcDirty && srcDirty2 != clean2,
+      "a second distinct edit to the same file must re-key (content, not names)")
+    // untracked-file CONTENT changes re-key too (same name, new bytes)
+    git("checkout", "--", "src")
+    write("tools/probe.py", "# v1\n")
+    val untracked1 = BenchGate.treeKey(dir)
+    write("tools/probe.py", "# v2\n")
+    assert(BenchGate.treeKey(dir) != untracked1,
+      "untracked source-file content change must re-key")
+    new java.io.File(dir, "tools/probe.py").delete()
     git("checkout", "--", "src")
     assert(BenchGate.treeKey(dir) == clean2)
     write("build.sbt", "name := \"t2\"\n")
@@ -396,6 +412,48 @@ class BenchGateSpec extends AnyFunSuite {
       "subdir-launched key is blind to a src edit")
     git("checkout", "--", "src")
     assert(BenchGate.treeKey(sub) == clean2)
+  }
+
+  test("state path defaults REPO-LOCAL (.graft/) so the driver's capture resumes builder state; overrides pass through") {
+    // VERDICT r18 item 3: the tmpdir default lived in the builder
+    // session's private tmpdir, invisible to the driver's capture env —
+    // resumed_n read 0 for the one consumer resume was built for. The
+    // default now rides with the checkout.
+    val p = BenchGate.statePathFor(None)
+    assert(p.endsWith("/.graft/bench-state.properties"), p)
+    // inside this repo: anchored at the git toplevel, parent dir created
+    assert(new java.io.File(p).getParentFile.isDirectory,
+      "statePathFor must create the .graft dir")
+    // overrides and the disable sentinel pass through untouched
+    assert(BenchGate.statePathFor(Some("/tmp/x.properties")) == "/tmp/x.properties")
+    assert(BenchGate.statePathFor(Some("none")) == "none")
+  }
+
+  test("headline recovery fires the moment breadth is secured and headroom covers the projected cost") {
+    // VERDICT r18 item 5's invariant, pinned: any window that finishes its
+    // breadth sweep with >= reserve + projected-headline-cost headroom
+    // ends with headline_passes >= 1 (the bench calls this between full
+    // passes now, not only after the loop).
+    // breadth secured + headroom → recover
+    assert(BenchGate.recoverHeadlineNow(breadthSecured = true,
+      headlinePasses = 0, projectedCost = 30.0,
+      elapsed = 250.0, budget = 360.0, reserve = 25.0))
+    // r18's shape: no breadth yet → never steal the sweep's budget
+    assert(!BenchGate.recoverHeadlineNow(breadthSecured = false,
+      headlinePasses = 0, projectedCost = 30.0,
+      elapsed = 100.0, budget = 360.0, reserve = 25.0))
+    // warm contract already met → stop at 2
+    assert(!BenchGate.recoverHeadlineNow(breadthSecured = true,
+      headlinePasses = 2, projectedCost = 30.0,
+      elapsed = 100.0, budget = 360.0, reserve = 25.0))
+    // headroom short of the projection → never overrun the reserve
+    assert(!BenchGate.recoverHeadlineNow(breadthSecured = true,
+      headlinePasses = 0, projectedCost = 30.0,
+      elapsed = 310.0, budget = 360.0, reserve = 25.0))
+    // one pass done, room for the second → recover again
+    assert(BenchGate.recoverHeadlineNow(breadthSecured = true,
+      headlinePasses = 1, projectedCost = 30.0,
+      elapsed = 280.0, budget = 360.0, reserve = 25.0))
   }
 
   test("baseline resource carries the quiet probe references") {
