@@ -524,7 +524,9 @@ object DeltaExport {
     * version by default; any version whose JSON commits are retained
     * otherwise (Delta time travel). `partitionFilter` prunes on each add's
     * `partitionValues` BEFORE any file IO — same contract as
-    * [[Snapshots.read]]. */
+    * [[Snapshots.read]] — and rides INTO the checkpoint scan as a UDF
+    * (so it must be serializable; any plain closure is), keeping driver
+    * state ∝ kept files rather than table size. */
   def read(
       spark: SparkSession,
       table: String,
