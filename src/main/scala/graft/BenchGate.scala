@@ -114,6 +114,18 @@ object BenchGate {
     * scripts the baseline derives from. */
   val sourcePaths: Seq[String] = Seq("src", "build.sbt", "project", "tools")
 
+  /** Run a git command in `d`, returning trimmed stdout on exit 0. Shared
+    * by [[treeKey]] and [[statePathFor]] — one place for the subprocess
+    * plumbing (stream redirect, charset, failure mapping). */
+  private def gitOut(d: java.io.File, cmd: String*): Option[String] =
+    try {
+      val p = new ProcessBuilder(cmd: _*).directory(d)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() == 0) Some(out.trim) else None
+    } catch { case _: Throwable => None }
+
   /** RESUMABLE CAPTURE (round-17; scoped round-18; content-hashed
     * round-19): identity of the current source tree, used to invalidate
     * persisted bench state when the code changed. HEAD commit hash plus an
@@ -130,33 +142,29 @@ object BenchGate {
     * mid-hash — the caller then neither resumes nor persists (fail-safe:
     * no resume beats resuming stale minima). */
   def treeKey(dir: java.io.File = new java.io.File(".")): String = {
-    def runIn(d: java.io.File, cmd: String*): Option[String] =
-      try {
-        val p = new ProcessBuilder(cmd: _*).directory(d)
-          .redirectErrorStream(true).start()
-        val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (p.waitFor() == 0) Some(out.trim) else None
-      } catch { case _: Throwable => None }
     // pathspecs are CWD-RELATIVE: `git diff -- src` from a subdirectory
     // matches nothing (exit 0, empty output), which would hash the dirty
     // digest of an edited tree to the empty-string constant and RESUME
     // STALE MINIMA — the fail-unsafe direction. Resolve the toplevel and
     // run the diff there, so the key is cwd-invariant.
     (for {
-      head <- runIn(dir, "git", "rev-parse", "HEAD")
-      top <- runIn(dir, "git", "rev-parse", "--show-toplevel")
+      head <- gitOut(dir, "git", "rev-parse", "HEAD")
+      top <- gitOut(dir, "git", "rev-parse", "--show-toplevel")
       topDir = new java.io.File(top)
-      diff <- runIn(topDir,
+      diff <- gitOut(topDir,
         Seq("git", "diff", "HEAD", "--") ++ sourcePaths: _*)
-      untracked <- runIn(topDir,
-        Seq("git", "ls-files", "--others", "--exclude-standard", "--") ++
+      // -z: NUL-separated VERBATIM names — the default output C-quotes
+      // paths with spaces/unicode (core.quotePath), and reading the quoted
+      // form as a filename fails, silently disabling resume forever for a
+      // checkout that merely keeps an oddly-named untracked helper
+      untracked <- gitOut(topDir,
+        Seq("git", "ls-files", "-z", "--others", "--exclude-standard", "--") ++
           sourcePaths: _*)
     } yield {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(diff.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var readable = true
-      untracked.split('\n').filter(_.nonEmpty).sorted.foreach { rel =>
+      untracked.split('\u0000').filter(_.nonEmpty).sorted.foreach { rel =>
         md.update(0.toByte)
         md.update(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         md.update(0.toByte)
@@ -187,14 +195,8 @@ object BenchGate {
   def statePathFor(overridePath: Option[String]): String =
     overridePath.getOrElse {
       val cwd = System.getProperty("user.dir", ".")
-      val top =
-        try {
-          val p = new ProcessBuilder("git", "rev-parse", "--show-toplevel")
-            .directory(new java.io.File(cwd)).redirectErrorStream(true).start()
-          val out = new String(p.getInputStream.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-          if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
-        } catch { case _: Throwable => None }
+      val top = gitOut(new java.io.File(cwd),
+        "git", "rev-parse", "--show-toplevel").filter(_.nonEmpty)
       top match {
         case Some(t) =>
           val d = new java.io.File(t, ".graft")

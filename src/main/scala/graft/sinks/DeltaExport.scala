@@ -46,6 +46,14 @@ object DeltaExport {
 
   private val mapper = new ObjectMapper()
 
+  /** The shared keep-everything sentinel: default for every partition
+    * predicate in this module, compared BY REFERENCE (`eq`) so unfiltered
+    * reads skip the checkpoint scan's per-row UDF entirely — an opaque
+    * always-true function cannot be detected any other way, and paying a
+    * UDF invocation per add row of a 100-TB table's checkpoint for a
+    * predicate that keeps everything is pure waste. */
+  private[sinks] val keepAll: Map[String, String] => Boolean = _ => true
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -346,14 +354,14 @@ object DeltaExport {
       spark: SparkSession,
       table: String,
       v: Long,
-      keepAdd: Map[String, String] => Boolean = _ => true)
+      keepAdd: Map[String, String] => Boolean = keepAll)
       : (scala.collection.mutable.LinkedHashMap[String, Map[String, String]],
       Option[(String, String, Seq[String])]) = {
     import org.apache.spark.sql.functions.{col, udf}
     val raw = spark.read.parquet(checkpointPath(table, v).toString)
     val cols = raw.columns.toSet
     val df =
-      if (!cols("add")) raw
+      if (!cols("add") || (keepAdd eq keepAll)) raw
       else {
         val keep = udf((pv: Map[String, String]) =>
           keepAdd(Option(pv).getOrElse(Map.empty)))
@@ -451,7 +459,7 @@ object DeltaExport {
       table: String,
       versions: Seq[Long],
       into: scala.collection.mutable.LinkedHashMap[String, Map[String, String]],
-      keepAdd: Map[String, String] => Boolean = _ => true)
+      keepAdd: Map[String, String] => Boolean = keepAll)
       : Option[(String, Seq[String])] = {
     var meta: Option[(String, Seq[String])] = None
     versions.foreach { v =>
@@ -468,10 +476,9 @@ object DeltaExport {
               pv += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
             }
           val built = pv.result()
-          if (keepAdd(built))
-            into += decodePath(a.get("path").asText()) -> built
-          else
-            into -= decodePath(a.get("path").asText()) // re-add out of scope
+          val path = decodePath(a.get("path").asText())
+          if (keepAdd(built)) into += path -> built
+          else into -= path // re-add out of predicate scope: evict stale state
         } else if (node.has("remove")) {
           into -= decodePath(node.get("remove").get("path").asText())
         } else if (node.has("metaData")) {
@@ -531,7 +538,7 @@ object DeltaExport {
       spark: SparkSession,
       table: String,
       version: Option[Long] = None,
-      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+      partitionFilter: Map[String, String] => Boolean = keepAll): DataFrame = {
     val f = fs(spark, table)
     val jsonVs = listDeltaVersions(f, table)
     val ckptVs = listCheckpointVersions(f, table)

@@ -763,7 +763,8 @@ object IcebergExport {
             case _ => None
           }
           val exactValues = pCols.zip(pTypes).zip(sums).map { case ((c, dt), g) =>
-            val nullFree = g.get("contains_null") == java.lang.Boolean.FALSE
+            val nullFree =
+              optField(g, "contains_null").contains(java.lang.Boolean.FALSE)
             // doubles: NaN values are EXCLUDED from bounds, so equal bounds
             // pin the tuple set only when the writer explicitly recorded
             // nan-free; an absent contains_nan is UNKNOWN, not nan-free.
@@ -773,8 +774,13 @@ object IcebergExport {
               case Some(_) => false
               case None => dt != org.apache.spark.sql.types.DoubleType
             }
-            val lo = Option(g.get("lower_bound")).flatMap(bytesOf)
-            val hi = Option(g.get("upper_bound")).flatMap(bytesOf)
+            // bounds are OPTIONAL spec fields (510/511): a writer may omit
+            // them from its Avro schema entirely, and GenericRecord.get
+            // THROWS on unknown field names — optField, like contains_nan
+            // above, so a minimal foreign summary keeps the manifest
+            // instead of crashing the read
+            val lo = optField(g, "lower_bound").flatMap(bytesOf)
+            val hi = optField(g, "upper_bound").flatMap(bytesOf)
             (nullFree && nanFree, lo, hi) match {
               case (true, Some(l), Some(h)) if java.util.Arrays.equals(l, h) =>
                 Some(c -> deserializeBound(dt, l))

@@ -348,7 +348,12 @@ object Snapshots {
     * must share a clock domain (NTP-disciplined cluster); cross-host skew
     * larger than the ttl margin can steal a live lease early. The
     * [[withTableLease]] heartbeat renews at ttl/3, so the effective skew
-    * budget there is 2/3 of the ttl, not the whole of it. */
+    * budget there is 2/3 of the ttl, not the whole of it.
+    *
+    * Returns a conservative UNDER-bound of the expiry the successful claim
+    * stamped (wall clock sampled immediately before the claim, + ttl) —
+    * the heartbeat's degraded-renewal logic measures its protection
+    * against this. */
   /** PLUGGABLE EXTERNAL LOCK (VERDICT r18 item 6): the file-based lease's
     * claim is atomic only where create-exclusive is (file://, HDFS) — on an
     * object store (S3A) no-overwrite create is check-then-write and two
@@ -376,10 +381,11 @@ object Snapshots {
       table: String,
       holder: String,
       ttlMs: Long = 600000L,
-      waitMs: Long = 120000L): Unit = {
+      waitMs: Long = 120000L): Long = {
     externalLock.get() match {
       case Some(lock) =>
         val deadline = System.currentTimeMillis() + math.max(0L, waitMs)
+        var before = System.currentTimeMillis()
         var ok = lock.tryAcquire(table, holder, ttlMs)
         while (!ok) {
           if (System.currentTimeMillis() > deadline) {
@@ -391,14 +397,16 @@ object Snapshots {
                 "it releases")
           }
           Thread.sleep(100)
+          before = System.currentTimeMillis()
           ok = lock.tryAcquire(table, holder, ttlMs)
         }
-        return
+        return before + ttlMs
       case None => ()
     }
     val f = fs(spark, table)
     f.mkdirs(manifestDir(table))
     val deadline = System.currentTimeMillis() + math.max(0L, waitMs)
+    var before = System.currentTimeMillis()
     var acquired = tryCreateLease(f, table, holder, ttlMs)
     while (!acquired) {
       readLease(f, table) match {
@@ -429,8 +437,15 @@ object Snapshots {
           }
           else Thread.sleep(100)
       }
+      before = System.currentTimeMillis()
       acquired = tryCreateLease(f, table, holder, ttlMs)
     }
+    // a tight UNDER-bound of the expiry the successful claim stamped
+    // (sampled immediately before the claim wrote now+ttl): the heartbeat's
+    // degraded logic compares against this, and an over-bound would report
+    // Degraded past the on-disk lease's true expiry — claiming protection
+    // that has already lapsed
+    before + ttlMs
   }
 
   /** Release `holder`'s lease (no-op when absent or held by someone else —
@@ -488,8 +503,8 @@ object Snapshots {
         node.put("expiry", System.currentTimeMillis() + ttlMs)
         val bytes = mapper.writeValueAsBytes(node)
         val p = leasePath(table)
-        try {
-          if ("file".equals(f.getUri.getScheme)) {
+        if ("file".equals(f.getUri.getScheme)) {
+          try {
             val d = java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
             val tmp = d.resolveSibling(
               s".lease.renew.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -497,15 +512,44 @@ object Snapshots {
             java.nio.file.Files.move(tmp, d,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          } else {
-            val out = f.create(p, true)
-            try out.write(bytes) finally out.close()
+            Renewed
+          } catch {
+            // ATOMIC_MOVE never tears the destination: the PRIOR lease
+            // provably still stands — renewal degraded, not lost
+            case _: java.io.IOException => degradedOrLost("renewal write failed")
           }
-          Renewed
-        } catch {
-          // the write failed but the PRIOR lease file still stands (the
-          // tmp+move path never tears it) — renewal degraded, not lost
-          case _: java.io.IOException => degradedOrLost("renewal write failed")
+        } else {
+          // NON-atomic-rename stores: an overwrite-create would TRUNCATE
+          // the prior lease before writing, so a failure mid-write leaves a
+          // torn lease that contenders orphan-remove after 60 s — far
+          // before lastWrittenExpiry — and "Degraded" would be a lie that
+          // breaks mutual exclusion silently. Stage the bytes to a temp
+          // first (a failure there leaves the prior lease intact →
+          // Degraded is honest), then delete+rename; any failure PAST the
+          // delete means the prior lease no longer stands → Lost.
+          val tmp = new Path(manifestDir(table),
+            s".lease.renew.${java.util.UUID.randomUUID().toString.take(8)}")
+          val staged =
+            try {
+              val out = f.create(tmp, true)
+              try out.write(bytes) finally out.close()
+              true
+            } catch { case _: java.io.IOException => false }
+          if (!staged) {
+            try f.delete(tmp, false) catch { case _: java.io.IOException => () }
+            degradedOrLost("renewal temp-write failed")
+          } else {
+            try {
+              f.delete(p, false)
+              if (f.rename(tmp, p)) Renewed
+              else RenewLost("renewal rename failed after removing the prior " +
+                "lease — the table is claimable this instant")
+            } catch {
+              case _: java.io.IOException =>
+                RenewLost("renewal failed after removing the prior lease — " +
+                  "the table is claimable this instant")
+            }
+          }
         }
       case LeaseHeld(h, exp) if h == holder =>
         RenewLost(s"own lease expired at $exp before this renewal ran " +
@@ -551,19 +595,22 @@ object Snapshots {
       holder: String,
       ttlMs: Long = 600000L,
       waitMs: Long = 120000L)(body: => T): T = {
-    acquireLease(spark, table, holder, ttlMs, waitMs)
+    val acquiredExpiry = acquireLease(spark, table, holder, ttlMs, waitMs)
     val f = fs(spark, table)
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val lostWhy = new java.util.concurrent.atomic.AtomicReference[String]("")
     val stop = new java.util.concurrent.CountDownLatch(1)
-    // the newest expiry this holder knows it wrote (the acquire stamped
-    // now+ttl an instant ago; sampling `now` BEFORE each successful write
-    // keeps the estimate a conservative under-bound). While this stands in
-    // the future, a transiently-failing renewal is DEGRADED, not lost —
-    // the on-disk lease still excludes contenders (ADVICE r18: a single
-    // filesystem blip must not fail a multi-hour critical section).
+    // the newest expiry this holder knows it wrote — initialized from the
+    // acquire's own under-bound, NOT re-sampled at thread start (a GC pause
+    // between acquire and the beat thread's first instruction would
+    // over-bound it, claiming protection past the on-disk lease's true
+    // expiry); each successful renewal advances it from a timestamp sampled
+    // BEFORE the write, keeping it a conservative under-bound. While this
+    // stands in the future, a transiently-failing renewal is DEGRADED, not
+    // lost — the on-disk lease still excludes contenders (ADVICE r18: a
+    // single filesystem blip must not fail a multi-hour critical section).
     val beat = new Thread(() => {
-      var lastWrittenExpiry = System.currentTimeMillis() + ttlMs
+      var lastWrittenExpiry = acquiredExpiry
       val period = math.max(50L, ttlMs / 3)
       // await doubles as the sleep: counted down at release, so the
       // thread exits promptly instead of outliving the bracket by a period
