@@ -483,6 +483,35 @@ class SnapshotsSpec extends SparkSpec {
     } finally FlakyLeaseFs.failLeaseOpens.set(0)
   }
 
+  test("a renewal that removed the prior lease and cannot republish reports LOST, never Degraded") {
+    // the review-pass severity-1: on a non-atomic-rename store the renewal
+    // rewrite goes temp → delete → rename. Past the delete the prior lease
+    // no longer stands (a contender can claim THAT instant), so a rename
+    // failure there must surface as a loud loss — 'Degraded' would let the
+    // bracket return success while a second writer held the table.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.rffs.impl", classOf[RenameFailFs].getName)
+    val dir = Files.createTempDirectory("graft-rffs").toString
+    val t = s"rffs://$dir/t"
+    RenameFailFs.failLeaseRenames.set(false)
+    try {
+      val e = intercept[java.io.IOException] {
+        Snapshots.withTableLease(spark, t, "unlucky",
+          ttlMs = 600L, waitMs = 0L) {
+          RenameFailFs.failLeaseRenames.set(true)
+          Thread.sleep(1200) // at least one renewal attempts the rewrite
+          "unreachable"
+        }
+      }
+      assert(e.getMessage.contains("claimable"),
+        s"rename-after-delete failure must report the table claimable: ${e.getMessage}")
+      // and it IS claimable — the loss was loud, not silent
+      RenameFailFs.failLeaseRenames.set(false)
+      Snapshots.acquireLease(spark, t, "next", ttlMs = 60000L, waitMs = 0L)
+      Snapshots.releaseLease(spark, t, "next")
+    } finally RenameFailFs.failLeaseRenames.set(false)
+  }
+
   test("object-store tier: non-atomic create lets two contenders both win; a registered LeaseLock restores exclusion") {
     // VERDICT r18 item 6. The file lease's claim is atomic only where
     // create-exclusive is; S3A-style stores implement no-overwrite create
@@ -870,4 +899,20 @@ class MemLeaseLock extends Snapshots.LeaseLock {
     }
   override def holderOf(table: String): Option[String] =
     Option(held.get(table)).map(_._1)
+}
+
+/** Test-only FileSystem (scheme rffs://): local semantics, but renames ONTO
+  * a `_lease.json` destination fail while armed — injects the
+  * failure-after-delete window of the non-atomic renewal rewrite. */
+class RenameFailFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "rffs"
+  override def getUri: java.net.URI = java.net.URI.create("rffs:///")
+  override def rename(
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (dst.getName == "_lease.json" && RenameFailFs.failLeaseRenames.get()) false
+    else super.rename(src, dst)
+}
+object RenameFailFs {
+  val failLeaseRenames = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
