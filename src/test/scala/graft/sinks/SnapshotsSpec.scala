@@ -567,6 +567,22 @@ class SnapshotsSpec extends SparkSpec {
           s"critical sections overlapped under the external lock: ${maxInside.get()}")
         // leaseHeld routes through the lock too
         assert(!Snapshots.leaseHeld(spark, t, "w1"))
+        // an external lock that stops renewing fails the bracket loudly —
+        // the lock service owns degradation semantics, so renew=false IS
+        // the loss signal (no Degraded state to hide behind)
+        val dying = new MemLeaseLock {
+          private val renews = new java.util.concurrent.atomic.AtomicInteger(0)
+          override def renew(table: String, holder: String, ttlMs: Long): Boolean =
+            renews.incrementAndGet() <= 1 && super.renew(table, holder, ttlMs)
+        }
+        Snapshots.setLeaseLock(Some(dying))
+        val e = intercept[java.io.IOException] {
+          Snapshots.withTableLease(spark, t, "w3", ttlMs = 300L, waitMs = 0L) {
+            Thread.sleep(900) // several beats: renewal 2+ returns false
+            "unreachable"
+          }
+        }
+        assert(e.getMessage.contains("external lock"), e.getMessage)
       } finally Snapshots.setLeaseLock(None)
     } finally pool.shutdownNow()
   }
