@@ -356,7 +356,8 @@ object Bench {
     // safe by construction: a min over measurements from several quiet
     // windows of the same tree is still a measurement of that tree.
     val stateKey = BenchGate.treeKey()
-    val statePath = BenchGate.statePathFor(sys.env.get("SPARK_GRAFT_BENCH_STATE"))
+    val statePath =
+      BenchGate.statePathFor(sys.env.get("SPARK_GRAFT_BENCH_STATE"), sfDir)
     val resumed = BenchGate.loadState(statePath, stateKey, sfDir)
       .filter { case (name, _) => SparkEntry.queries.contains(name) }
     resumed.foreach { case (name, (m, n)) => best(name) = m; nMeasured(name) = n }

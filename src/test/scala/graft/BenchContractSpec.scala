@@ -32,6 +32,11 @@ class BenchContractSpec extends AnyFunSuite {
     pb.environment().put("SPARK_GRAFT_BENCH_BUDGET_SEC", "30")
     pb.environment().put("SPARK_GRAFT_BENCH_WARMUP_DIR", "none")
     pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    // ISOLATE the smoke run's resume state: the default path is now
+    // repo-local, and this fork must neither resume a real capture's
+    // minima (resumed entries would defeat the truncation assertions) nor
+    // write its throttled sf0.001 readings anywhere a real capture reads
+    pb.environment().put("SPARK_GRAFT_BENCH_STATE", "none")
     pb.redirectErrorStream(false)
     // DRAIN (discard) the child's stderr: log4j writes Spark WARN/ERROR
     // lines there, and an undrained 64 KiB pipe buffer wedges the child's

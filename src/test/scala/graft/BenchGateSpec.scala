@@ -419,14 +419,21 @@ class BenchGateSpec extends AnyFunSuite {
     // session's private tmpdir, invisible to the driver's capture env —
     // resumed_n read 0 for the one consumer resume was built for. The
     // default now rides with the checkout.
-    val p = BenchGate.statePathFor(None)
-    assert(p.endsWith("/.graft/bench-state.properties"), p)
+    val p = BenchGate.statePathFor(None, "/data/sf0.1")
+    assert(p.matches(".*/\\.graft/bench-state-[0-9a-f]{8}\\.properties"), p)
     // inside this repo: anchored at the git toplevel, parent dir created
     assert(new java.io.File(p).getParentFile.isDirectory,
       "statePathFor must create the .graft dir")
+    // PER-SCALE files: a bench at another sf must not clobber this one's
+    // accumulated coverage (observed live: the contract spec's forked
+    // sf0.001 smoke run overwrote freshly-seeded sf0.1 state)
+    assert(BenchGate.statePathFor(None, "/data/sf0.001") != p,
+      "different measured dirs must map to different state files")
+    assert(BenchGate.statePathFor(None, "/data/sf0.1") == p, "stable per sf")
     // overrides and the disable sentinel pass through untouched
-    assert(BenchGate.statePathFor(Some("/tmp/x.properties")) == "/tmp/x.properties")
-    assert(BenchGate.statePathFor(Some("none")) == "none")
+    assert(BenchGate.statePathFor(Some("/tmp/x.properties"), "/data/sf0.1") ==
+      "/tmp/x.properties")
+    assert(BenchGate.statePathFor(Some("none"), "/data/sf0.1") == "none")
   }
 
   test("headline recovery fires the moment breadth is secured and headroom covers the projected cost") {
