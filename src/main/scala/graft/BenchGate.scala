@@ -114,6 +114,25 @@ object BenchGate {
     * scripts the baseline derives from. */
   val sourcePaths: Seq[String] = Seq("src", "build.sbt", "project", "tools")
 
+  /** First `n` hex chars of the MD5 of `s` — the one digest idiom the
+    * tree key, the per-sf state suffix, and the cwd fallback key all use. */
+  private def md5Hex(s: String, n: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(n)
+
+  /** Canonical spelling of a measured dir — the resume key must agree
+    * between the SEEDING environment and the CONSUMING one (the driver),
+    * and a trailing slash, a relative spelling, or a symlinked alias of
+    * the same directory would otherwise map to a different state file (or
+    * fail the `_sf` compare) and silently zero `resumed_n`, the exact r18
+    * symptom this machinery exists to fix. Falls back to the raw string
+    * when the path cannot be resolved (both sides then share the raw
+    * form). */
+  private[graft] def canonSf(sfDir: String): String =
+    try new java.io.File(sfDir).getCanonicalPath
+    catch { case _: Throwable => sfDir }
+
   /** Run a git command in `d`, returning trimmed stdout on exit 0. Shared
     * by [[treeKey]] and [[statePathFor]] — one place for the subprocess
     * plumbing (stream redirect, charset, failure mapping). */
@@ -198,16 +217,16 @@ object BenchGate {
     * overwrote three freshly-seeded sf0.1 captures (and the judge's own
     * `sbt test` before the driver capture would do the same). loadState's
     * `_sf` check already refuses cross-scale RESUMES; the per-sf filename
-    * stops the cross-scale OVERWRITE. Outside a git checkout the old
-    * tmpdir-keyed-by-cwd scheme applies, same sf suffix. Override via
-    * SPARK_GRAFT_BENCH_STATE; "none" disables resume entirely. */
-  def statePathFor(overridePath: Option[String], sfDir: String = ""): String =
+    * stops the cross-scale OVERWRITE. The sf key hashes the CANONICAL
+    * spelling ([[canonSf]]) so the seeding and consuming environments
+    * agree regardless of trailing slashes, relative forms, or symlinked
+    * aliases. Outside a git checkout the old tmpdir-keyed-by-cwd scheme
+    * applies, same sf suffix. Override via SPARK_GRAFT_BENCH_STATE;
+    * "none" disables resume entirely. No default for `sfDir` on purpose:
+    * the compiler enforces per-scale keying at every call site. */
+  def statePathFor(overridePath: Option[String], sfDir: String): String =
     overridePath.getOrElse {
-      val sfKey =
-        if (sfDir.isEmpty) ""
-        else "-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(sfDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map(b => f"$b%02x").mkString.take(8)
+      val sfKey = "-" + md5Hex(canonSf(sfDir), 8)
       val cwd = System.getProperty("user.dir", ".")
       val top = gitOut(new java.io.File(cwd),
         "git", "rev-parse", "--show-toplevel").filter(_.nonEmpty)
@@ -217,9 +236,7 @@ object BenchGate {
           d.mkdirs()
           new java.io.File(d, s"bench-state$sfKey.properties").getAbsolutePath
         case None =>
-          val key = java.security.MessageDigest.getInstance("MD5")
-            .digest(cwd.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .map(b => f"$b%02x").mkString.take(12)
+          val key = md5Hex(cwd, 12)
           new java.io.File(System.getProperty("java.io.tmpdir"),
             s"graft-bench-state-$key$sfKey.properties").getAbsolutePath
       }
@@ -248,7 +265,8 @@ object BenchGate {
             case _ => None
           }
         }.toMap
-        if (!kv.get("_tree").contains(treeKey) || !kv.get("_sf").contains(sfDir))
+        if (!kv.get("_tree").contains(treeKey) ||
+            !kv.get("_sf").contains(canonSf(sfDir)))
           Map.empty
         else kv.view.filterKeys(k => !k.startsWith("_")).toMap.flatMap {
           case (name, v) => v.split(",", 2) match {
@@ -272,7 +290,7 @@ object BenchGate {
     if (path != "none" && treeKey.nonEmpty) try {
       val sb = new StringBuilder()
       sb.append("# graft bench resumable-capture state\n")
-      sb.append(s"_tree=$treeKey\n_sf=$sfDir\n")
+      sb.append(s"_tree=$treeKey\n_sf=${canonSf(sfDir)}\n")
       sb.append(String.format(java.util.Locale.ROOT, "_calib_spark=%.3f%n", calibSpark))
       entries.toSeq.sortBy(_._1).foreach { case (name, (m, n)) =>
         sb.append(String.format(java.util.Locale.ROOT, "%s=%.4f,%d%n", name,

@@ -494,12 +494,22 @@ class SnapshotsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-rffs").toString
     val t = s"rffs://$dir/t"
     RenameFailFs.failLeaseRenames.set(false)
+    RenameFailFs.failedRenames.set(0)
     try {
       val e = intercept[java.io.IOException] {
+        // generous ttl: the loss signal here must be the RENAME failure,
+        // not an expiry the beat thread missed under host starvation (a
+        // tight ttl made this pin racy — the first renewal could find its
+        // own lease already expired and report a different loss)
         Snapshots.withTableLease(spark, t, "unlucky",
-          ttlMs = 600L, waitMs = 0L) {
+          ttlMs = 3000L, waitMs = 0L) {
           RenameFailFs.failLeaseRenames.set(true)
-          Thread.sleep(1200) // at least one renewal attempts the rewrite
+          // hold the section until a renewal has actually hit the injected
+          // rename failure (bounded), rather than a fixed sleep
+          val t0 = System.currentTimeMillis()
+          while (RenameFailFs.failedRenames.get() == 0 &&
+              System.currentTimeMillis() - t0 < 20000) Thread.sleep(100)
+          Thread.sleep(200) // let the beat record the loss
           "unreachable"
         }
       }
@@ -570,15 +580,20 @@ class SnapshotsSpec extends SparkSpec {
         // an external lock that stops renewing fails the bracket loudly —
         // the lock service owns degradation semantics, so renew=false IS
         // the loss signal (no Degraded state to hide behind)
+        val renews = new java.util.concurrent.atomic.AtomicInteger(0)
         val dying = new MemLeaseLock {
-          private val renews = new java.util.concurrent.atomic.AtomicInteger(0)
           override def renew(table: String, holder: String, ttlMs: Long): Boolean =
             renews.incrementAndGet() <= 1 && super.renew(table, holder, ttlMs)
         }
         Snapshots.setLeaseLock(Some(dying))
         val e = intercept[java.io.IOException] {
           Snapshots.withTableLease(spark, t, "w3", ttlMs = 300L, waitMs = 0L) {
-            Thread.sleep(900) // several beats: renewal 2+ returns false
+            // hold the section until renewal 2 (the loss signal) has run —
+            // bounded wait, not a fixed sleep a starved beat thread misses
+            val t0 = System.currentTimeMillis()
+            while (renews.get() < 2 &&
+                System.currentTimeMillis() - t0 < 20000) Thread.sleep(50)
+            Thread.sleep(200) // let the beat record the loss
             "unreachable"
           }
         }
@@ -926,9 +941,12 @@ class RenameFailFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def rename(
       src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Boolean =
-    if (dst.getName == "_lease.json" && RenameFailFs.failLeaseRenames.get()) false
-    else super.rename(src, dst)
+    if (dst.getName == "_lease.json" && RenameFailFs.failLeaseRenames.get()) {
+      RenameFailFs.failedRenames.incrementAndGet()
+      false
+    } else super.rename(src, dst)
 }
 object RenameFailFs {
   val failLeaseRenames = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val failedRenames = new java.util.concurrent.atomic.AtomicInteger(0)
 }
