@@ -451,7 +451,15 @@ object DeltaExport {
               predTypeOf)))
         (nativeC.toSeq ++ closureC.toSeq).reduceOption(_ && _) match {
           case None => raw
-          case Some(pred) => raw.filter(col("add").isNull || pred)
+          case Some(pred) =>
+            // the non-add guard tests add.PATH (a nested LEAF, and
+            // spec-required non-null on every add), not the add struct
+            // itself: parquet's filter API has no null-test for a GROUP,
+            // and an OR pushes down only when BOTH sides translate — with
+            // the leaf form, a string/int/date predicate over
+            // partitionValues_parsed reaches PushedFilters and row-group
+            // stats skip non-matching groups (spec-pinned)
+            raw.filter(col("add.path").isNull || pred)
         }
       }
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]

