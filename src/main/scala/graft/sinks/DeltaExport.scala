@@ -301,6 +301,13 @@ object DeltaExport {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
     val pvType = MapType(StringType, StringType, valueContainsNull = true)
+    // parsed-struct field computed ONCE: it feeds the checkpoint schema,
+    // gates the add-row shape, and carries the per-column types the value
+    // parses use (review-pass find: three separate schemaJson parses)
+    val parsedField = parsedStructType(schemaJson, partCols)
+    val parsedTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      parsedField.map(_.dataType.asInstanceOf[StructType].fields
+        .map(fld => fld.name -> fld.dataType).toMap).getOrElse(Map.empty)
     val ckptSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -327,7 +334,7 @@ object DeltaExport {
         // the structured-predicate scalar set; values parse with the
         // same Spark TRY cast the read-side evaluator uses, so the
         // two forms can never disagree.
-        parsedStructType(schemaJson, partCols).toSeq ++
+        parsedField.toSeq ++
         Seq(
           StructField("size", LongType),
           StructField("modificationTime", LongType),
@@ -342,24 +349,20 @@ object DeltaExport {
       .orElse(checkpointAtOrBelow(f, table, v - 1)
         .flatMap(c => readCheckpoint(spark, table, c)._2.map(_._1)))
       .getOrElse(java.util.UUID.randomUUID().toString)
-    val parsedType = parsedStructType(schemaJson, partCols)
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row(Row(1, 2), null, null))
     rows.add(Row(null,
       Row(tableId, Row("parquet", Map.empty[String, String]), schemaJson,
         partCols, Map.empty[String, String], System.currentTimeMillis()),
       null))
-    val tableSchema = parsedType.map(_ =>
-      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[StructType])
     files.foreach { case (rel, len, mtime, pv) =>
-      val add = parsedType match {
-        case None => Row(encodePath(rel), pv, len, mtime, true)
-        case Some(_) =>
+      val add =
+        if (parsedField.isEmpty) Row(encodePath(rel), pv, len, mtime, true)
+        else {
           val parsed = Row.fromSeq(partCols.map(c =>
-            parsedExternal(tableSchema.get(c).dataType, pv.getOrElse(c, null))))
+            parsedExternal(parsedTypes(c), pv.getOrElse(c, null))))
           Row(encodePath(rel), pv, parsed, len, mtime, true)
-      }
+        }
       rows.add(Row(null, null, add))
     }
     val tmpDir = new Path(logDir(table), f".ckpt-$v%020d-tmp")
@@ -610,20 +613,25 @@ object DeltaExport {
   }
 
   /** Last metaData ACTION NODE across `versions` (table id for checkpoint
-    * writes). */
+    * writes; schema/partition-spec resolution for the structured-predicate
+    * path). Scans NEWEST-FIRST and stops at the first version carrying a
+    * metaData action (the last such action within that version wins, per
+    * protocol) — most commits carry none, so the common cost is ONE file
+    * read, not a full-tail pass duplicating replayJson's IO (review-pass
+    * find, round-20). */
   private def metaNodeIn(
       f: FileSystem,
       table: String,
       versions: Seq[Long]): Option[com.fasterxml.jackson.databind.JsonNode] = {
-    var found: Option[com.fasterxml.jackson.databind.JsonNode] = None
-    versions.foreach { v =>
+    versions.sorted.reverse.foreach { v =>
       val in = f.open(versionFile(table, v))
       val body = try org.apache.commons.io.IOUtils.toString(
         in, java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      body.split('\n').filter(_.nonEmpty).map(mapper.readTree)
-        .filter(_.has("metaData")).foreach(n => found = Some(n.get("metaData")))
+      val metas = body.split('\n').filter(_.nonEmpty).map(mapper.readTree)
+        .filter(_.has("metaData"))
+      if (metas.nonEmpty) return Some(metas.last.get("metaData"))
     }
-    found
+    None
   }
 
   /** Percent-ENCODE a relative path for an add/remove action (the

@@ -62,9 +62,13 @@ object PartitionPredicate {
       hiInclusive: Boolean = true) extends PartitionPredicate
 
   /** The partition-value types predicates support — the union of what the
-    * two interop readers themselves scope to (IcebergExport identity
-    * partitions; Delta string-serialized partition values of scalar
-    * columns). */
+    * two interop readers themselves scope to. Date and float serve the
+    * DELTA leg only (Delta serializes dates as `yyyy-MM-dd`, which the
+    * TRY cast parses); the Iceberg leg REFUSES date/float identity
+    * partitions by name before predicates ever apply (its tuple strings
+    * are raw Avro values — a date partition would surface as epoch-days
+    * digits there, which is exactly the stringify-cast misread its type
+    * gate exists to prevent). */
   private[sinks] def supported(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType |
          DoubleType | FloatType | BooleanType | DateType => true

@@ -421,8 +421,12 @@ object Snapshots {
       // absent window (the delete+rename fallback) a waiter could claim a
       // LIVE holder's table mid-renewal. Now a live foreign lease never
       // triggers an attempt, and an absent observation is CONFIRMED by a
-      // second read 50ms later before claiming — a renewal blink
-      // (ms-wide) fails the confirm, a real release passes it.
+      // second read 50ms later before claiming. This NARROWS the race,
+      // it does not close it: a fast-rename store's ms-wide blink fails
+      // the confirm, but an object store whose rename is copy+delete can
+      // hold the window open past any fixed confirm delay — that tier's
+      // exclusion comes from setLeaseLock, not this loop (HDFS/file
+      // renewals have no absent window at all).
       val attempt: Boolean = readLeaseView(f, table) match {
         case LeaseHeld(h, exp) if h == holder || exp < System.currentTimeMillis() =>
           removeLease(f, table) // own stale claim, or an expired foreign one

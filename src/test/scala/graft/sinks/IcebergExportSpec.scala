@@ -598,6 +598,70 @@ class IcebergExportSpec extends SparkSpec {
       Seq(PartitionPredicate.EqualTo("lang", "zz"))))
   }
 
+  test("malformed foreign bound BYTES keep the manifest on BOTH pruning paths: wrong width, invalid UTF-8") {
+    // round-20 review-pass finds: (a) a too-short int bound threw
+    // BufferUnderflow out of the read, a too-long one silently decoded a
+    // wrong value that could prove a FALSE disjointness; (b) invalid
+    // UTF-8 decoded with U+FFFD substitutions, which reorder against the
+    // true bytes — again a possible false proof. Both must be
+    // conservative keeps.
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    assert(IcebergExport.decodeBoundStrict(IntegerType, Array[Byte](1, 2)).isEmpty)
+    assert(IcebergExport.decodeBoundStrict(
+      IntegerType, Array.fill[Byte](8)(1)).isEmpty, "too-long int bound")
+    assert(IcebergExport.decodeBoundStrict(IntegerType,
+      Array[Byte](5, 0, 0, 0)).contains("5"))
+    // 0x61 0xF0: 'a' + a dangling UTF-8 lead byte (truncated mid-codepoint
+    // by a non-compliant writer) — new String would give "a�"
+    assert(IcebergExport.decodeBoundStrict(StringType,
+      Array[Byte](0x61, 0xF0.toByte)).isEmpty)
+    assert(IcebergExport.decodeBoundStrict(StringType,
+      "p13".getBytes("UTF-8")).contains("p13"))
+
+    def entry(loBytes: Array[Byte], hiBytes: Array[Byte]) = {
+      val listSchema = IcebergExport.manifestListSchema
+      val arrSchema = listSchema.getField("partitions").schema().getTypes.get(1)
+      val sumSchema = arrSchema.getElementType
+      val e = new org.apache.avro.generic.GenericData.Record(listSchema)
+      e.put("manifest_path", "x"); e.put("manifest_length", 1L)
+      e.put("partition_spec_id", 0); e.put("content", 0)
+      e.put("sequence_number", 1L); e.put("min_sequence_number", 1L)
+      e.put("added_snapshot_id", 1L); e.put("added_files_count", 1)
+      e.put("existing_files_count", 0); e.put("deleted_files_count", 0)
+      e.put("added_rows_count", 1L); e.put("existing_rows_count", 0L)
+      e.put("deleted_rows_count", 0L)
+      val g = new org.apache.avro.generic.GenericData.Record(sumSchema)
+      g.put("contains_null", Boolean.box(false))
+      g.put("contains_nan", Boolean.box(false))
+      g.put("lower_bound", java.nio.ByteBuffer.wrap(loBytes))
+      g.put("upper_bound", java.nio.ByteBuffer.wrap(hiBytes))
+      val arr = new org.apache.avro.generic.GenericData.Array[
+        org.apache.avro.generic.GenericRecord](1, arrSchema)
+      arr.add(g); e.put("partitions", arr)
+      e
+    }
+    // the actual max value is "a𐀀" (bytes 61 F0 90 80 80); a
+    // byte-truncating writer stored [61, F0]. An EqualTo on the real value
+    // must NOT be pruned by the mangled bound on either path.
+    val truncated = entry("a".getBytes("UTF-8"), Array[Byte](0x61, 0xF0.toByte))
+    val realValue = "a" + new String(Character.toChars(0x10000))
+    assert(IcebergExport.manifestOverlapsStructured(truncated, "t", Seq("lang"),
+      Seq(StringType), 0, Seq(PartitionPredicate.EqualTo("lang", realValue))),
+      "invalid-UTF-8 upper bound must keep the manifest, not prove disjointness")
+    // exact path: lower == upper but the bytes are invalid UTF-8 — the
+    // decoded value would be a WRONG exact tuple; must keep instead
+    val exactBad = entry(Array[Byte](0x61, 0xF0.toByte), Array[Byte](0x61, 0xF0.toByte))
+    assert(IcebergExport.manifestMayOverlap(exactBad, Seq("lang"),
+      Seq(StringType), 0, pv => pv.get("lang").contains(realValue)),
+      "an exact tuple decoded from invalid bytes must not drive pruning")
+    // wrong-width int bounds: keep (and never throw) on both paths
+    val badInt = entry(Array[Byte](1, 2), Array[Byte](1, 2))
+    assert(IcebergExport.manifestMayOverlap(badInt, Seq("k"),
+      Seq(IntegerType), 0, _ => false))
+    assert(IcebergExport.manifestOverlapsStructured(badInt, "t", Seq("k"),
+      Seq(IntegerType), 0, Seq(PartitionPredicate.EqualTo("k", "5"))))
+  }
+
   test("rename guard samples one footer PER MANIFEST: a rename hiding in the second manifest refuses loudly") {
     // the r18 guard sampled kept.head of the whole table — a foreign table
     // renamed mid-history has mixed footers, and when the sample landed on
