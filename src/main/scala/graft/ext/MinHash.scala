@@ -245,8 +245,14 @@ object MinHash {
     // family are, both reproduced in the oracle's SQL — not how a given
     // engine materializes them); every hash/band/verify expression below
     // stays a codegen'd built-in.
+    // sort_array at creation: the Jaccard verify in [[portablePairs]] (and
+    // q_sketch_recall's exact leg) is a SortedOverlapCount merge pass, so
+    // the per-pair work is O(|shs|) string compares instead of
+    // array_intersect's per-row hash set. Order is unobservable elsewhere:
+    // the signature explodes the set and min-aggregates per lane.
     val shl = fanOutIfNarrow(df)
-      .select(col(idCol).as("doc"), shinglesJvm(col(textCol), shingleN).as("shs"))
+      .select(col(idCol).as("doc"),
+        sort_array(shinglesJvm(col(textCol), shingleN)).as("shs"))
       .filter(size(col("shs")) > 0)
       .localCheckpoint()
     val ex = shl.select(col("doc"), explode(col("shs")).as("sh"))
@@ -277,8 +283,12 @@ object MinHash {
       threshold: Double,
       shingleN: Int = 3): DataFrame = {
     val (shl, cand) = portableCandidates(df, idCol, textCol, shingleN)
-    val jac = size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
-      size(array_union(col("shs_a"), col("shs_b")))
+    // |a∪b| = |a|+|b|−|a∩b| on the deduplicated shingle sets — same int,
+    // same double division as the former size(array_union) form
+    val inter = graft.functions.SortedOverlapCount.sorted_overlap_count(
+      col("shs_a"), col("shs_b"))
+    val jac = inter.cast("double") /
+      (size(col("shs_a")) + size(col("shs_b")) - inter)
     cand
       .join(shl.toDF("doc_a", "shs_a"), "doc_a")
       .join(shl.toDF("doc_b", "shs_b"), "doc_b")

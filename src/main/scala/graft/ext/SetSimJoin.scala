@@ -38,7 +38,16 @@ object SetSimJoin {
   private val CeilSlack = 1e-9
 
   /** (doc_a, doc_b, jaccard) for all pairs with Jaccard ≥ `threshold`;
-    * doc_a < doc_b. Exact — spec-pinned against the brute-force join. */
+    * doc_a < doc_b. Exact — spec-pinned against the brute-force join.
+    *
+    * Token sets are SORTED at creation (one O(n log n) per doc) so the
+    * per-pair verification is [[graft.functions.SortedOverlapCount]]'s
+    * single merge pass instead of `array_intersect`'s per-row hash set —
+    * pairs vastly outnumber docs, so sorting at the source is the cheap
+    * side of that trade (guide §1.2: per-task work after the algorithm).
+    * Sorting is unobservable in the result: Jaccard uses only set sizes,
+    * and the prefix rank orders by (corpus frequency, token), not by
+    * array position. */
   def join(
       docs: DataFrame,
       idCol: String,
@@ -47,7 +56,7 @@ object SetSimJoin {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val toks = docs.select(
         col(idCol).as("sid"),
-        array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+        sort_array(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
       .filter(size(col("toks")) > 0)
     val tokCounts = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
@@ -77,7 +86,9 @@ object SetSimJoin {
     cand
       .join(toks.toDF("a", "toks_a"), "a")
       .join(toks.toDF("b", "toks_b"), "b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter",
+        graft.functions.SortedOverlapCount.sorted_overlap_count(
+          col("toks_a"), col("toks_b")))
       .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
       .filter(col("inter") > 0 && col("inter") / col("uni") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
@@ -103,9 +114,10 @@ object SetSimJoin {
       textCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // sorted at creation for the merge-pass verify — see [[join]]
     def toks(df: DataFrame) = df.select(
         col(idCol).as("sid"),
-        array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+        sort_array(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
       .filter(size(col("toks")) > 0)
     val ctoks = toks(corpus)
     val dtoks = toks(delta)
@@ -128,7 +140,9 @@ object SetSimJoin {
     cand
       .join(dtoks.toDF("a", "toks_a"), "a")
       .join(ctoks.toDF("b", "toks_b"), "b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter",
+        graft.functions.SortedOverlapCount.sorted_overlap_count(
+          col("toks_a"), col("toks_b")))
       .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
       .filter(col("inter") > 0 && col("inter") / col("uni") >= threshold)
       .select(col("a").as("delta_id"), col("b").as("corpus_id"),

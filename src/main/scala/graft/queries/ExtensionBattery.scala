@@ -1238,12 +1238,19 @@ object ExtensionBattery {
          |      / len(list_distinct(a.toks || b.toks)) >= 0.3
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin) { (s, d) =>
       import s.implicits._
+      // sorted sets + merge-pass overlap (see SortedOverlapCount): the jac
+      // expression sits in the nested-loop join condition where Catalyst
+      // re-evaluates it per reference; |a∪b| = |a|+|b|−|a∩b| on the
+      // deduplicated sets is the same int, so round(jac, 4) is unchanged
       val t = Tables.documents(s, d).filter($"doc_id" < 40)
-        .select($"doc_id", array_distinct(TextAnalysis.tokens($"text")).as("toks"))
+        .select($"doc_id",
+          sort_array(array_distinct(TextAnalysis.tokens($"text"))).as("toks"))
       val a = t.toDF("doc_a", "toks_a")
       val b = t.toDF("doc_b", "toks_b")
-      val jac = size(array_intersect($"toks_a", $"toks_b")).cast("double") /
-        size(array_union($"toks_a", $"toks_b"))
+      val interJp = graft.functions.SortedOverlapCount.sorted_overlap_count(
+        $"toks_a", $"toks_b")
+      val jac = interJp.cast("double") /
+        (size($"toks_a") + size($"toks_b") - interJp)
       a.join(b, $"doc_a" < $"doc_b")
         .filter(jac >= 0.3)
         .select($"doc_a", $"doc_b", round(jac, 4).as("jaccard"))
@@ -1355,8 +1362,13 @@ object ExtensionBattery {
       import s.implicits._
       val slice = Tables.documents(s, d).filter($"doc_id" < 600)
       val (shl, cand) = MinHash.portableCandidates(slice, "doc_id", "text")
-      val jac = size(array_intersect($"shs_a", $"shs_b")).cast("double") /
-        size(array_union($"shs_a", $"shs_b"))
+      // shl's shingle sets arrive sorted+deduplicated from
+      // portableCandidates — merge-pass overlap, same ints as
+      // array_intersect/array_union (see SortedOverlapCount)
+      val interSr = graft.functions.SortedOverlapCount.sorted_overlap_count(
+        $"shs_a", $"shs_b")
+      val jac = interSr.cast("double") /
+        (size($"shs_a") + size($"shs_b") - interSr)
       val exact = shl.toDF("doc_a", "shs_a")
         .join(broadcast(shl.toDF("doc_b", "shs_b")), $"doc_a" < $"doc_b")
         .filter(jac >= 0.3).select($"doc_a", $"doc_b")
